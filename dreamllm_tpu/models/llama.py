@@ -1,0 +1,330 @@
+"""LLaMA/Vicuna decoder backbone — pure-functional JAX, scan-over-layers.
+
+TPU-native re-design of the reference's decoder stack
+(omni/models/dreamllm/modeling_dreamllm.py:77-1043: DreamLLMRMSNorm,
+Rotary*Embedding, DreamLLMMLP, DreamLLMAttention/FlashAttention2,
+DreamLLMDecoderLayer, DreamLLMModel). Differences, deliberate:
+
+  * **Pure functions over pytrees.** ``init_llama_params(rng, cfg)`` returns a
+    nested dict; ``llama_forward(params, cfg, ...)`` is jittable and
+    shardable with ``NamedSharding`` — no nn.Module state, no
+    ``pretraining_tp`` sliced-matmul emulation (real TP comes from pjit
+    partition specs, see parallel/sharding.py).
+  * **scan over layers.** All decoder layers are stacked along a leading
+    ``L`` axis and executed with ``jax.lax.scan``, so 32 layers compile as
+    one; remat policy applies per scan step (replaces per-layer
+    ``gradient_checkpointing`` loop, reference :994-1003).
+  * **Static-shape KV cache.** ``[L, B, max_len, Hkv, D]`` ring-free cache
+    updated with ``lax.dynamic_update_slice``; masking is positional, so
+    decode steps never recompile (replaces torch.cat cache concat :350-355).
+  * **Attention**: Pallas flash attention for prefill on TPU, XLA fallback
+    elsewhere / for single-token decode (replaces CUDA flash-attn-2 varlen,
+    reference :403-583 — padding/packing is segment ids, not unpad/repad).
+
+Weight layout convention: all matmul weights are stored **[in, out]** (so
+``y = x @ W``), i.e. the transpose of torch's nn.Linear ``[out, in]``. The
+HF checkpoint converter (convert/hf_llama.py) handles the transpose.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from dreamllm_tpu.ops.attention import dot_product_attention, flash_attention
+from dreamllm_tpu.ops.norms import rms_norm
+from dreamllm_tpu.ops.rope import RopeConfig, apply_rope, rope_cos_sin
+from dreamllm_tpu.ops.activations import swiglu
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    """Decoder hyperparameters (reference configuration_dreamllm.py:64-223).
+
+    Defaults follow LLaMA/Vicuna-7B; tests use tiny values.
+    """
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int | None = None  # None -> MHA
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling_type: str = "none"  # "none" | "linear" | "dynamic"
+    rope_scaling_factor: float = 1.0
+    tie_word_embeddings: bool = False
+    dtype: Any = jnp.float32  # parameter dtype; compute follows inputs
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_key_value_heads or self.num_attention_heads
+
+    @property
+    def rope(self) -> RopeConfig:
+        return RopeConfig(
+            head_dim=self.head_dim,
+            base=self.rope_theta,
+            scaling_type=self.rope_scaling_type,
+            scaling_factor=self.rope_scaling_factor,
+            max_position_embeddings=self.max_position_embeddings,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def _dense(rng, shape, dtype, scale=None):
+    fan_in = shape[0]
+    if scale is None:
+        scale = fan_in**-0.5
+    return (jax.random.normal(rng, shape, jnp.float32) * scale).astype(dtype)
+
+
+def init_llama_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
+    """Random-init parameter pytree. Layer params are stacked on axis 0."""
+    h, i, d = cfg.hidden_size, cfg.intermediate_size, cfg.dtype
+    hq, hkv, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+    L = cfg.num_hidden_layers
+    keys = jax.random.split(rng, 10)
+
+    def stack(make):
+        return jnp.stack([make(k) for k in jax.random.split(keys[0], L)])
+
+    layers = {
+        "input_norm": jnp.ones((L, h), d),
+        "post_attn_norm": jnp.ones((L, h), d),
+        "wq": stack(lambda k: _dense(k, (h, hq * hd), d)),
+        "wk": stack(lambda k: _dense(k, (h, hkv * hd), d)),
+        "wv": stack(lambda k: _dense(k, (h, hkv * hd), d)),
+        "wo": stack(lambda k: _dense(k, (hq * hd, h), d)),
+        "w_gate": stack(lambda k: _dense(k, (h, i), d)),
+        "w_up": stack(lambda k: _dense(k, (h, i), d)),
+        "w_down": stack(lambda k: _dense(k, (i, h), d)),
+    }
+    params: Params = {
+        "embed_tokens": _dense(keys[1], (cfg.vocab_size, h), d, scale=0.02),
+        "layers": layers,
+        "final_norm": jnp.ones((h,), d),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _dense(keys[2], (h, cfg.vocab_size), d)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> Params:
+    """Static-shape cache: k/v ``[L, B, max_len, Hkv, D]`` + per-slot metadata.
+
+    ``seg`` carries the segment id of each filled slot (0 = empty), ``pos``
+    its absolute position; ``index`` is the next write offset. Masking during
+    decode is derived from these, so no recompile per step.
+    """
+    L, hkv, hd = cfg.num_hidden_layers, cfg.kv_heads, cfg.head_dim
+    return {
+        "k": jnp.zeros((L, batch, max_len, hkv, hd), dtype),
+        "v": jnp.zeros((L, batch, max_len, hkv, hd), dtype),
+        "seg": jnp.zeros((batch, max_len), jnp.int32),
+        "pos": jnp.zeros((batch, max_len), jnp.int32),
+        "index": jnp.zeros((), jnp.int32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _attention(
+    layer: Params,
+    x: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cfg: LlamaConfig,
+    segment_ids: jnp.ndarray,
+    positions: jnp.ndarray,
+    cache_kv: tuple[jnp.ndarray, jnp.ndarray] | None,
+    cache_meta: dict | None,
+    use_flash: bool,
+):
+    """One attention block. Returns (out, (new_k, new_v) or None)."""
+    b, s, h = x.shape
+    hq, hkv, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
+
+    q = (x @ layer["wq"]).reshape(b, s, hq, hd)
+    k = (x @ layer["wk"]).reshape(b, s, hkv, hd)
+    v = (x @ layer["wv"]).reshape(b, s, hkv, hd)
+    q, k = apply_rope(q, k, cos, sin)
+
+    new_cache = None
+    if cache_kv is not None:
+        ck, cv = cache_kv  # [B, max_len, Hkv, D]
+        idx = cache_meta["index"]
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, idx, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, idx, 0, 0))
+        new_cache = (ck, cv)
+        # positional causal mask over the whole cache: kv_pos <= q_pos,
+        # same nonzero segment. Empty slots have seg 0 -> masked.
+        q_pos = positions  # [B, S]
+        kv_pos = cache_meta["pos"]  # [B, max_len]
+        bias = jnp.where(
+            (kv_pos[:, None, :] <= q_pos[:, :, None])
+            & (cache_meta["seg"][:, None, :] == segment_ids[:, :, None])
+            & (segment_ids[:, :, None] != 0),
+            0.0,
+            -1e30,
+        )[:, None, None]  # [B,1,1,S,max_len]
+        out = dot_product_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), bias=bias)
+    elif use_flash:
+        out = flash_attention(q, k, v, causal=True, segment_ids=segment_ids)
+    else:
+        out = dot_product_attention(q, k, v, causal=True, segment_ids=segment_ids)
+
+    out = out.reshape(b, s, hq * hd) @ layer["wo"]
+    return out, new_cache
+
+
+def _decoder_layer(
+    layer: Params,
+    x: jnp.ndarray,
+    cos,
+    sin,
+    cfg: LlamaConfig,
+    segment_ids,
+    positions,
+    cache_kv,
+    cache_meta,
+    use_flash,
+):
+    """Pre-norm attn + MLP residual block (reference :586-654)."""
+    attn_out, new_cache = _attention(
+        layer,
+        rms_norm(x, layer["input_norm"], cfg.rms_norm_eps),
+        cos,
+        sin,
+        cfg,
+        segment_ids,
+        positions,
+        cache_kv,
+        cache_meta,
+        use_flash,
+    )
+    x = x + attn_out
+    y = rms_norm(x, layer["post_attn_norm"], cfg.rms_norm_eps)
+    y = swiglu(y @ layer["w_gate"], y @ layer["w_up"]) @ layer["w_down"]
+    return x + y, new_cache
+
+
+def llama_forward(
+    params: Params,
+    cfg: LlamaConfig,
+    *,
+    input_ids: jnp.ndarray | None = None,
+    inputs_embeds: jnp.ndarray | None = None,
+    segment_ids: jnp.ndarray | None = None,
+    positions: jnp.ndarray | None = None,
+    kv_cache: Params | None = None,
+    use_flash: bool = True,
+    remat: bool = False,
+    output_hidden_states: bool = False,
+):
+    """Run the decoder stack.
+
+    Args:
+      input_ids: ``[B, S]`` int32, or provide ``inputs_embeds`` ``[B, S, H]``
+        (multimodal splicing happens upstream, dreamllm.py).
+      segment_ids: ``[B, S]`` — 0 marks padding; distinct ids separate packed
+        sequences. Defaults to all-ones.
+      positions: ``[B, S]`` absolute positions for RoPE + causal masking.
+        Defaults to ``arange(S)`` (+ cache index when decoding).
+      kv_cache: cache pytree from :func:`init_kv_cache` — when given, k/v are
+        appended at ``cache['index']`` and attention runs over the full cache.
+
+    Returns:
+      dict with ``last_hidden_state`` ``[B, S, H]``, ``kv_cache`` (updated or
+      None), and optionally ``hidden_states`` ``[L+1, B, S, H]``.
+    """
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    x = inputs_embeds
+    b, s, _ = x.shape
+
+    if segment_ids is None:
+        segment_ids = jnp.ones((b, s), jnp.int32)
+    if positions is None:
+        start = kv_cache["index"] if kv_cache is not None else 0
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s)) + start
+
+    cos, sin = rope_cos_sin(cfg.rope, positions, seq_len=cfg.max_position_embeddings)
+
+    cache_meta = None
+    if kv_cache is not None:
+        # metadata update is layer-independent: do it once
+        idx = kv_cache["index"]
+        seg = jax.lax.dynamic_update_slice(kv_cache["seg"], segment_ids, (0, idx))
+        pos = jax.lax.dynamic_update_slice(kv_cache["pos"], positions, (0, idx))
+        cache_meta = {"seg": seg, "pos": pos, "index": idx}
+
+    def step(carry, scanned):
+        x = carry
+        if kv_cache is not None:
+            layer, ck, cv = scanned
+            y, (nk, nv) = _decoder_layer(
+                layer, x, cos, sin, cfg, segment_ids, positions, (ck, cv), cache_meta, use_flash
+            )
+            return y, (nk, nv, x if output_hidden_states else None)
+        layer = scanned
+        y, _ = _decoder_layer(
+            layer, x, cos, sin, cfg, segment_ids, positions, None, None, use_flash
+        )
+        return y, (x if output_hidden_states else None)
+
+    if remat:
+        step = jax.checkpoint(step, prevent_cse=False)
+
+    if kv_cache is not None:
+        xs = (params["layers"], kv_cache["k"], kv_cache["v"])
+        x, (new_k, new_v, hs) = jax.lax.scan(step, x, xs)
+        new_cache = {
+            "k": new_k,
+            "v": new_v,
+            "seg": cache_meta["seg"],
+            "pos": cache_meta["pos"],
+            "index": kv_cache["index"] + s,
+        }
+    else:
+        x, hs = jax.lax.scan(step, x, params["layers"])
+        new_cache = None
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+
+    out = {"last_hidden_state": x, "kv_cache": new_cache}
+    if output_hidden_states:
+        out["hidden_states"] = jnp.concatenate([hs, x[None]], axis=0)
+    return out
+
+
+def llama_logits(params: Params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """LM head in fp32 (reference casts logits to float, :1452)."""
+    w = params.get("lm_head")
+    if w is None:
+        w = params["embed_tokens"].T
+    return hidden.astype(jnp.float32) @ w.astype(jnp.float32)

@@ -1,0 +1,305 @@
+"""Attention ops: XLA reference path + Pallas TPU flash-attention kernel.
+
+TPU-native replacement for the reference's attention stack
+(modeling_dreamllm.py:254-583 — eager DreamLLMAttention with fp32 softmax and
+``repeat_kv`` GQA, and DreamLLMFlashAttention2 wrapping CUDA flash-attn-2 with
+varlen unpad/repad). Design differences, deliberate:
+
+  * Layout is ``[batch, seq, heads, head_dim]`` (BSHD) end-to-end; no
+    unpad/repad — padding and packing are expressed as **segment ids**
+    (``0`` = padding), which the kernel turns into a block mask. This replaces
+    ``flash_attn_varlen_func``'s cu_seqlens machinery with a static-shape
+    formulation that jits.
+  * GQA is handled by head-index mapping inside the kernel grid instead of
+    materializing ``repeat_kv`` copies in HBM.
+  * Softmax statistics are fp32 (online softmax), inputs/outputs bf16.
+
+The Pallas kernel follows the standard online-softmax flash pattern: grid
+``(batch, q_heads, num_q_blocks, num_kv_blocks)`` with the kv-block dimension
+innermost ("arbitrary" semantics), fp32 accumulator scratch carried across kv
+blocks, causal blocks skipped with ``pl.when``.
+
+On non-TPU backends (CPU tests) ``flash_attention`` falls back to the XLA
+path, which is numerically equivalent.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # large finite negative; avoids NaN from (-inf) - (-inf)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path
+# ---------------------------------------------------------------------------
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    segment_ids: jnp.ndarray | None = None,
+    kv_segment_ids: jnp.ndarray | None = None,
+    bias: jnp.ndarray | None = None,
+    sm_scale: float | None = None,
+) -> jnp.ndarray:
+    """Plain XLA attention with fp32 softmax. BSHD layout, GQA-aware.
+
+    q: [B, Sq, Hq, D]; k/v: [B, Skv, Hkv, D] with Hq % Hkv == 0.
+    segment_ids: [B, Sq] int; kv_segment_ids: [B, Skv] (defaults to
+    segment_ids when Sq == Skv). Tokens attend only within equal, nonzero
+    segment ids; id 0 marks padding and attends to nothing but itself (the
+    output there is garbage and must be masked by the caller's loss/labels).
+    """
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    assert hq % hkv == 0, (hq, hkv)
+    groups = hq // hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+
+    qf = q.astype(jnp.float32) * sm_scale
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    # [B, Hkv, G, Sq, Skv]
+    qg = qf.reshape(b, sq, hkv, groups, d)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, kf)
+
+    mask = None
+    if causal:
+        qi = jnp.arange(sq)[:, None] + (skv - sq)  # right-aligned when decoding
+        ki = jnp.arange(skv)[None, :]
+        mask = ki <= qi  # [Sq, Skv]
+        mask = mask[None, None, None]
+    if segment_ids is not None:
+        kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
+        seg = (segment_ids[:, :, None] == kv_seg[:, None, :]) & (segment_ids[:, :, None] != 0)
+        seg = seg[:, None, None]  # [B,1,1,Sq,Skv]
+        mask = seg if mask is None else (mask & seg)
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf)
+    return out.reshape(b, sq, hq, d).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (TPU)
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    qseg_ref,
+    kseg_ref,
+    o_ref,
+    acc_ref,
+    m_ref,
+    l_ref,
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    use_segments: bool,
+):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    # With causal masking, blocks strictly above the diagonal contribute
+    # nothing: skip their compute entirely (DMA still overlaps).
+    should_compute = True
+    if causal:
+        should_compute = ik * block_k <= iq * block_q + (block_q - 1)
+
+    @pl.when(should_compute)
+    def _compute():
+        q = q_ref[0, :, 0, :].astype(jnp.float32) * sm_scale  # [bq, d]
+        k = k_ref[0, :, 0, :].astype(jnp.float32)  # [bk, d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+
+        mask = None
+        if causal:
+            rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            mask = cols <= rows
+        if use_segments:
+            qs = qseg_ref[0, :]  # [bq]
+            ks = kseg_ref[0, :]  # [bk]
+            seg = (qs[:, None] == ks[None, :]) & (qs[:, None] != 0)
+            mask = seg if mask is None else (mask & seg)
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, 0]  # [bq]
+        m_cur = jnp.max(s, axis=-1)  # [bq]
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[:, None])  # [bq, bk]
+        alpha = jnp.exp(m_prev - m_new)  # [bq]
+
+        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=-1)
+        v = v_ref[0, :, 0, :].astype(jnp.float32)  # [bk, d]
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        acc_ref[...] = acc_ref[...] * alpha[:, None] + pv
+        m_ref[:, 0] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        # Fully-masked rows (padding) have l == 0; emit zeros there.
+        l = l_ref[:, 0]
+        denom = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, :, 0, :] = (acc_ref[...] / denom[:, None]).astype(o_ref.dtype)
+
+
+def _flash_attention_tpu(
+    q,
+    k,
+    v,
+    segment_ids,
+    kv_segment_ids,
+    *,
+    causal,
+    sm_scale,
+    block_q,
+    block_k,
+    interpret=False,
+):
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    groups = hq // hkv
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    assert sq % block_q == 0 and skv % block_k == 0, (sq, skv, block_q, block_k)
+    nq = sq // block_q
+    nk = skv // block_k
+
+    use_segments = segment_ids is not None
+    if use_segments:
+        kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
+        qseg = segment_ids.astype(jnp.int32)
+        kseg = kv_seg.astype(jnp.int32)
+    else:
+        # dummy 1-wide arrays keep the arg list static
+        qseg = jnp.zeros((b, sq), jnp.int32)
+        kseg = jnp.zeros((b, skv), jnp.int32)
+
+    grid = (b, hq, nq, nk)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_k=block_k,
+        use_segments=use_segments,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 1, d), lambda b_, h, iq, ik: (b_, iq, h, 0)),
+            pl.BlockSpec((1, block_k, 1, d), lambda b_, h, iq, ik: (b_, ik, h // groups, 0)),
+            pl.BlockSpec((1, block_k, 1, d), lambda b_, h, iq, ik: (b_, ik, h // groups, 0)),
+            pl.BlockSpec((1, block_q), lambda b_, h, iq, ik: (b_, iq)),
+            pl.BlockSpec((1, block_k), lambda b_, h, iq, ik: (b_, ik)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, 1, d), lambda b_, h, iq, ik: (b_, iq, h, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * b * hq * sq * skv * d * (0.5 if causal else 1.0)),
+            bytes_accessed=(q.size + k.size + v.size * 2) * q.dtype.itemsize,
+            transcendentals=b * hq * sq * skv,
+        ),
+        interpret=interpret,
+    )(q, k, v, qseg, kseg)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    segment_ids: jnp.ndarray | None = None,
+    kv_segment_ids: jnp.ndarray | None = None,
+    sm_scale: float | None = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention, BSHD layout. Pallas on TPU, XLA elsewhere.
+
+    Functional drop-in for ``dot_product_attention``; see its docstring for
+    the segment-id contract.
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    on_tpu = jax.default_backend() == "tpu"
+    d = q.shape[-1]
+    sq, skv = q.shape[1], k.shape[1]
+    # Pallas path needs block-divisible lengths and a lane-aligned head dim;
+    # everything else (short decode queries, odd shapes) goes through XLA.
+    ok = (
+        (on_tpu or interpret)
+        and d % 128 == 0
+        and sq >= 128
+        and sq % min(block_q, sq) == 0
+        and skv % min(block_k, skv) == 0
+    )
+    if not ok:
+        return dot_product_attention(
+            q,
+            k,
+            v,
+            causal=causal,
+            segment_ids=segment_ids,
+            kv_segment_ids=kv_segment_ids,
+            sm_scale=sm_scale,
+        )
+    return _flash_attention_tpu(
+        q,
+        k,
+        v,
+        segment_ids,
+        kv_segment_ids,
+        causal=causal,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_k=block_k,
+        interpret=interpret,
+    )

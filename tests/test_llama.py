@@ -1,0 +1,160 @@
+"""Decoder backbone tests: logits parity vs transformers LlamaForCausalLM,
+KV-cache decode consistency, packed-segment masking.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from dreamllm_tpu.convert import convert_llama_state_dict, llama_config_from_hf
+from dreamllm_tpu.models import (
+    LlamaConfig,
+    init_kv_cache,
+    init_llama_params,
+    llama_forward,
+    llama_logits,
+)
+
+TINY = dict(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=3,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=64,
+)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(
+        **TINY,
+        attn_implementation="eager",
+    )
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg)
+    params = convert_llama_state_dict(hf.state_dict(), cfg)
+    return hf, cfg, params
+
+
+class TestHFParity:
+    def test_logits_match_hf(self, hf_pair):
+        hf, cfg, params = hf_pair
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, TINY["vocab_size"], size=(2, 17))
+        with torch.no_grad():
+            golden = hf(torch.from_numpy(ids)).logits.numpy()
+        got = llama_logits(
+            params, cfg,
+            llama_forward(params, cfg, input_ids=jnp.asarray(ids), use_flash=False)[
+                "last_hidden_state"
+            ],
+        )
+        np.testing.assert_allclose(np.asarray(got), golden, rtol=2e-4, atol=2e-4)
+
+    def test_kv_cache_decode_matches_full_forward(self, hf_pair):
+        _, cfg, params = hf_pair
+        rng = np.random.default_rng(1)
+        b, s = 2, 12
+        ids = jnp.asarray(rng.integers(0, TINY["vocab_size"], size=(b, s)))
+
+        full = llama_forward(params, cfg, input_ids=ids, use_flash=False)[
+            "last_hidden_state"
+        ]
+
+        cache = init_kv_cache(cfg, b, max_len=16, dtype=jnp.float32)
+        # prefill on the first 8 tokens, then decode 4 single steps
+        out = llama_forward(params, cfg, input_ids=ids[:, :8], kv_cache=cache, use_flash=False)
+        states = [out["last_hidden_state"]]
+        cache = out["kv_cache"]
+        for t in range(8, s):
+            out = llama_forward(params, cfg, input_ids=ids[:, t : t + 1], kv_cache=cache, use_flash=False)
+            states.append(out["last_hidden_state"])
+            cache = out["kv_cache"]
+        stepped = jnp.concatenate(states, axis=1)
+        np.testing.assert_allclose(np.asarray(stepped), np.asarray(full), rtol=2e-4, atol=2e-4)
+        assert int(cache["index"]) == s
+
+    def test_inputs_embeds_path(self, hf_pair):
+        """Multimodal splicing injects embeds directly — must equal id path."""
+        _, cfg, params = hf_pair
+        ids = jnp.asarray(np.arange(10)[None] % TINY["vocab_size"])
+        via_ids = llama_forward(params, cfg, input_ids=ids, use_flash=False)
+        embeds = jnp.take(params["embed_tokens"], ids, axis=0)
+        via_embeds = llama_forward(params, cfg, inputs_embeds=embeds, use_flash=False)
+        np.testing.assert_allclose(
+            np.asarray(via_ids["last_hidden_state"]),
+            np.asarray(via_embeds["last_hidden_state"]),
+            rtol=1e-6, atol=1e-6,
+        )
+
+
+class TestSegments:
+    def test_packed_sequences_equal_separate(self):
+        """Two sequences packed with distinct segment ids must produce the
+        same hidden states as running them separately."""
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(2)
+        a = rng.integers(0, TINY["vocab_size"], size=(1, 6))
+        c = rng.integers(0, TINY["vocab_size"], size=(1, 5))
+
+        sep_a = llama_forward(params, cfg, input_ids=jnp.asarray(a), use_flash=False)[
+            "last_hidden_state"
+        ]
+        sep_c = llama_forward(params, cfg, input_ids=jnp.asarray(c), use_flash=False)[
+            "last_hidden_state"
+        ]
+
+        packed = np.concatenate([a, c, np.zeros((1, 3), np.int64)], axis=1)
+        seg = np.array([[1] * 6 + [2] * 5 + [0] * 3])
+        pos = np.array([list(range(6)) + list(range(5)) + [0] * 3])
+        out = llama_forward(
+            params, cfg,
+            input_ids=jnp.asarray(packed),
+            segment_ids=jnp.asarray(seg),
+            positions=jnp.asarray(pos),
+            use_flash=False,
+        )["last_hidden_state"]
+        np.testing.assert_allclose(np.asarray(out[:, :6]), np.asarray(sep_a), rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out[:, 6:11]), np.asarray(sep_c), rtol=2e-4, atol=2e-4)
+
+
+class TestMisc:
+    def test_remat_matches(self):
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(1), cfg)
+        ids = jnp.asarray(np.arange(8)[None])
+        a = llama_forward(params, cfg, input_ids=ids, use_flash=False)["last_hidden_state"]
+        b = llama_forward(params, cfg, input_ids=ids, use_flash=False, remat=True)[
+            "last_hidden_state"
+        ]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+
+    def test_output_hidden_states(self):
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(1), cfg)
+        ids = jnp.asarray(np.arange(8)[None])
+        out = llama_forward(params, cfg, input_ids=ids, use_flash=False, output_hidden_states=True)
+        assert out["hidden_states"].shape == (TINY["num_hidden_layers"] + 1, 1, 8, TINY["hidden_size"])
+
+    def test_jit_forward(self):
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(1), cfg)
+        ids = jnp.asarray(np.arange(8)[None])
+
+        @jax.jit
+        def f(p, i):
+            return llama_forward(p, cfg, input_ids=i, use_flash=False)["last_hidden_state"]
+
+        np.testing.assert_allclose(
+            np.asarray(f(params, ids)),
+            np.asarray(llama_forward(params, cfg, input_ids=ids, use_flash=False)["last_hidden_state"]),
+            rtol=1e-5, atol=1e-5,
+        )
