@@ -1,0 +1,337 @@
+"""DreamLLM model core: LLM + multimodal plugins + static-shape splicing.
+
+TPU-native re-design of the reference's model assembly
+(omni/models/dreamllm/modeling_dreamllm.py:803-1508 DreamLLMModel /
+DreamLLMForCausalMLM and modeling_plugins.py DreamEmbedding /
+CLIPVisionEmbedding). Key departures from the torch design, all deliberate:
+
+  * **Plugins are param subtrees + metadata, not runtime ``setattr``.**
+    The reference instantiates plugins onto the model via ``deep_instantiate``
+    and hides frozen ones from FSDP with ``fsdp_ignored_modules``
+    (modeling_dreamllm.py:822-838). Here a plugin is (a) a named subtree in
+    the param pytree, (b) a ``frozen`` flag consumed by the optimizer mask
+    (train/optim.py) and sharding rules — no DDP dummy-forward hacks
+    (reference :1142-1144) because JAX has no autograd buckets.
+  * **Splicing is a static-shape scatter.** The reference loops per sample
+    replacing ``<dream_start>``/``<im_start>`` anchored spans with
+    ``torch.cat`` (:1045-1158). Here the data builder precomputes span start
+    offsets (``image_positions``/``dream_positions``, -1 = absent) and the
+    forward does one vectorized ``.at[].set(mode="drop")`` scatter, so the
+    whole multimodal forward jits with fixed shapes.
+  * **Dream-span extraction is a static gather** of the 64 query hidden
+    states per occurrence (replaces the per-occurrence python loop
+    :1399-1445), with the CFG-unconditional forward batched once over the
+    canonical ``[bos, <dream_start>, 64×<dream>, <dream_end>, eos]`` sequence
+    (:1423-1439).
+
+Special-token span conventions (reference builder_dreamllm.py:110-128):
+  image span  = ``<im_start> + 256×<im_patch> + <im_end>``  (258 tokens)
+  dream span  = ``<dream_start> + 64×<dream_patch> + <dream_end>`` (66 tokens)
+``image_positions``/``dream_positions`` point at the FIRST patch token (the
+slot right after the start token).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from dreamllm_tpu.models.clip import (
+    CLIPVisionConfig,
+    clip_vision_forward,
+    init_clip_vision_params,
+)
+from dreamllm_tpu.models.llama import (
+    LlamaConfig,
+    init_llama_params,
+    llama_forward,
+    llama_logits,
+)
+from dreamllm_tpu.models.projector import (
+    ProjectorConfig,
+    init_projector_params,
+    projector_forward,
+)
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecialTokens:
+    """Ids of the added multimodal control tokens
+    (reference tokenization_dreamllm.py:67-96)."""
+
+    image: int = 32000        # <image> placeholder (pre-tokenization only)
+    im_patch: int = 32001     # <im_patch>
+    im_start: int = 32002     # <im_start>
+    im_end: int = 32003       # <im_end>
+    dream: int = 32004        # <dream>
+    dream_start: int = 32005  # <dream_start>
+    dream_end: int = 32006    # <dream_end>
+    bos: int = 1
+    eos: int = 2
+    pad: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class DreamLLMConfig:
+    """Assembled model recipe (reference configuration_dreamllm.py:64-275)."""
+
+    llm: LlamaConfig = dataclasses.field(default_factory=LlamaConfig)
+    vision: CLIPVisionConfig = dataclasses.field(default_factory=CLIPVisionConfig)
+    vision_projector: ProjectorConfig | None = None  # default derived
+    dream_projector_dim: int | None = None  # set by the SD head (cross_attention_dim)
+    special_tokens: SpecialTokens = dataclasses.field(default_factory=SpecialTokens)
+    n_dream_queries: int = 64   # reference DreamEmbedding num_dream_queries
+    vision_select_layer: int = -2
+    image_embed_len: int = 256  # (image_size/patch_size)^2
+    loss_weight_lm: float = 1.0
+    loss_weight_vm: float = 1.0
+    # plugin freeze flags (metadata consumed by train/optim.py + sharding)
+    frozen: tuple[str, ...] = ()  # e.g. ("clip_vision_embedding", "llm")
+
+    def projector_cfg(self) -> ProjectorConfig:
+        if self.vision_projector is not None:
+            return self.vision_projector
+        return ProjectorConfig(
+            projector_type="linear",
+            in_dim=self.vision.hidden_size,
+            out_dim=self.llm.hidden_size,
+        )
+
+
+def init_dreamllm_params(rng: jax.Array, cfg: DreamLLMConfig) -> Params:
+    k = jax.random.split(rng, 4)
+    dream = (
+        jax.random.normal(k[2], (cfg.n_dream_queries, cfg.llm.hidden_size), jnp.float32)
+        * cfg.llm.hidden_size**-0.5
+    ).astype(cfg.llm.dtype)
+    return {
+        "llm": init_llama_params(k[0], cfg.llm),
+        "clip_vision_embedding": {
+            "clip": init_clip_vision_params(k[1], cfg.vision),
+            "projector": init_projector_params(k[3], cfg.projector_cfg()),
+        },
+        # learned queries [64, H] (reference modeling_plugins.py:131 keeps a
+        # [1, 64, 4096] parameter; batch broadcast happens in the forward)
+        "dream_embedding": {"queries": dream},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Multimodal splicing
+# ---------------------------------------------------------------------------
+
+
+def encode_images(params: Params, cfg: DreamLLMConfig, images: jnp.ndarray) -> jnp.ndarray:
+    """CLIP → projector. ``images``: [N, H, W, 3] normalized → [N, 256, H_llm]."""
+    feats = clip_vision_forward(
+        params["clip_vision_embedding"]["clip"], cfg.vision, images,
+        select_layer=cfg.vision_select_layer, drop_cls=True,
+    )
+    return projector_forward(
+        params["clip_vision_embedding"]["projector"], cfg.projector_cfg(), feats
+    )
+
+
+def _scatter_spans(
+    embeds: jnp.ndarray,       # [B, S, H]
+    feats: jnp.ndarray,        # [B, M, L, H]
+    positions: jnp.ndarray,    # [B, M] start offsets, -1 = absent
+) -> jnp.ndarray:
+    """Write ``feats[b, m]`` into ``embeds[b, pos:pos+L]`` for pos >= 0.
+
+    Absent spans (pos < 0) are redirected out of range and dropped by XLA's
+    scatter ``mode="drop"`` — fully static shapes, no host loop.
+    """
+    b, s, h = embeds.shape
+    _, m, l, _ = feats.shape
+    # [B, M, L] target sequence offsets
+    offs = positions[:, :, None] + jnp.arange(l, dtype=positions.dtype)[None, None, :]
+    offs = jnp.where(positions[:, :, None] < 0, s, offs)  # out-of-range -> dropped
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None, None], (b, m, l))
+    return embeds.at[batch_idx.reshape(-1), offs.reshape(-1)].set(
+        feats.reshape(-1, h).astype(embeds.dtype), mode="drop"
+    )
+
+
+def multimodal_embed(
+    params: Params,
+    cfg: DreamLLMConfig,
+    input_ids: jnp.ndarray,                 # [B, S]
+    images: jnp.ndarray | None = None,      # [B, M_img, H, W, 3] CLIP-normalized
+    image_positions: jnp.ndarray | None = None,  # [B, M_img]
+    dream_positions: jnp.ndarray | None = None,  # [B, M_dream]
+) -> jnp.ndarray:
+    """Token embeds with image features and dream queries spliced in
+    (replaces reference forward :1045-1158)."""
+    embeds = jnp.take(params["llm"]["embed_tokens"], input_ids, axis=0)
+    b, s, h = embeds.shape
+
+    if images is not None and image_positions is not None:
+        bm = images.shape[0] * images.shape[1]
+        feats = encode_images(params, cfg, images.reshape((bm,) + images.shape[2:]))
+        feats = feats.reshape(b, images.shape[1], cfg.image_embed_len, h)
+        embeds = _scatter_spans(embeds, feats, image_positions)
+
+    if dream_positions is not None:
+        m = dream_positions.shape[1]
+        q = params["dream_embedding"]["queries"]  # [64, H]
+        feats = jnp.broadcast_to(q[None, None], (b, m, cfg.n_dream_queries, h))
+        embeds = _scatter_spans(embeds, feats, dream_positions)
+
+    return embeds
+
+
+def extract_dream_hidden(
+    hidden: jnp.ndarray,           # [B, S, H]
+    dream_positions: jnp.ndarray,  # [B, M]
+    n_queries: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather the 64 dream-query hidden states per span.
+
+    Returns ``(cond, valid)``: cond [B, M, n_queries, H]; valid [B, M] bool.
+    Absent spans gather position 0 (garbage) — mask with ``valid``.
+    (Replaces reference :1403-1418.)
+    """
+    b, s, h = hidden.shape
+    m = dream_positions.shape[1]
+    valid = dream_positions >= 0
+    pos = jnp.where(valid, dream_positions, 0)
+    offs = pos[:, :, None] + jnp.arange(n_queries)[None, None, :]  # [B, M, L]
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None, None], (b, m, n_queries))
+    cond = hidden[batch_idx, jnp.clip(offs, 0, s - 1)]
+    return cond, valid
+
+
+def canonical_dream_sequence(cfg: DreamLLMConfig) -> jnp.ndarray:
+    """``[bos, <dream_start>, 64×<dream>, <dream_end>, eos]`` used for the CFG
+    unconditional embedding (reference :1423-1439)."""
+    st = cfg.special_tokens
+    return jnp.asarray(
+        [st.bos, st.dream_start] + [st.dream] * cfg.n_dream_queries + [st.dream_end, st.eos],
+        jnp.int32,
+    )[None]
+
+
+def unconditional_dream_hidden(params: Params, cfg: DreamLLMConfig) -> jnp.ndarray:
+    """LLM forward over the canonical dream sequence → [1, 64, H] uncond states."""
+    ids = canonical_dream_sequence(cfg)
+    embeds = multimodal_embed(
+        params, cfg, ids, dream_positions=jnp.asarray([[2]], jnp.int32)
+    )
+    out = llama_forward(params["llm"], cfg.llm, inputs_embeds=embeds, use_flash=False)
+    cond, _ = extract_dream_hidden(
+        out["last_hidden_state"], jnp.asarray([[2]], jnp.int32), cfg.n_dream_queries
+    )
+    return cond[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Forward + joint loss
+# ---------------------------------------------------------------------------
+
+
+def masked_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = -100):
+    """Shifted masked-mean CE (reference :1456-1470). logits [B,S,V], labels [B,S]."""
+    shift_logits = logits[:, :-1]
+    shift_labels = labels[:, 1:]
+    mask = shift_labels != ignore_index
+    safe = jnp.where(mask, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    total = jnp.sum(nll * mask)
+    count = jnp.maximum(jnp.sum(mask), 1)
+    return total / count
+
+
+HeadLossFn = Callable[..., tuple[jnp.ndarray, dict]]
+
+
+def dreamllm_forward(
+    params: Params,
+    cfg: DreamLLMConfig,
+    batch: dict,
+    *,
+    head_loss_fn: HeadLossFn | None = None,
+    head_params: Params | None = None,
+    rng: jax.Array | None = None,
+    use_flash: bool = True,
+    remat: bool = False,
+) -> tuple[jnp.ndarray, dict]:
+    """Joint training forward (reference DreamLLMForCausalMLM.forward :1353).
+
+    ``batch`` keys (all optional except input_ids):
+      input_ids [B,S], labels [B,S] (-100 ignored), segment_ids, positions,
+      images [B,M_img,Hi,Wi,3], image_positions [B,M_img],
+      dream_positions [B,M_dream], images_dm [B,M_dream,Hd,Wd,3].
+
+    ``head_loss_fn(head_params, images_dm, cond, uncond, rng)`` computes the
+    diffusion ("vm") loss over VALID dream spans; absent spans are masked
+    inside via the ``valid`` argument it also receives.
+
+    Returns ``(loss, aux)`` where aux carries lm_loss/vm_loss scalars — the
+    reference's ``additional_log_info`` channel (:1494-1508).
+    """
+    input_ids = batch["input_ids"]
+    embeds = multimodal_embed(
+        params, cfg, input_ids,
+        images=batch.get("images"),
+        image_positions=batch.get("image_positions"),
+        dream_positions=batch.get("dream_positions"),
+    )
+    out = llama_forward(
+        params["llm"], cfg.llm,
+        inputs_embeds=embeds,
+        segment_ids=batch.get("segment_ids"),
+        positions=batch.get("positions"),
+        use_flash=use_flash,
+        remat=remat,
+    )
+    hidden = out["last_hidden_state"]
+
+    aux: dict = {}
+    lm_loss = jnp.float32(0.0)
+    if batch.get("labels") is not None and cfg.loss_weight_lm != 0.0:
+        logits = llama_logits(params["llm"], cfg.llm, hidden)
+        lm_loss = masked_cross_entropy(logits, batch["labels"])
+    aux["lm_loss"] = lm_loss
+
+    vm_loss = jnp.float32(0.0)
+    if (
+        head_loss_fn is not None
+        and batch.get("dream_positions") is not None
+        and batch.get("images_dm") is not None
+        and cfg.loss_weight_vm != 0.0
+    ):
+        cond, valid = extract_dream_hidden(
+            hidden, batch["dream_positions"], cfg.n_dream_queries
+        )
+        uncond = unconditional_dream_hidden(params, cfg)  # [1, 64, H]
+        vm_loss, head_aux = head_loss_fn(
+            head_params, batch["images_dm"], cond, uncond, valid, rng
+        )
+        aux.update(head_aux)
+    aux["vm_loss"] = vm_loss
+
+    # NaN rerouting between the two loss terms (reference :1479-1488): if one
+    # branch NaNs (e.g. empty mask), fall back to the other.
+    lm_ok = jnp.isfinite(lm_loss)
+    vm_ok = jnp.isfinite(vm_loss)
+    lm_loss = jnp.where(lm_ok, lm_loss, 0.0)
+    vm_loss = jnp.where(vm_ok, vm_loss, 0.0)
+    loss = cfg.loss_weight_lm * lm_loss + cfg.loss_weight_vm * vm_loss
+    return loss, aux
+
+
+def param_freeze_mask(params: Params, cfg: DreamLLMConfig) -> Params:
+    """Boolean pytree: True = trainable. Consumed by optax.masked — the
+    TPU-native replacement for requires_grad_(False) + fsdp_ignored_modules."""
+    def mark(path_root: str, tree):
+        trainable = path_root not in cfg.frozen
+        return jax.tree.map(lambda _: trainable, tree)
+
+    return {k: mark(k, v) for k, v in params.items()}
