@@ -1,0 +1,154 @@
+"""Benchmark: DreamLLM-7B decode throughput + SD-2.1 UNet denoise throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Primary metric: tokens/sec/chip for LLaMA/Vicuna-7B greedy decode (bf16,
+batch 1, 128-token prefill, 128 decode steps) — BASELINE.json metric #1.
+Secondary (in "extra"): SD-2.1-size UNet images/min/chip (50-step DDIM
+equivalent, CFG 2×, 64×64 latents → 512px).
+
+vs_baseline: ratio against an A100 parity bar of 50 tok/s for 7B bf16
+batch-1 decode (HF transformers-class serving; the reference publishes no
+numbers — BASELINE.md). >1.0 beats A100.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+A100_7B_DECODE_TOK_S = 50.0
+PREFILL = 128
+DECODE = 128
+
+
+def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1):
+    import jax
+    import jax.numpy as jnp
+
+    from dreamllm_tpu.generation import SamplingConfig, generate_text
+    from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params
+
+    cfg = LlamaConfig(
+        vocab_size=32000,
+        hidden_size=hidden,
+        intermediate_size=inter,
+        num_hidden_layers=layers,
+        num_attention_heads=heads,
+        num_key_value_heads=kv_heads,
+        max_position_embeddings=PREFILL + DECODE,
+        dtype=jnp.bfloat16,
+    )
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    jax.block_until_ready(params)
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, PREFILL), 10, 31000)
+    lens = jnp.full((batch,), PREFILL, jnp.int32)
+    scfg = SamplingConfig(greedy=True, max_new_tokens=DECODE, eos_token_id=-1)
+
+    def run():
+        out = generate_text(params, cfg, ids, lens, scfg)
+        jax.block_until_ready(out["tokens"])
+        return out
+
+    run()  # compile + warmup
+    t0 = time.perf_counter()
+    n_iters = 3
+    for _ in range(n_iters):
+        run()
+    dt = (time.perf_counter() - t0) / n_iters
+    return batch * DECODE / dt, dt
+
+
+def bench_unet(steps_timed=10, equivalent_steps=50):
+    import jax
+    import jax.numpy as jnp
+
+    from dreamllm_tpu.models.sd import UNetConfig, init_unet_params, unet_forward
+
+    cfg = UNetConfig(dtype=jnp.bfloat16)  # SD 2.1 base architecture
+    params = init_unet_params(jax.random.PRNGKey(0), cfg)
+    jax.block_until_ready(params)
+
+    lat = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)  # CFG-duplicated batch 1
+    ctx = jnp.zeros((2, 64, 1024), jnp.bfloat16)
+
+    @jax.jit
+    def step(lat, t):
+        return unet_forward(params, cfg, lat, t, ctx)
+
+    out = step(lat, jnp.asarray([500, 500]))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(steps_timed):
+        out = step(out * 0.99, jnp.asarray([500 - i, 500 - i]))
+    jax.block_until_ready(out)
+    per_step = (time.perf_counter() - t0) / steps_timed
+    image_time = per_step * equivalent_steps
+    return 60.0 / image_time, per_step
+
+
+def main():
+    _enable_compile_cache()
+    import jax
+
+    backend = jax.default_backend()
+    extra = {"backend": backend, "device": str(jax.devices()[0])}
+
+    # 7B first; fall back to smaller configs if this chip can't hold it.
+    ladder = [
+        ("7b", dict(hidden=4096, inter=11008, layers=32, heads=32, kv_heads=32)),
+        ("3b", dict(hidden=3200, inter=8640, layers=26, heads=32, kv_heads=32)),
+        ("1b", dict(hidden=2048, inter=5504, layers=22, heads=16, kv_heads=16)),
+    ]
+    if backend != "tpu":  # smoke mode off-TPU
+        ladder = [("tiny-smoke", dict(hidden=256, inter=512, layers=2, heads=4, kv_heads=4))]
+
+    import gc
+
+    # UNet first — the 7B decode bench fills most of HBM and its params must
+    # be gone before the UNet allocates.
+    try:
+        img_min, unet_step_s = bench_unet()
+        extra["images_per_min_sd21_unet"] = round(img_min, 3)
+        extra["unet_step_s"] = round(unet_step_s, 4)
+    except Exception as e:
+        extra["unet_error"] = str(e)[:200]
+    gc.collect()
+
+    tok_s = None
+    for name, kw in ladder:
+        try:
+            tok_s, dt = bench_decode(**kw)
+            extra["decode_model"] = name
+            extra["decode_iter_s"] = round(dt, 3)
+            break
+        except Exception as e:  # OOM etc. — try the next rung
+            extra[f"decode_{name}_error"] = str(e)[:200]
+        gc.collect()
+
+    value = round(tok_s, 2) if tok_s is not None else 0.0
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec_per_chip",
+        "value": value,
+        "unit": f"tok/s ({extra.get('decode_model', 'n/a')}, bf16, b1, greedy)",
+        "vs_baseline": round(value / A100_7B_DECODE_TOK_S, 3),
+        "extra": extra,
+    }))
+
+
+if __name__ == "__main__":
+    main()

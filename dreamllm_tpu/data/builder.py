@@ -1,0 +1,260 @@
+"""DreamLLM sample builder: typed samples → token ids, labels, pixel arrays,
+and the span-position arrays the static-shape forward consumes.
+
+TPU-native re-design of the reference's `DreamLLMDataset.__getitem__` +
+collators (omni/data/builders/builder_dreamllm.py:63-504). Semantics ported,
+representation changed: instead of leaving ``<im_patch>`` runs for the model
+to find at runtime (torch.cat splice loops), the builder emits explicit
+``image_positions``/``dream_positions`` start offsets so the model forward is
+one static scatter (models/dreamllm.py).
+
+Span conventions (reference :110-128):
+  image span = <im_start> + image_embed_len×<im_patch> + <im_end>
+  dream span = <dream_start> + n_dream_queries×<im_patch> + <dream_end>
+
+Label semantics ported exactly:
+  * ImageTextPair, i2t: caption + eos learnable, image span masked (:190-208)
+  * ImageTextPair, t2i: ALL LM labels ignored — pure diffusion sample (:209-225)
+  * Interleaved: text learnable; every special/patch token masked EXCEPT
+    <dream_start>, which is how the model learns WHEN to emit an image
+    (:284-288); each image contributes a creation target (images_dm) AND
+    comprehension context (CLIP input) via dream_ids + image_ids (:264)
+  * Conversation: only assistant turns learnable (vicuna turn masking
+    :358-433, via structured segments instead of token-count offsets)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Protocol, Sequence
+
+import numpy as np
+
+from dreamllm_tpu.data.conversation import TEMPLATES, render_conversation
+from dreamllm_tpu.data.dataset_types import (
+    ConversationSample,
+    ImageTextPair,
+    InterleavedImageText,
+    Message,
+    TextOnly,
+)
+from dreamllm_tpu.models.dreamllm import SpecialTokens
+
+IGNORE = -100
+IMAGE_PLACEHOLDER = "<image>"
+
+
+class Tokenizer(Protocol):
+    def encode(self, text: str) -> list[int]: ...  # no bos/eos added
+
+
+@dataclasses.dataclass(frozen=True)
+class BuilderConfig:
+    max_seq_len: int = 2048
+    image_embed_len: int = 256
+    n_dream_queries: int = 64
+    special: SpecialTokens = dataclasses.field(default_factory=SpecialTokens)
+    max_images: int = 6          # per-sample caps (2048 tokens fit ~6 image spans)
+    max_dreams: int = 5
+    i2t_probability: float = 0.5  # ImageTextPair coin flip (reference :190)
+    conv_template: str = "vicuna_v1.1"
+    # creation / comprehension toggles (stage-1 configs train only one side)
+    use_creation: bool = True
+    use_comprehension: bool = True
+    image_size: int = 224        # CLIP input
+    image_size_dm: int = 256     # diffusion target (512 for SD at full res)
+
+
+@dataclasses.dataclass
+class BuiltSample:
+    input_ids: np.ndarray        # [S] int32
+    labels: np.ndarray           # [S] int32, IGNORE where masked
+    images: list                 # CLIP inputs (HWC float arrays in [0,1])
+    image_positions: list[int]
+    images_dm: list              # diffusion targets (HWC float in [-1,1])
+    dream_positions: list[int]
+
+
+def _to_float01(image) -> np.ndarray:
+    arr = np.asarray(image)
+    if arr.dtype == np.uint8:
+        arr = arr.astype(np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return arr.astype(np.float32)
+
+
+def _resize_hwc(arr: np.ndarray, size: int) -> np.ndarray:
+    """Host-side nearest resize for ragged inputs; fine-grained bicubic
+    resizing happens on device (clip_preprocess)."""
+    h, w = arr.shape[:2]
+    if h == size and w == size:
+        return arr
+    yi = (np.arange(size) * (h / size)).astype(np.int64).clip(0, h - 1)
+    xi = (np.arange(size) * (w / size)).astype(np.int64).clip(0, w - 1)
+    return arr[yi][:, xi]
+
+
+class DreamLLMBuilder:
+    def __init__(self, tokenizer: Tokenizer, cfg: BuilderConfig, seed: int = 0):
+        self.tok = tokenizer
+        self.cfg = cfg
+        self.rng = np.random.default_rng(seed)
+
+    # ---- span id helpers (reference :110-128) ----
+    def image_ids(self) -> list[int]:
+        st = self.cfg.special
+        return [st.im_start] + [st.im_patch] * self.cfg.image_embed_len + [st.im_end]
+
+    def dream_ids(self) -> list[int]:
+        st = self.cfg.special
+        return [st.dream_start] + [st.im_patch] * self.cfg.n_dream_queries + [st.dream_end]
+
+    def _img(self, image) -> np.ndarray:
+        return _resize_hwc(_to_float01(image), self.cfg.image_size)
+
+    def _img_dm(self, image) -> np.ndarray:
+        return _resize_hwc(_to_float01(image), self.cfg.image_size_dm) * 2.0 - 1.0
+
+    # ---- per-type builders ----
+
+    def build(self, sample) -> BuiltSample:
+        if isinstance(sample, ImageTextPair):
+            return self.build_pair(sample)
+        if isinstance(sample, InterleavedImageText):
+            return self.build_interleaved(sample)
+        if isinstance(sample, ConversationSample):
+            return self.build_conversation(sample)
+        if isinstance(sample, TextOnly):
+            return self.build_text(sample)
+        raise TypeError(f"unsupported sample type {type(sample)}")
+
+    def build_text(self, s: TextOnly) -> BuiltSample:
+        st = self.cfg.special
+        ids = [st.bos] + self.tok.encode(s.text)[: self.cfg.max_seq_len - 2] + [st.eos]
+        labels = list(ids)
+        labels[0] = IGNORE
+        return self._finish(ids, labels, [], [], [], [])
+
+    def build_pair(self, s: ImageTextPair) -> BuiltSample:
+        st = self.cfg.special
+        i2t = self.rng.random() < self.cfg.i2t_probability
+        if not self.cfg.use_creation:
+            i2t = True
+        if not self.cfg.use_comprehension:
+            i2t = False
+        cap = self.tok.encode(s.text)
+        if i2t:
+            # [bos] img_span caption [eos]; caption+eos learnable (:190-208)
+            span = self.image_ids()
+            budget = self.cfg.max_seq_len - 2 - len(span)
+            cap = cap[:budget]
+            ids = [st.bos] + span + cap + [st.eos]
+            labels = [IGNORE] * (1 + len(span)) + cap + [st.eos]
+            img_pos = [2]  # after bos + im_start
+            return self._finish(ids, labels, [self._img(s.image)], img_pos, [], [])
+        # t2i: [bos] caption dream_span [eos]; all LM labels ignored (:209-225)
+        span = self.dream_ids()
+        budget = self.cfg.max_seq_len - 2 - len(span)
+        cap = cap[:budget]
+        ids = [st.bos] + cap + span + [st.eos]
+        labels = [IGNORE] * len(ids)
+        dream_pos = [1 + len(cap) + 1]
+        return self._finish(ids, labels, [], [], [self._img_dm(s.image)], dream_pos)
+
+    def build_interleaved(self, s: InterleavedImageText) -> BuiltSample:
+        st = self.cfg.special
+        cfg = self.cfg
+        # group images by their text anchor (reference :100-108 sorts by
+        # matched_text_index and merges)
+        by_chunk: dict[int, list[int]] = {}
+        for i, idx in enumerate(s.matched_text_index):
+            by_chunk.setdefault(int(idx), []).append(i)
+
+        ids: list[int] = [st.bos]
+        labels: list[int] = [IGNORE]
+        images, image_positions, images_dm, dream_positions = [], [], [], []
+
+        for ci, text in enumerate(s.texts):
+            t_ids = self.tok.encode(text)
+            if len(ids) + len(t_ids) + 1 > cfg.max_seq_len:
+                t_ids = t_ids[: max(cfg.max_seq_len - len(ids) - 1, 0)]
+            ids += t_ids
+            labels += t_ids  # text learnable
+            for ii in by_chunk.get(ci, []):
+                if len(images) >= cfg.max_images or len(images_dm) >= cfg.max_dreams:
+                    continue
+                d_span = self.dream_ids() if cfg.use_creation else []
+                i_span = self.image_ids() if cfg.use_comprehension else []
+                if len(ids) + len(d_span) + len(i_span) + 1 > cfg.max_seq_len:
+                    continue
+                if d_span:
+                    # mask patches/end; keep <dream_start> learnable (:284-288)
+                    dream_positions.append(len(ids) + 1)
+                    images_dm.append(self._img_dm(s.images[ii]))
+                    ids += d_span
+                    labels += [st.dream_start] + [IGNORE] * (len(d_span) - 1)
+                if i_span:
+                    image_positions.append(len(ids) + 1)
+                    images.append(self._img(s.images[ii]))
+                    ids += i_span
+                    labels += [IGNORE] * len(i_span)
+            if len(ids) >= cfg.max_seq_len - 1:
+                break
+        ids.append(st.eos)
+        labels.append(st.eos)
+        return self._finish(ids, labels, images, image_positions, images_dm, dream_positions)
+
+    def build_conversation(self, s: ConversationSample) -> BuiltSample:
+        st = self.cfg.special
+        cfg = self.cfg
+        template = TEMPLATES[cfg.conv_template]
+        segs = render_conversation(template, list(s.messages), s.system)
+
+        ids: list[int] = [st.bos]
+        labels: list[int] = [IGNORE]
+        images, image_positions = [], []
+        img_iter = iter(s.images)
+
+        for seg in segs:
+            parts = seg.text.split(IMAGE_PLACEHOLDER)
+            for pi, part in enumerate(parts):
+                if pi > 0:  # an <image> placeholder sat here (:29-60 expansion)
+                    if len(images) < cfg.max_images:
+                        span = self.image_ids()
+                        if len(ids) + len(span) < cfg.max_seq_len:
+                            image_positions.append(len(ids) + 1)
+                            try:
+                                images.append(self._img(next(img_iter)))
+                            except StopIteration:
+                                raise ValueError("more <image> placeholders than images")
+                            ids += span
+                            labels += [IGNORE] * len(span)
+                if part:
+                    t_ids = self.tok.encode(part)
+                    room = cfg.max_seq_len - len(ids) - 1
+                    t_ids = t_ids[: max(room, 0)]
+                    ids += t_ids
+                    labels += t_ids if seg.learnable else [IGNORE] * len(t_ids)
+            if len(ids) >= cfg.max_seq_len - 1:
+                break
+        ids.append(st.eos)
+        labels.append(st.eos if segs and segs[-1].learnable else IGNORE)
+        return self._finish(ids, labels, images, image_positions, [], [])
+
+    def _finish(self, ids, labels, images, image_positions, images_dm, dream_positions):
+        ids = np.asarray(ids[: self.cfg.max_seq_len], np.int32)
+        labels = np.asarray(labels[: self.cfg.max_seq_len], np.int32)
+        # never learn to predict raw patch/special placeholders except
+        # <dream_start> (safety net mirroring :284-288)
+        st = self.cfg.special
+        banned = np.isin(labels, [st.im_patch, st.im_start, st.im_end, st.dream_end, st.image, st.dream])
+        labels = np.where(banned, IGNORE, labels)
+        return BuiltSample(
+            input_ids=ids,
+            labels=labels,
+            images=images,
+            image_positions=list(image_positions),
+            images_dm=images_dm,
+            dream_positions=list(dream_positions),
+        )

@@ -1,0 +1,166 @@
+"""Webdataset-style tar-shard streaming — self-contained replacement for the
+reference's vendored webdataset library (third_party/webdataset, 7.9k LoC)
+covering the subset the pipelines use (SURVEY §2.6): resampled shard
+iteration → tar entry grouping → shuffle buffer → decode → filter, with
+warn-and-continue fault tolerance (unified_it_pair_webdataset.py:95-140).
+
+Pure python/tarfile on the host; heavy image work happens on device.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import random
+import tarfile
+from typing import Any, Callable, Iterable, Iterator, Sequence
+
+logger = logging.getLogger("dreamllm_tpu.data")
+
+
+def group_tar_entries(path: str) -> Iterator[dict[str, bytes]]:
+    """Yield {"__key__": str, "<ext>": bytes, ...} groups from one tar shard
+    (entries grouped by basename before the first dot, wds convention)."""
+    with tarfile.open(path, mode="r|*") as tf:  # streaming mode
+        current_key = None
+        sample: dict[str, Any] = {}
+        for member in tf:
+            if not member.isfile():
+                continue
+            name = member.name
+            if "/" in name:
+                name = name.rsplit("/", 1)[1]
+            if "." not in name:
+                continue
+            key, ext = name.split(".", 1)
+            if key != current_key:
+                if sample:
+                    yield sample
+                current_key = key
+                sample = {"__key__": key}
+            f = tf.extractfile(member)
+            if f is not None:
+                sample[ext.lower()] = f.read()
+        if sample:
+            yield sample
+
+
+def default_decoder(sample: dict[str, Any]) -> dict[str, Any]:
+    """Decode common extensions: images → RGB numpy HWC uint8, json/txt."""
+    out = {"__key__": sample.get("__key__", "")}
+    for ext, data in sample.items():
+        if ext == "__key__":
+            continue
+        if ext in ("jpg", "jpeg", "png", "webp"):
+            from PIL import Image
+            import numpy as np
+
+            img = Image.open(io.BytesIO(data)).convert("RGB")
+            out["image"] = np.asarray(img)
+        elif ext == "json":
+            out["json"] = json.loads(data)
+        elif ext in ("txt", "text", "caption"):
+            out["txt"] = data.decode("utf-8")
+        else:
+            out[ext] = data
+    return out
+
+
+class ShardStream:
+    """Infinite (or single-epoch) sample stream over tar shards.
+
+    Pipeline: shards (resampled or round-robin) → group → decode → filters →
+    shuffle buffer. Any per-sample exception is logged and skipped, with a
+    consecutive-failure circuit breaker (reference :112-140).
+    """
+
+    def __init__(
+        self,
+        shards: Sequence[str],
+        *,
+        shuffle_buffer: int = 1000,
+        seed: int = 0,
+        resample: bool = True,
+        decoder: Callable[[dict], dict] = default_decoder,
+        filters: Sequence[Callable[[dict], bool]] = (),
+        map_fn: Callable[[dict], Any] | None = None,
+        max_consecutive_failures: int = 100,
+    ):
+        assert shards, "empty shard list"
+        self.shards = list(shards)
+        self.shuffle_buffer = shuffle_buffer
+        self.seed = seed
+        self.resample = resample
+        self.decoder = decoder
+        self.filters = list(filters)
+        self.map_fn = map_fn
+        self.max_consecutive_failures = max_consecutive_failures
+
+    def _shard_iter(self, rng: random.Random) -> Iterator[str]:
+        if self.resample:
+            while True:
+                yield rng.choice(self.shards)
+        else:
+            order = list(self.shards)
+            rng.shuffle(order)
+            yield from order
+
+    def _raw(self, rng: random.Random) -> Iterator[dict]:
+        failures = 0
+        for shard in self._shard_iter(rng):
+            try:
+                for sample in group_tar_entries(shard):
+                    try:
+                        s = self.decoder(sample)
+                        if all(f(s) for f in self.filters):
+                            failures = 0
+                            yield s
+                    except Exception as e:  # warn-and-continue
+                        failures += 1
+                        logger.warning("sample decode failed (%s): %s", sample.get("__key__"), e)
+                        if failures >= self.max_consecutive_failures:
+                            raise RuntimeError(
+                                f"{failures} consecutive sample failures"
+                            ) from e
+            except (tarfile.TarError, OSError) as e:
+                failures += 1
+                logger.warning("shard %s failed: %s", shard, e)
+                if failures >= self.max_consecutive_failures:
+                    raise
+
+    def __iter__(self) -> Iterator[Any]:
+        rng = random.Random(self.seed)
+        buf: list[Any] = []
+        for s in self._raw(rng):
+            if self.map_fn is not None:
+                s = self.map_fn(s)
+            if self.shuffle_buffer <= 1:
+                yield s
+                continue
+            buf.append(s)
+            if len(buf) >= self.shuffle_buffer:
+                i = rng.randrange(len(buf))
+                buf[i], buf[-1] = buf[-1], buf[i]
+                yield buf.pop()
+        rng.shuffle(buf)
+        yield from buf
+
+
+class IterableAsMapStyle:
+    """Map-style facade over an infinite stream: __getitem__ just advances the
+    iterator (the reference does the same, unified_it_pair_webdataset.py:
+    93-149 — index is ignored by design for resampled web data)."""
+
+    def __init__(self, stream: Iterable, size: int):
+        self.stream = stream
+        self._it = None
+        self.size = size
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, index):
+        if self._it is None:
+            self._it = iter(self.stream)
+        return next(self._it)

@@ -1,0 +1,203 @@
+"""Free-form interleaved text+image generation — the first-class API the
+reference never shipped.
+
+The reference trains the model to emit ``<dream_start>`` at image positions
+(only ``<dream_start>`` stays learnable in interleaved labels,
+builder_dreamllm.py:284-288) and ships all the pieces — dream-query append
+(modeling_dreamllm.py:1161-1169, :1657-1669) and the SD pipeline — but the
+decode-then-diffuse driver is left to the user (SURVEY.md §3 note). This
+module implements it:
+
+  decode text → model emits ``<dream_start>`` → append the 64 learned dream
+  queries through the KV cache → their last hidden states condition the SD
+  head → image → append ``<dream_end>`` (+ optionally the CLIP-encoded image
+  span, matching the stage-2 training distribution of dream_ids+image_ids,
+  builder_dreamllm.py:264) → continue decoding … until EOS.
+
+Orchestration is a host loop over jitted segments (image synthesis is rare
+and heavy next to token decode, so the host round-trip per segment is noise);
+each text segment runs fully on device via ``lax.while_loop``. Batch size 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from dreamllm_tpu.generation.sampler import SamplingConfig, sample_token
+from dreamllm_tpu.models.dreamllm import (
+    DreamLLMConfig,
+    extract_dream_hidden,
+    multimodal_embed,
+    unconditional_dream_hidden,
+)
+from dreamllm_tpu.models.llama import init_kv_cache, llama_forward, llama_logits
+from dreamllm_tpu.models.sd.head import SDHeadConfig, sd_head_pipeline
+from dreamllm_tpu.models.clip import clip_preprocess
+
+
+@dataclasses.dataclass(frozen=True)
+class InterleavedConfig:
+    max_new_tokens: int = 512           # total token budget (text + spans)
+    max_images: int = 4
+    num_inference_steps: int = 50
+    guidance_scale: float = 3.5
+    image_height: int | None = None
+    image_width: int | None = None
+    sampler: str = "dpm"
+    append_image_span: bool = True      # re-encode generated image via CLIP
+    sampling: SamplingConfig = dataclasses.field(default_factory=SamplingConfig)
+
+
+def generate_interleaved(
+    params,
+    cfg: DreamLLMConfig,
+    head_params,
+    head_cfg: SDHeadConfig,
+    input_ids: jnp.ndarray,             # [1, S] prompt (no padding)
+    icfg: InterleavedConfig,
+    rng: jax.Array,
+    *,
+    prompt_images: jnp.ndarray | None = None,       # [1, M, H, W, 3]
+    prompt_image_positions: jnp.ndarray | None = None,
+) -> dict:
+    """Returns {"segments": [("text", ids) | ("image", array)], "images": [...]}.
+
+    The output interleaves decoded token-id arrays with generated images
+    ([H, W, 3] float in [0, 1]) in document order.
+    """
+    st = cfg.special_tokens
+    llm = cfg.llm
+    assert input_ids.shape[0] == 1, "interleaved generation is batch-1"
+    s0 = int(input_ids.shape[1])
+
+    span_len = icfg.max_images * (
+        cfg.n_dream_queries + 2 + (cfg.image_embed_len + 2 if icfg.append_image_span else 0)
+    )
+    max_len = s0 + icfg.max_new_tokens + span_len
+    cache = init_kv_cache(llm, 1, max_len)
+
+    # ---- prefill on the (optionally multimodal) prompt ----
+    embeds = multimodal_embed(
+        params, cfg, input_ids,
+        images=prompt_images, image_positions=prompt_image_positions,
+    )
+    out = llama_forward(params["llm"], llm, inputs_embeds=embeds, kv_cache=cache)
+    cache = out["kv_cache"]
+    cur_pos = s0  # next absolute position
+    logits = llama_logits(params["llm"], llm, out["last_hidden_state"][:, -1:])[:, 0]
+
+    scfg = dataclasses.replace(
+        icfg.sampling, stop_tokens=icfg.sampling.stop_tokens + (st.dream_start,)
+    )
+    uncond = unconditional_dream_hidden(params, cfg)
+
+    def decode_segment(first_tok, cache, start_pos, budget, rng):
+        """Greedy/sampled decode until eos/<dream_start>/budget."""
+        def step(state):
+            i, tok, toks, stop_reason, cache, rng = state
+            rng, sub = jax.random.split(rng)
+            positions = jnp.asarray([[0]], jnp.int32) + start_pos + i
+            o = llama_forward(
+                params["llm"], llm, input_ids=tok[None],
+                segment_ids=jnp.ones((1, 1), jnp.int32),
+                positions=positions, kv_cache=cache,
+            )
+            lg = llama_logits(params["llm"], llm, o["last_hidden_state"])[:, 0]
+            nxt = sample_token(lg, sub, scfg)  # [1]
+            toks = jax.lax.dynamic_update_slice(toks, tok, (i,))
+            is_eos = tok[0] == scfg.eos_token_id
+            is_dream = tok[0] == st.dream_start
+            reason = jnp.where(is_eos, 1, jnp.where(is_dream, 2, 0))
+            return i + 1, nxt, toks, reason, o["kv_cache"], rng
+
+        def cond(state):
+            i, _, _, reason, _, _ = state
+            return (i < budget) & (reason == 0)
+
+        toks0 = jnp.full((budget,), scfg.pad_token_id, jnp.int32)
+        n, nxt, toks, reason, cache, rng = jax.lax.while_loop(
+            cond, step, (jnp.int32(0), first_tok, toks0, jnp.int32(0), cache, rng)
+        )
+        return n, toks, reason, cache, rng
+
+    segments: list = []
+    images: list = []
+    rng, sub = jax.random.split(rng)
+    first_tok = sample_token(logits, sub, scfg)
+    budget = icfg.max_new_tokens
+
+    while budget > 0:
+        n, toks, reason, cache, rng = decode_segment(
+            first_tok[:1].reshape(1), cache, jnp.int32(cur_pos), int(budget), rng
+        )
+        n = int(n)
+        reason = int(reason)
+        seg_toks = jnp.asarray(toks)[:n]
+        cur_pos += n
+        budget -= n
+        if n > 0:
+            # drop the control token from the visible text
+            visible = seg_toks[:-1] if reason in (1, 2) else seg_toks
+            if visible.shape[0] > 0:
+                segments.append(("text", visible))
+        if reason != 2 or len(images) >= icfg.max_images:
+            break
+
+        # ---- <dream_start> emitted: append the 64 dream queries ----
+        q = params["dream_embedding"]["queries"][None]  # [1, 64, H]
+        positions = cur_pos + jnp.arange(cfg.n_dream_queries, dtype=jnp.int32)[None]
+        o = llama_forward(
+            params["llm"], llm, inputs_embeds=q.astype(params["llm"]["embed_tokens"].dtype),
+            segment_ids=jnp.ones((1, cfg.n_dream_queries), jnp.int32),
+            positions=positions, kv_cache=cache,
+        )
+        cache = o["kv_cache"]
+        cur_pos += cfg.n_dream_queries
+        cond = o["last_hidden_state"]  # [1, 64, H]
+
+        rng, sub = jax.random.split(rng)
+        img = sd_head_pipeline(
+            head_params, head_cfg, cond, uncond, sub,
+            height=icfg.image_height, width=icfg.image_width,
+            num_inference_steps=icfg.num_inference_steps,
+            guidance_scale=icfg.guidance_scale,
+            sampler=icfg.sampler,
+        )[0]  # [H, W, 3] in [0,1]
+        images.append(img)
+        segments.append(("image", img))
+
+        # ---- close the span: <dream_end> (+ optional CLIP image span) ----
+        tail = [st.dream_end]
+        tail_ids = jnp.asarray([tail], jnp.int32)
+        if icfg.append_image_span:
+            # feed the generated image back as comprehension context
+            # (training distribution: dream_ids + image_ids, builder :264)
+            span = jnp.asarray(
+                [[st.im_start] + [st.im_patch] * cfg.image_embed_len + [st.im_end]], jnp.int32
+            )
+            tail_ids = jnp.concatenate([tail_ids, span], axis=1)
+            clip_img = clip_preprocess(img[None], cfg.vision.image_size)
+            embeds = multimodal_embed(
+                params, cfg, tail_ids,
+                images=clip_img[:, None],
+                image_positions=jnp.asarray([[2]], jnp.int32),
+            )
+        else:
+            embeds = multimodal_embed(params, cfg, tail_ids)
+        t = tail_ids.shape[1]
+        positions = cur_pos + jnp.arange(t, dtype=jnp.int32)[None]
+        o = llama_forward(
+            params["llm"], llm, inputs_embeds=embeds,
+            segment_ids=jnp.ones((1, t), jnp.int32),
+            positions=positions, kv_cache=cache,
+        )
+        cache = o["kv_cache"]
+        cur_pos += t
+        logits = llama_logits(params["llm"], llm, o["last_hidden_state"][:, -1:])[:, 0]
+        rng, sub = jax.random.split(rng)
+        first_tok = sample_token(logits, sub, scfg)
+
+    return {"segments": segments, "images": images}

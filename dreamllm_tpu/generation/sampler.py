@@ -1,0 +1,145 @@
+"""Autoregressive decoding with a static KV cache — greedy / temperature /
+top-k / top-p.
+
+TPU-native replacement for the reference's HF ``generate()`` integration
+(modeling_dreamllm.py:1511-1549 prepare_inputs_for_generation/_reorder_cache
++ transformers' sampling loop). Design: one jitted prefill + one jitted
+single-token step inside ``lax.while_loop`` — fixed shapes, zero per-step
+recompiles or host syncs; stopping is a device-side predicate (EOS or
+max_len), replacing KeywordsStoppingCriteria (vqa_inference.py:110-137).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from dreamllm_tpu.models.llama import (
+    LlamaConfig,
+    init_kv_cache,
+    llama_forward,
+    llama_logits,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    max_new_tokens: int = 128
+    temperature: float = 1.0
+    top_k: int = 0          # 0 = off
+    top_p: float = 1.0      # 1.0 = off
+    greedy: bool = False
+    eos_token_id: int = 2
+    pad_token_id: int = 0
+    # extra per-sample halt tokens (e.g. <dream_start> for interleaved
+    # generation). Unlike EOS, the stop token itself IS stored in the output.
+    stop_tokens: tuple[int, ...] = ()
+
+
+def sample_token(logits: jnp.ndarray, rng: jax.Array, cfg: SamplingConfig) -> jnp.ndarray:
+    """Sample next token ids from [B, V] logits."""
+    if cfg.greedy:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / jnp.maximum(cfg.temperature, 1e-6)
+    if cfg.top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if cfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep smallest set with cumulative prob >= top_p (always keep top-1)
+        cutoff_mask = cum - probs >= cfg.top_p
+        cutoff = jnp.where(cutoff_mask, -jnp.inf, sorted_logits).min(axis=-1, keepdims=True)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def generate_text(
+    params,
+    llm_cfg: LlamaConfig,
+    input_ids: jnp.ndarray,          # [B, S] right-padded with pad_token_id
+    prompt_lengths: jnp.ndarray,     # [B] true prompt lengths
+    cfg: SamplingConfig,
+    rng: jax.Array | None = None,
+    *,
+    inputs_embeds: jnp.ndarray | None = None,  # optional spliced embeds [B,S,H]
+    cache_dtype=jnp.bfloat16,
+) -> dict:
+    """Batched decode. Returns dict with ``tokens`` [B, max_new_tokens]
+    (pad-filled after EOS), ``lengths`` [B], and the final ``kv_cache``.
+
+    The prompt may be padded; ``segment_ids`` derive from prompt_lengths so
+    pad slots never participate in attention. All shapes static.
+    """
+    b, s = input_ids.shape
+    max_len = s + cfg.max_new_tokens
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    pos = jnp.arange(s, dtype=jnp.int32)[None]
+    seg = (pos < prompt_lengths[:, None]).astype(jnp.int32)
+    positions = jnp.where(seg == 1, pos, 0)
+
+    cache = init_kv_cache(llm_cfg, b, max_len, dtype=cache_dtype)
+    out = llama_forward(
+        params, llm_cfg,
+        input_ids=None if inputs_embeds is not None else input_ids,
+        inputs_embeds=inputs_embeds,
+        segment_ids=seg, positions=positions, kv_cache=cache,
+    )
+    cache = out["kv_cache"]
+    # logits at each sample's last real token
+    last_idx = jnp.maximum(prompt_lengths - 1, 0)
+    last_hidden = jnp.take_along_axis(
+        out["last_hidden_state"], last_idx[:, None, None], axis=1
+    )
+    first_tok = sample_token(
+        llama_logits(params, llm_cfg, last_hidden)[:, 0], rng, cfg
+    )
+
+    def step_fn(state):
+        i, tok, toks, done, cache, rng = state
+        rng, sub = jax.random.split(rng)
+        # decode position = prompt_len + i per sample
+        positions = (prompt_lengths + i)[:, None].astype(jnp.int32)
+        out = llama_forward(
+            params, llm_cfg,
+            input_ids=tok[:, None],
+            segment_ids=jnp.ones((b, 1), jnp.int32),
+            positions=positions,
+            kv_cache=cache,
+        )
+        logits = llama_logits(params, llm_cfg, out["last_hidden_state"])[:, 0]
+        nxt = sample_token(logits, sub, cfg)
+        hit_stop = jnp.zeros_like(done)
+        for t in cfg.stop_tokens:
+            hit_stop = hit_stop | (tok == t)
+        done_now = done | (tok == cfg.eos_token_id)
+        store = jnp.where(done_now, cfg.pad_token_id, tok)
+        toks = jax.lax.dynamic_update_slice(toks, store[:, None], (0, i))
+        done_now = done_now | hit_stop  # stop token is stored, then halts
+        return i + 1, jnp.where(done_now, cfg.eos_token_id, nxt), toks, done_now, out["kv_cache"], rng
+
+    def cond_fn(state):
+        i, _, _, done, _, _ = state
+        return (i < cfg.max_new_tokens) & ~jnp.all(done)
+
+    toks0 = jnp.full((b, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
+    done0 = jnp.zeros((b,), bool)
+    steps, _, toks, done, cache, _ = jax.lax.while_loop(
+        cond_fn, step_fn, (jnp.int32(0), first_tok, toks0, done0, cache, rng)
+    )
+    lengths = jnp.sum(toks != cfg.pad_token_id, axis=-1)
+    # NOTE: rows that halt early keep being fed EOS while other rows decode;
+    # their trailing cache slots are junk. Resuming decode from the returned
+    # cache (interleaved generation) is only meaningful for batch size 1.
+    return {"tokens": toks, "lengths": lengths, "kv_cache": cache, "steps": steps}
+
+
+@partial(jax.jit, static_argnames=("llm_cfg", "cfg"))
+def generate_text_jit(params, llm_cfg, input_ids, prompt_lengths, cfg, rng):
+    return generate_text(params, llm_cfg, input_ids, prompt_lengths, cfg, rng)

@@ -1,0 +1,53 @@
+"""Device mesh construction — the single parallelism substrate.
+
+One ``(data, fsdp, tp)`` mesh replaces the reference's entire distributed
+zoo: DDP (torchrun, SURVEY §2.8), HF/accelerate FSDP with ignored-modules
+hacks (trainer.py:199-283), DeepSpeed ZeRO (trainer.py:537-538), and the
+latent ``pretraining_tp`` sliced matmuls (modeling_dreamllm.py:320-333).
+XLA emits the collectives; there is no NCCL/gloo user code to port
+(comm.py becomes jax.distributed + these axes).
+
+Axis semantics:
+  data — pure data parallelism (gradients all-reduced over ICI/DCN)
+  fsdp — parameter/optimizer sharding (ZeRO-3 style; XLA inserts
+         all-gather on use + reduce-scatter on grads)
+  tp   — tensor parallelism over attention heads / MLP hidden
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+AXES = ("data", "fsdp", "tp")
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data: int = 1
+    fsdp: int = -1  # -1: absorb remaining devices
+    tp: int = 1
+
+    def resolve(self, n_devices: int) -> tuple[int, int, int]:
+        d, f, t = self.data, self.fsdp, self.tp
+        known = [x for x in (d, f, t) if x != -1]
+        prod = int(np.prod(known)) if known else 1
+        missing = n_devices // max(prod, 1)
+        out = tuple(missing if x == -1 else x for x in (d, f, t))
+        assert int(np.prod(out)) == n_devices, (
+            f"mesh {out} does not cover {n_devices} devices"
+        )
+        return out
+
+
+def create_mesh(cfg: MeshConfig | None = None, devices=None) -> Mesh:
+    """Build the (data, fsdp, tp) mesh over all (or given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    cfg = cfg or MeshConfig()
+    shape = cfg.resolve(len(devices))
+    arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, AXES)

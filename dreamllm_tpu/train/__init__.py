@@ -1,0 +1,6 @@
+from dreamllm_tpu.train.optim import (
+    OptimizerConfig,
+    make_optimizer,
+    make_lr_schedule,
+)
+from dreamllm_tpu.train.step import TrainState, make_train_step, init_train_state

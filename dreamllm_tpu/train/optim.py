@@ -1,0 +1,104 @@
+"""Optimizer factory + LR schedule zoo.
+
+TPU-native equivalent of the reference's optimizer plumbing: AdamW with
+weight-decay grouping that excludes norms/biases (trainer.py:381-446), the
+LR-schedule zoo (utils/training_utils.py:96-417 — constant/linear/cosine/
+cosine-restarts/polynomial/piecewise), ``scale_lr`` linear scaling
+(trainer.py:402-413), and frozen-plugin masking (the optax.masked replacement
+for requires_grad_(False) + FSDP ignored_modules).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    learning_rate: float = 2e-5
+    schedule: str = "cosine"  # constant | linear | cosine | cosine_restarts | polynomial
+    warmup_steps: int = 0
+    total_steps: int = 10000
+    min_lr_ratio: float = 0.0
+    num_cycles: float = 0.5          # cosine periods (HF convention)
+    power: float = 1.0               # polynomial decay power
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    max_grad_norm: float = 1.0       # 0 disables clipping
+    scale_lr_by: float = 1.0         # linear LR scaling factor (scale_lr)
+
+
+def make_lr_schedule(cfg: OptimizerConfig):
+    peak = cfg.learning_rate * cfg.scale_lr_by
+    floor = peak * cfg.min_lr_ratio
+    decay_steps = max(cfg.total_steps - cfg.warmup_steps, 1)
+
+    if cfg.schedule == "constant":
+        main = optax.constant_schedule(peak)
+    elif cfg.schedule == "linear":
+        main = optax.linear_schedule(peak, floor, decay_steps)
+    elif cfg.schedule == "cosine":
+        # HF cosine: 0.5*(1+cos(pi * 2*num_cycles * progress))
+        def main(step):
+            progress = jnp.clip(step / decay_steps, 0.0, 1.0)
+            c = 0.5 * (1.0 + jnp.cos(jnp.pi * 2.0 * cfg.num_cycles * progress))
+            return floor + (peak - floor) * jnp.maximum(c, 0.0)
+    elif cfg.schedule == "cosine_restarts":
+        def main(step):
+            progress = jnp.clip(step / decay_steps, 0.0, 1.0)
+            cycle_pos = (progress * cfg.num_cycles) % 1.0
+            c = 0.5 * (1.0 + jnp.cos(jnp.pi * cycle_pos))
+            return floor + (peak - floor) * c
+    elif cfg.schedule == "polynomial":
+        def main(step):
+            progress = jnp.clip(step / decay_steps, 0.0, 1.0)
+            return floor + (peak - floor) * (1.0 - progress) ** cfg.power
+    else:
+        raise ValueError(cfg.schedule)
+
+    if cfg.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, peak, cfg.warmup_steps)
+        return optax.join_schedules([warmup, main], [cfg.warmup_steps])
+    return main
+
+
+def _decay_mask(params) -> Any:
+    """True where weight decay applies: rank>=2 tensors (matmuls/convs/
+    embeddings); norms scales and biases excluded (trainer.py:381-390)."""
+    return jax.tree.map(lambda p: p.ndim >= 2, params)
+
+
+def make_optimizer(
+    cfg: OptimizerConfig,
+    trainable_mask: Any | None = None,
+) -> optax.GradientTransformation:
+    """AdamW + clip + schedule, with optional freeze mask pytree
+    (True = trainable)."""
+    schedule = make_lr_schedule(cfg)
+    chain = []
+    if cfg.max_grad_norm and cfg.max_grad_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
+    chain.append(
+        optax.adamw(
+            learning_rate=schedule,
+            b1=cfg.b1,
+            b2=cfg.b2,
+            eps=cfg.eps,
+            weight_decay=cfg.weight_decay,
+            mask=_decay_mask if cfg.weight_decay > 0 else None,
+        )
+    )
+    tx = optax.chain(*chain)
+    if trainable_mask is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask),
+        )
+    return tx

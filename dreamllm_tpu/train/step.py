@@ -1,0 +1,109 @@
+"""pjit train step: joint LM+diffusion loss, grad accumulation, remat.
+
+The TPU-native core of the reference's Trainer hot loop (trainer.py:718-819:
+training_step → accelerator.backward → clip → optimizer.step). One jitted
+function over the (data, fsdp, tp) mesh replaces the DDP/FSDP/DeepSpeed
+engine split; XLA inserts all collectives. The ``additional_log_info``
+channel (trainer.py:919-958) maps to the returned ``aux`` scalar dict —
+already mean-reduced across devices by virtue of being computed inside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from dreamllm_tpu.models.dreamllm import DreamLLMConfig, dreamllm_forward
+from dreamllm_tpu.train.optim import OptimizerConfig, make_optimizer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    cfg: DreamLLMConfig,
+    tx: optax.GradientTransformation,
+    *,
+    head_loss_fn: Callable | None = None,
+    head_in_params: bool = True,
+    grad_accum: int = 1,
+    remat: bool = True,
+    use_flash: bool = True,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    The returned fn has signature ``(state, batch, rng) -> (state, aux)``.
+    When ``grad_accum > 1`` the batch's leading dim must be divisible by it;
+    micro-batches run under ``lax.scan`` with gradient averaging (replaces
+    ``accelerator.accumulate``, trainer.py:765).
+
+    ``head_in_params``: the diffusion head lives in ``params["sd_head"]`` and
+    trains jointly (pass False to run LM-only configs).
+    """
+
+    def loss_fn(params, batch, rng):
+        head_params = params.get("sd_head") if head_in_params else None
+        return dreamllm_forward(
+            params, cfg, batch,
+            head_loss_fn=head_loss_fn if head_in_params else None,
+            head_params=head_params,
+            rng=rng,
+            use_flash=use_flash,
+            remat=remat,
+        )
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def micro(params, batch, rng):
+        (loss, aux), grads = grad_fn(params, batch, rng)
+        aux = dict(aux, loss=loss)
+        return grads, aux
+
+    def step_fn(state: TrainState, batch, rng):
+        if grad_accum == 1:
+            grads, aux = micro(state.params, batch, rng)
+        else:
+            def split(x):
+                return x.reshape((grad_accum, x.shape[0] // grad_accum) + x.shape[1:])
+
+            micro_batches = jax.tree.map(split, batch)
+            rngs = jax.random.split(rng, grad_accum)
+
+            def scan_body(carry, xs):
+                mb, r = xs
+                g, a = micro(state.params, mb, r)
+                carry = jax.tree.map(jnp.add, carry, g)
+                return carry, a
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            grads, auxes = jax.lax.scan(scan_body, zero, (micro_batches, rngs))
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            aux = jax.tree.map(lambda a: jnp.mean(a, axis=0), auxes)
+
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+        aux = dict(aux, grad_norm=gnorm)
+        return new_state, aux
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

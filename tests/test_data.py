@@ -1,0 +1,262 @@
+"""Data pipeline tests: builder label semantics (the reference's exact
+masking rules), collation shapes, mixing, tar streaming, end-to-end batch →
+model forward."""
+
+import io
+import os
+import tarfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamllm_tpu.data import (
+    BuilderConfig,
+    ConversationSample,
+    DreamLLMBuilder,
+    ImageTextPair,
+    InterleavedImageText,
+    Message,
+    MixedDataset,
+    collate,
+)
+from dreamllm_tpu.data.builder import IGNORE
+from dreamllm_tpu.data.registry import DataManager, DATASETS, register_dataset
+from dreamllm_tpu.data.tokenization import ToyTokenizer
+from dreamllm_tpu.data.webdataset import ShardStream, group_tar_entries
+from dreamllm_tpu.models.dreamllm import SpecialTokens
+
+CFG = BuilderConfig(
+    max_seq_len=128,
+    image_embed_len=4,
+    n_dream_queries=4,
+    max_images=2,
+    max_dreams=2,
+    image_size=8,
+    image_size_dm=16,
+)
+ST = CFG.special
+
+
+def make_builder(i2t=None, seed=0):
+    cfg = CFG
+    if i2t is not None:
+        cfg = BuilderConfig(**{**CFG.__dict__, "i2t_probability": 1.0 if i2t else 0.0})
+    return DreamLLMBuilder(ToyTokenizer(), cfg, seed=seed)
+
+
+def img(v=0.5, size=12):
+    return np.full((size, size, 3), v, np.float32)
+
+
+class TestPairBuilder:
+    def test_i2t_labels(self):
+        b = make_builder(i2t=True)
+        s = b.build(ImageTextPair(image=img(), text="a cat sat"))
+        ids, labels = s.input_ids, s.labels
+        assert ids[0] == ST.bos and ids[-1] == ST.eos
+        # image span right after bos
+        assert ids[1] == ST.im_start and ids[6] == ST.im_end
+        assert s.image_positions == [2]
+        # span + bos masked, caption + eos learnable
+        assert np.all(labels[:7] == IGNORE)
+        assert np.all(labels[7:10] != IGNORE)
+        assert labels[-1] == ST.eos
+        assert len(s.images) == 1 and s.images[0].shape == (8, 8, 3)
+
+    def test_t2i_all_labels_ignored(self):
+        b = make_builder(i2t=False)
+        s = b.build(ImageTextPair(image=img(), text="a cat sat"))
+        assert np.all(s.labels == IGNORE)
+        assert len(s.images_dm) == 1 and s.images_dm[0].shape == (16, 16, 3)
+        # dream span after caption: bos + 3 caption tokens, then dream_start
+        assert s.input_ids[4] == ST.dream_start
+        assert s.dream_positions == [5]
+        # dm image in [-1, 1]
+        assert s.images_dm[0].min() >= -1 and s.images_dm[0].max() <= 1
+
+
+class TestInterleavedBuilder:
+    def test_dream_start_is_only_learnable_special(self):
+        b = make_builder()
+        s = b.build(InterleavedImageText(
+            texts=["first chunk", "second chunk here"],
+            images=[img(0.3)],
+            matched_text_index=[0],
+        ))
+        ids, labels = s.input_ids, s.labels
+        # creation + comprehension spans both present
+        assert len(s.dream_positions) == 1 and len(s.image_positions) == 1
+        ds_pos = s.dream_positions[0] - 1  # position of <dream_start>
+        assert ids[ds_pos] == ST.dream_start
+        assert labels[ds_pos] == ST.dream_start  # learnable!
+        # every other special token masked
+        special = np.isin(ids, [ST.im_patch, ST.im_start, ST.im_end, ST.dream_end])
+        assert np.all(labels[special] == IGNORE)
+        # text learnable
+        text_mask = (labels != IGNORE) & ~np.isin(ids, [ST.dream_start, ST.eos])
+        assert text_mask.sum() == 5  # 2 + 3 words
+
+    def test_image_and_dream_use_same_image(self):
+        b = make_builder()
+        s = b.build(InterleavedImageText(
+            texts=["chunk"], images=[img(0.7)], matched_text_index=[0],
+        ))
+        assert s.images[0].shape == (8, 8, 3)
+        assert s.images_dm[0].shape == (16, 16, 3)
+        np.testing.assert_allclose(s.images[0][0, 0, 0], 0.7)
+        np.testing.assert_allclose(s.images_dm[0][0, 0, 0], 0.7 * 2 - 1)
+
+    def test_caps_respected(self):
+        b = make_builder()
+        s = b.build(InterleavedImageText(
+            texts=["a"] * 5, images=[img()] * 5, matched_text_index=[0, 1, 2, 3, 4],
+        ))
+        assert len(s.images) <= CFG.max_images
+        assert len(s.images_dm) <= CFG.max_dreams
+
+
+class TestConversationBuilder:
+    def test_only_assistant_learnable(self):
+        b = make_builder()
+        s = b.build(ConversationSample(messages=[
+            Message("user", "what is this <image> thing"),
+            Message("assistant", "it is a cat"),
+            Message("user", "really"),
+            Message("assistant", "yes truly"),
+        ], images=[img()]))
+        ids, labels = s.input_ids, s.labels
+        assert len(s.image_positions) == 1
+        # image span masked
+        span = np.isin(ids, [ST.im_patch, ST.im_start, ST.im_end])
+        assert np.all(labels[span] == IGNORE)
+        # some learnable tokens exist (assistant replies)
+        n_learn = (labels != IGNORE).sum()
+        assert 0 < n_learn < len(ids)
+
+    def test_too_few_images_raises(self):
+        b = make_builder()
+        with pytest.raises(ValueError):
+            b.build(ConversationSample(messages=[
+                Message("user", "look <image> and <image>"),
+                Message("assistant", "ok"),
+            ], images=[img()]))
+
+
+class TestCollate:
+    def test_fixed_shapes_and_padding(self):
+        b = make_builder(i2t=True)
+        s1 = b.build(ImageTextPair(image=img(), text="one two three"))
+        b2 = make_builder(i2t=False)
+        s2 = b2.build(ImageTextPair(image=img(), text="x"))
+        batch = collate([s1, s2], seq_len=64, max_images=2, max_dreams=2,
+                        image_size=8, image_size_dm=16)
+        assert batch["input_ids"].shape == (2, 64)
+        assert batch["images"].shape == (2, 2, 8, 8, 3)
+        assert batch["images_dm"].shape == (2, 2, 16, 16, 3)
+        # sample 1 has an image at slot 0, no dream; sample 2 the reverse
+        assert batch["image_positions"][0, 0] >= 0
+        assert batch["image_positions"][1, 0] == -1
+        assert batch["dream_positions"][0, 0] == -1
+        assert batch["dream_positions"][1, 0] >= 0
+        # padding: seg 0 beyond length
+        n1 = len(s1.input_ids)
+        assert batch["segment_ids"][0, n1 - 1] == 1
+        assert batch["segment_ids"][0, n1] == 0
+
+    def test_batch_feeds_model(self):
+        from dreamllm_tpu.models.clip import CLIPVisionConfig
+        from dreamllm_tpu.models.dreamllm import (
+            DreamLLMConfig, dreamllm_forward, init_dreamllm_params,
+        )
+        from dreamllm_tpu.models.llama import LlamaConfig
+        from dreamllm_tpu.models.projector import ProjectorConfig
+
+        b = make_builder()
+        samples = [
+            b.build(InterleavedImageText(texts=["hello world"], images=[img()],
+                                         matched_text_index=[0])),
+            b.build(ImageTextPair(image=img(), text="caption words here")),
+        ]
+        batch = collate(samples, seq_len=64, max_images=2, max_dreams=2,
+                        image_size=8, image_size_dm=16)
+        cfg = DreamLLMConfig(
+            llm=LlamaConfig(vocab_size=40000, hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            num_key_value_heads=2, max_position_embeddings=128),
+            vision=CLIPVisionConfig(hidden_size=16, intermediate_size=32,
+                                    num_hidden_layers=2, num_attention_heads=2,
+                                    image_size=8, patch_size=4),
+            vision_projector=ProjectorConfig(projector_type="linear", in_dim=16, out_dim=32),
+            n_dream_queries=4, image_embed_len=4,
+        )
+        params = init_dreamllm_params(jax.random.PRNGKey(0), cfg)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        loss, aux = dreamllm_forward(params, cfg, jb, use_flash=False)
+        assert np.isfinite(float(loss)) and float(aux["lm_loss"]) > 0
+
+
+class TestMixing:
+    def test_mixed_routing_and_oversampling(self):
+        a = ["a0", "a1"]
+        c = ["c0", "c1", "c2"]
+        m = MixedDataset([a, c], [4, 3])
+        assert len(m) == 7
+        assert [m[i] for i in range(7)] == ["a0", "a1", "a0", "a1", "c0", "c1", "c2"]
+
+    def test_manager_ratios(self):
+        if "toy_a" not in DATASETS:
+            register_dataset("toy_a", lambda: ["a"] * 2)
+            register_dataset("toy_b", lambda: ["b"] * 2)
+        dm = DataManager()
+        mixed = dm(["toy_a", "toy_b"], ratios=[3, 1], total_size=8)
+        vals = [mixed[i] for i in range(len(mixed))]
+        assert vals.count("a") == 6 and vals.count("b") == 2
+
+
+class TestWebdataset:
+    def _make_tar(self, tmp_path, n=5):
+        path = os.path.join(tmp_path, "shard-000.tar")
+        with tarfile.open(path, "w") as tf:
+            for i in range(n):
+                for ext, data in (
+                    ("txt", f"caption {i}".encode()),
+                    ("json", b'{"k": %d}' % i),
+                ):
+                    b = io.BytesIO(data)
+                    ti = tarfile.TarInfo(f"{i:05d}.{ext}")
+                    ti.size = len(data)
+                    tf.addfile(ti, b)
+        return path
+
+    def test_group_and_decode(self, tmp_path):
+        path = self._make_tar(str(tmp_path))
+        groups = list(group_tar_entries(path))
+        assert len(groups) == 5
+        assert groups[0]["__key__"] == "00000"
+        assert b"caption 0" == groups[0]["txt"]
+
+    def test_stream_single_epoch(self, tmp_path):
+        path = self._make_tar(str(tmp_path))
+        stream = ShardStream([path], shuffle_buffer=2, resample=False)
+        out = list(stream)
+        assert len(out) == 5
+        assert {s["txt"] for s in out} == {f"caption {i}" for i in range(5)}
+
+    def test_filters_and_fault_tolerance(self, tmp_path):
+        path = self._make_tar(str(tmp_path))
+
+        def bad_decoder(s):
+            if s["__key__"] == "00002":
+                raise ValueError("corrupt")
+            from dreamllm_tpu.data.webdataset import default_decoder
+            return default_decoder(s)
+
+        stream = ShardStream(
+            [path], shuffle_buffer=1, resample=False, decoder=bad_decoder,
+            filters=[lambda s: s["json"]["k"] != 4],
+        )
+        out = list(stream)
+        # 5 - 1 corrupt - 1 filtered
+        assert len(out) == 3

@@ -1,0 +1,172 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh — the
+distributed-path coverage the reference never had (SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from dreamllm_tpu.models.clip import CLIPVisionConfig
+from dreamllm_tpu.models.dreamllm import (
+    DreamLLMConfig,
+    dreamllm_forward,
+    init_dreamllm_params,
+    param_freeze_mask,
+)
+from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward
+from dreamllm_tpu.models.projector import ProjectorConfig
+from dreamllm_tpu.parallel import MeshConfig, batch_shardings, create_mesh, param_shardings
+from dreamllm_tpu.train import (
+    OptimizerConfig,
+    init_train_state,
+    make_lr_schedule,
+    make_optimizer,
+    make_train_step,
+)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+LLM = LlamaConfig(
+    vocab_size=40000, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+    max_position_embeddings=128,
+)
+
+
+class TestMesh:
+    def test_resolve_fills_missing_axis(self):
+        assert MeshConfig(data=2, fsdp=-1, tp=2).resolve(8) == (2, 2, 2)
+        assert MeshConfig().resolve(8) == (1, 8, 1)
+
+    def test_create_mesh_axes(self):
+        mesh = create_mesh(MeshConfig(data=2, fsdp=2, tp=2))
+        assert dict(mesh.shape) == {"data": 2, "fsdp": 2, "tp": 2}
+
+
+class TestShardings:
+    def test_llm_rules(self):
+        mesh = create_mesh(MeshConfig(data=1, fsdp=4, tp=2))
+        params = init_llama_params(jax.random.PRNGKey(0), LLM)
+        sh = param_shardings(params, mesh, min_shard_size=0)
+        assert sh["layers"]["wq"].spec == P(None, "fsdp", "tp")
+        assert sh["layers"]["wo"].spec == P(None, "tp", "fsdp")
+        assert sh["embed_tokens"].spec == P("tp", "fsdp")
+        assert sh["lm_head"].spec == P("fsdp", "tp")
+        # norms replicated
+        assert all(ax is None for ax in sh["final_norm"].spec)
+
+    def test_indivisible_dims_fall_back_to_replication(self):
+        mesh = create_mesh(MeshConfig(data=1, fsdp=4, tp=2))
+        params = {"layers": {"wq": jnp.zeros((2, 66, 30))}}  # 66 % 4 != 0, 30 % 2 == 0
+        sh = param_shardings(params, mesh, min_shard_size=0)
+        assert sh["layers"]["wq"].spec == P(None, None, "tp")
+
+    def test_sharded_forward_matches_single_device(self):
+        mesh = create_mesh(MeshConfig(data=2, fsdp=2, tp=2))
+        params = init_llama_params(jax.random.PRNGKey(0), LLM)
+        ids = jnp.asarray(np.random.default_rng(0).integers(0, 1000, (4, 16)))
+
+        ref = llama_forward(params, LLM, input_ids=ids, use_flash=False)["last_hidden_state"]
+
+        sp = jax.tree.map(jax.device_put, params, param_shardings(params, mesh))
+        sb = jax.tree.map(jax.device_put, {"x": ids}, batch_shardings({"x": ids}, mesh))["x"]
+
+        @jax.jit
+        def f(p, i):
+            return llama_forward(p, LLM, input_ids=i, use_flash=False)["last_hidden_state"]
+
+        out = f(sp, sb)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+class TestOptim:
+    def test_schedules_shapes(self):
+        for s in ("constant", "linear", "cosine", "cosine_restarts", "polynomial"):
+            cfg = OptimizerConfig(learning_rate=1e-3, schedule=s, warmup_steps=10, total_steps=100)
+            f = make_lr_schedule(cfg)
+            assert float(f(0)) == pytest.approx(0.0, abs=1e-8)  # warmup start
+            assert float(f(10)) == pytest.approx(1e-3, rel=1e-5)  # peak
+            assert float(f(100)) <= 1e-3 * (1 + 1e-5)
+
+    def test_freeze_mask_zeroes_updates(self):
+        params = {"a": jnp.ones((4, 4)), "b": jnp.ones((4, 4))}
+        mask = {"a": jax.tree.map(lambda _: True, params["a"]), "b": False}
+        mask = {"a": True, "b": False}
+        tx = make_optimizer(OptimizerConfig(learning_rate=0.1, warmup_steps=0,
+                                            total_steps=10, schedule="constant"),
+                            trainable_mask=mask)
+        state = tx.init(params)
+        grads = {"a": jnp.ones((4, 4)), "b": jnp.ones((4, 4))}
+        updates, _ = tx.update(grads, state, params)
+        assert float(jnp.abs(updates["a"]).sum()) > 0
+        assert float(jnp.abs(updates["b"]).sum()) == 0.0
+
+
+class TestTrainStep:
+    def _setup(self):
+        cfg = DreamLLMConfig(
+            llm=LLM,
+            vision=CLIPVisionConfig(
+                hidden_size=16, intermediate_size=32, num_hidden_layers=2,
+                num_attention_heads=2, image_size=8, patch_size=4,
+            ),
+            vision_projector=ProjectorConfig(projector_type="linear", in_dim=16, out_dim=64),
+            n_dream_queries=4, image_embed_len=4,
+        )
+        params = init_dreamllm_params(jax.random.PRNGKey(0), cfg)
+        ids = np.random.default_rng(0).integers(10, 1000, (4, 16))
+        labels = ids.copy()
+        batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(labels)}
+        return cfg, params, batch
+
+    def test_loss_decreases_over_steps(self):
+        cfg, params, batch = self._setup()
+        tx = make_optimizer(OptimizerConfig(learning_rate=1e-2, schedule="constant",
+                                            warmup_steps=0, total_steps=100))
+        state = init_train_state(params, tx)
+        step = make_train_step(cfg, tx, head_in_params=False, use_flash=False, donate=False)
+        losses = []
+        for i in range(5):
+            state, aux = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(aux["loss"]))
+        assert losses[-1] < losses[0]
+        assert int(state.step) == 5
+
+    def test_grad_accum_matches_full_batch(self):
+        cfg, params, batch = self._setup()
+        tx = make_optimizer(OptimizerConfig(learning_rate=1e-3, schedule="constant",
+                                            warmup_steps=0, total_steps=100, max_grad_norm=0.0))
+        s1 = init_train_state(params, tx)
+        s2 = init_train_state(params, tx)
+        full = make_train_step(cfg, tx, head_in_params=False, use_flash=False,
+                               grad_accum=1, donate=False)
+        accum = make_train_step(cfg, tx, head_in_params=False, use_flash=False,
+                                grad_accum=2, donate=False)
+        s1, a1 = full(s1, batch, jax.random.PRNGKey(0))
+        s2, a2 = accum(s2, batch, jax.random.PRNGKey(0))
+        # same data, loss averaged over micro-batches == full-batch loss
+        ref = jax.tree.leaves(s1.params)
+        got = jax.tree.leaves(s2.params)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=5e-3, atol=5e-5)
+
+    def test_frozen_subtree_not_updated(self):
+        cfg, params, batch = self._setup()
+        cfg = DreamLLMConfig(
+            llm=cfg.llm, vision=cfg.vision, vision_projector=cfg.vision_projector,
+            n_dream_queries=4, image_embed_len=4,
+            frozen=("clip_vision_embedding",),
+        )
+        mask = param_freeze_mask(params, cfg)
+        tx = make_optimizer(OptimizerConfig(learning_rate=1e-2, schedule="constant",
+                                            warmup_steps=0, total_steps=100),
+                            trainable_mask=mask)
+        state = init_train_state(params, tx)
+        step = make_train_step(cfg, tx, head_in_params=False, use_flash=False, donate=False)
+        before = jax.tree.map(lambda x: np.asarray(x).copy(), params["clip_vision_embedding"])
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+        after = state.params["clip_vision_embedding"]
+        for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
