@@ -52,7 +52,9 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1):
         max_position_embeddings=PREFILL + DECODE,
         dtype=jnp.bfloat16,
     )
-    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    # jit the init: eager init on the axon backend dispatches every leaf as
+    # its own remotely-compiled program — minutes of overhead
+    params = jax.jit(lambda r: init_llama_params(r, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     ids = jax.random.randint(jax.random.PRNGKey(1), (batch, PREFILL), 10, 31000)
@@ -80,7 +82,7 @@ def bench_unet(steps_timed=10, equivalent_steps=50):
     from dreamllm_tpu.models.sd import UNetConfig, init_unet_params, unet_forward
 
     cfg = UNetConfig(dtype=jnp.bfloat16)  # SD 2.1 base architecture
-    params = init_unet_params(jax.random.PRNGKey(0), cfg)
+    params = jax.jit(lambda r: init_unet_params(r, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     lat = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)  # CFG-duplicated batch 1

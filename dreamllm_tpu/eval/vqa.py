@@ -1,0 +1,185 @@
+"""VQA / captioning inference harness.
+
+TPU-native equivalent of the reference's VQA driver
+(omni/eval/vqa/{eval_dreamllm,vqa_inference,multi_hardware_eval}.py):
+prompt = system + image span + question through the vicuna template
+(vqa_inference.py:97-215, 194-201), batched greedy/beam decode, task/metric
+dispatch (utils/eval_utils.py:75-124). The subprocess-per-GPU sharding
+(multi_hardware_eval.py:25-64) becomes `jax.process_index()`-strided data
+sharding — no subprocesses, one SPMD program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Callable, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamllm_tpu.data.conversation import TEMPLATES, render_prompt
+from dreamllm_tpu.data.dataset_types import Message
+from dreamllm_tpu.eval.metrics import anls, cider_d, pope_metrics, vqa_accuracy
+from dreamllm_tpu.generation import SamplingConfig, generate_text
+from dreamllm_tpu.models.clip import clip_preprocess
+from dreamllm_tpu.models.dreamllm import DreamLLMConfig, multimodal_embed
+
+
+@dataclasses.dataclass
+class VQATask:
+    name: str
+    metric: str           # "vqa_acc" | "anls" | "pope" | "cider" | "exact"
+    prompt_suffix: str = ""   # e.g. "\nAnswer the question using a single word or phrase."
+
+
+# task table (reference utils/eval_utils.py:75-124)
+TASKS = {
+    "vqav2": VQATask("vqav2", "vqa_acc", "\nAnswer the question using a single word or phrase."),
+    "okvqa": VQATask("okvqa", "vqa_acc", "\nAnswer the question using a single word or phrase."),
+    "vizwiz": VQATask("vizwiz", "vqa_acc", "\nWhen the provided information is insufficient, respond with 'Unanswerable'.\nAnswer the question using a single word or phrase."),
+    "textvqa": VQATask("textvqa", "vqa_acc", "\nAnswer the question using a single word or phrase."),
+    "docvqa": VQATask("docvqa", "anls", "\nAnswer the question using a single word or phrase."),
+    "infovqa": VQATask("infovqa", "anls", "\nAnswer the question using a single word or phrase."),
+    "pope": VQATask("pope", "pope", "\nAnswer the question using a single word or phrase."),
+    "coco_caption": VQATask("coco_caption", "cider", ""),
+    "nocaps": VQATask("nocaps", "cider", ""),
+    "mmbench": VQATask("mmbench", "exact", "\nAnswer with the option's letter from the given choices directly."),
+    "mmvet": VQATask("mmvet", "exact", ""),
+}
+
+
+def build_vqa_prompt(cfg: DreamLLMConfig, question: str, template: str = "vicuna_v1.1") -> str:
+    """system + <im_start> + N×<im_patch> + <im_end> + question
+    (vqa_inference.py:194-201). Returns the text with literal special tokens;
+    ids are assembled by encode_vqa_prompt."""
+    image_tokens = "<im_start>" + "<im_patch>" * cfg.image_embed_len + "<im_end>"
+    return render_prompt(
+        TEMPLATES[template],
+        [Message("user", image_tokens + "\n" + question)],
+    )
+
+
+def encode_vqa_prompt(
+    tokenizer, cfg: DreamLLMConfig, question: str, template: str = "vicuna_v1.1"
+) -> tuple[np.ndarray, int]:
+    """→ (ids [S], image_position). Splits around the image span so plain
+    text tokenization never sees special tokens."""
+    st = cfg.special_tokens
+    image_tokens = "<im_start>" + "<im_patch>" * cfg.image_embed_len + "<im_end>"
+    prompt = build_vqa_prompt(cfg, question, template)
+    before, after = prompt.split(image_tokens)
+    ids = [st.bos] + tokenizer.encode(before)
+    image_pos = len(ids) + 1
+    ids += [st.im_start] + [st.im_patch] * cfg.image_embed_len + [st.im_end]
+    ids += tokenizer.encode(after)
+    return np.asarray(ids, np.int32), image_pos
+
+
+def shard_for_process(items: Sequence, index: int | None = None, count: int | None = None):
+    """Strided split across hosts (replaces CUDA_VISIBLE_DEVICES subprocess
+    pools, multi_hardware_eval.py:25-64)."""
+    index = jax.process_index() if index is None else index
+    count = jax.process_count() if count is None else count
+    return list(items[index::count])
+
+
+def run_vqa(
+    params,
+    cfg: DreamLLMConfig,
+    tokenizer,
+    samples: Iterable[dict],      # {question, image (HWC [0,1] float), answers|label, id}
+    *,
+    task: str = "vqav2",
+    max_new_tokens: int = 32,
+    batch_size: int = 8,
+    template: str = "vicuna_v1.1",
+    out_path: str | None = None,
+) -> dict:
+    """Batched inference + metric. Returns {"score": ..., "predictions": [...]}."""
+    t = TASKS[task]
+    samples = list(samples)
+    preds = []
+
+    scfg = SamplingConfig(
+        greedy=True, max_new_tokens=max_new_tokens,
+        eos_token_id=cfg.special_tokens.eos, pad_token_id=cfg.special_tokens.pad,
+    )
+
+    for i in range(0, len(samples), batch_size):
+        chunk = samples[i : i + batch_size]
+        encoded = [
+            encode_vqa_prompt(tokenizer, cfg, s["question"] + t.prompt_suffix, template)
+            for s in chunk
+        ]
+        maxlen = max(len(e[0]) for e in encoded)
+        b = len(chunk)
+        ids = np.zeros((b, maxlen), np.int32)
+        lens = np.zeros((b,), np.int32)
+        img_pos = np.full((b, 1), -1, np.int32)
+        imgs = np.zeros((b, 1, cfg.vision.image_size, cfg.vision.image_size, 3), np.float32)
+        for j, (e, pos) in enumerate(encoded):
+            ids[j, : len(e)] = e
+            lens[j] = len(e)
+            img_pos[j, 0] = pos
+            raw = jnp.asarray(chunk[j]["image"], jnp.float32)[None]
+            imgs[j, 0] = np.asarray(clip_preprocess(raw, cfg.vision.image_size)[0])
+
+        embeds = multimodal_embed(
+            params, cfg, jnp.asarray(ids),
+            images=jnp.asarray(imgs), image_positions=jnp.asarray(img_pos),
+        )
+        out = generate_text(
+            params["llm"], cfg.llm, jnp.asarray(ids), jnp.asarray(lens), scfg,
+            inputs_embeds=embeds,
+        )
+        for j, s in enumerate(chunk):
+            n = int(out["lengths"][j])
+            text = tokenizer.decode(np.asarray(out["tokens"][j, :n]).tolist()).strip()
+            preds.append({"id": s.get("id", i + j), "prediction": text, **{
+                k: s[k] for k in ("answers", "label", "references") if k in s
+            }})
+
+    score = score_predictions(preds, t.metric)
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump({"task": task, "score": score, "predictions": preds}, f)
+    return {"score": score, "predictions": preds}
+
+
+def score_predictions(preds: list[dict], metric: str) -> float:
+    if metric == "vqa_acc":
+        return float(np.mean([vqa_accuracy(p["prediction"], p["answers"]) for p in preds]))
+    if metric == "anls":
+        return float(np.mean([anls(p["prediction"], p["answers"]) for p in preds]))
+    if metric == "pope":
+        return pope_metrics([p["prediction"] for p in preds],
+                            [p["label"] for p in preds])["f1"]
+    if metric == "cider":
+        cands = {str(p["id"]): p["prediction"] for p in preds}
+        refs = {str(p["id"]): p["references"] for p in preds}
+        return cider_d(cands, refs)
+    if metric == "exact":
+        return float(np.mean([
+            p["prediction"].strip().lower() == str(p.get("label", "")).strip().lower()
+            for p in preds
+        ]))
+    raise ValueError(metric)
+
+
+def merge_prediction_shards(paths: list[str], out_path: str) -> dict:
+    """Merge per-host shard files (eval_dreamllm.py:46-47 merge_outputs)."""
+    all_preds, task = [], None
+    for p in paths:
+        with open(p) as f:
+            d = json.load(f)
+        task = d["task"]
+        all_preds += d["predictions"]
+    metric = TASKS[task].metric
+    score = score_predictions(all_preds, metric)
+    with open(out_path, "w") as f:
+        json.dump({"task": task, "score": score, "predictions": all_preds}, f)
+    return {"task": task, "score": score, "n": len(all_preds)}

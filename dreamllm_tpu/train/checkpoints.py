@@ -1,0 +1,108 @@
+"""Checkpoint save/restore with the LLM-vs-plugin split layout.
+
+TPU-native equivalent of the reference's checkpoint protocol (SURVEY §5.4):
+DreamLLMTrainer saves the LLM via save_pretrained and **each plugin to its
+own file** (clip_vision_embedding.bin / dream_embedding.bin /
+stable_diffusion_head.bin, dreamllm_trainer.py:37-118), which is what makes
+stage mixing possible — stage-2 points each plugin at a different run dir
+(configs/stage2/base.py:44-48). Here each top-level param subtree is its own
+orbax item inside ``checkpoint-{step}/``:
+
+    checkpoint-000100/
+      llm/  clip_vision_embedding/  dream_embedding/  sd_head/
+      opt_state/  meta (step, config json)
+
+``load_params(dir, overrides={"sd_head": other_dir})`` re-points individual
+plugins — the stage-mix workflow — replacing reset_plugins_init_kwargs
+(dreamllm_trainer.py:120-134). Orbax handles sharded arrays natively, which
+replaces the FSDP full-state-dict consolidation dance (fsdp_utils.py:23-61).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(root: str, step: int) -> str:
+    return os.path.join(os.path.abspath(root), f"checkpoint-{step:06d}")
+
+
+def save_checkpoint(
+    root: str,
+    step: int,
+    params: dict,
+    opt_state: Any = None,
+    extra_meta: dict | None = None,
+) -> str:
+    """Write checkpoint-{step}/ with one orbax item per param subtree."""
+    path = _ckpt_dir(root, step)
+    ckpt = ocp.PyTreeCheckpointer()
+    for name, subtree in params.items():
+        ckpt.save(os.path.join(path, name), subtree)
+    if opt_state is not None:
+        ckpt.save(os.path.join(path, "opt_state"), opt_state)
+    meta = {"step": step, "param_groups": sorted(params.keys())}
+    if extra_meta:
+        meta.update(extra_meta)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return path
+
+
+def latest_checkpoint(root: str) -> str | None:
+    """Most recent checkpoint-* under root (the reference auto-resumes the
+    same way, projects/dreamllm/train.py:206-209)."""
+    if not os.path.isdir(root):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(root):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = os.path.join(root, name), int(m.group(1))
+    return best
+
+
+def load_params(
+    path: str,
+    like: dict | None = None,
+    overrides: dict[str, str] | None = None,
+) -> dict:
+    """Restore the param dict from a checkpoint dir.
+
+    ``like``: optional template pytree — restores with matching shardings/
+    dtypes (pass the abstract or concrete target tree).
+    ``overrides``: plugin name → OTHER checkpoint dir; that subtree loads
+    from there instead (stage mixing).
+    """
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    ckpt = ocp.PyTreeCheckpointer()
+    out = {}
+    for name in meta["param_groups"]:
+        src = os.path.join((overrides or {}).get(name, path), name)
+        if like is not None and name in like:
+            target = jax.tree.map(ocp.utils.to_shape_dtype_struct, like[name])
+            out[name] = ckpt.restore(src, args=ocp.args.PyTreeRestore(target))
+        else:
+            out[name] = ckpt.restore(src)
+    return out
+
+
+def load_opt_state(path: str, like: Any = None) -> Any:
+    ckpt = ocp.PyTreeCheckpointer()
+    src = os.path.join(path, "opt_state")
+    if like is not None:
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, like)
+        return ckpt.restore(src, args=ocp.args.PyTreeRestore(target))
+    return ckpt.restore(src)
+
+
+def checkpoint_step(path: str) -> int:
+    with open(os.path.join(path, "meta.json")) as f:
+        return int(json.load(f)["step"])

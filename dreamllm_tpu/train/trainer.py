@@ -1,0 +1,156 @@
+"""Training loop: step/log/validate/save orchestration over the jitted step.
+
+TPU-native equivalent of the reference's Trainer fork (omni/train/trainer.py
+:100-1188) minus everything XLA/pjit already subsumes (FSDP wrapping, AMP,
+DeepSpeed engine, grad-scaler). What remains — and is ported:
+
+  * step loop with NaN/Inf loss filtering (:768-777)
+  * scalar log channel averaged across devices (additional_log_info,
+    :919-958 — ours come back from the jitted step already reduced)
+  * tokens/sec + step-time speed metrics (trainer_utils.py:359-386)
+  * ``val_steps``-gated mid-training generation through a user
+    ``val_processor`` (:1101-1188)
+  * checkpoint-every-save_steps with the LLM-vs-plugin split layout +
+    auto-resume from the latest checkpoint (train.py:206-209)
+  * callback hooks (trainer_callback.py:307-475, reduced to a small
+    protocol: on_step/on_log/on_save/on_validate)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterable
+
+import jax
+import numpy as np
+
+from dreamllm_tpu.train.checkpoints import (
+    latest_checkpoint,
+    load_opt_state,
+    load_params,
+    checkpoint_step,
+    save_checkpoint,
+)
+from dreamllm_tpu.train.step import TrainState
+from dreamllm_tpu.utils.logging import get_logger
+
+logger = get_logger("dreamllm_tpu.train")
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_steps: int = 1000
+    log_steps: int = 10
+    save_steps: int = 500
+    val_steps: int = 0          # 0 disables mid-training validation
+    output_dir: str = "./runs/train"
+    resume: bool = True
+    skip_nan_loss: bool = True  # NaN/Inf loss filter (trainer.py:768-777)
+    tokens_per_batch: int | None = None  # for tokens/sec reporting
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainerConfig,
+        step_fn: Callable,                 # (state, batch, rng) -> (state, aux)
+        data_iter: Iterable,               # yields device-ready batches
+        state: TrainState,
+        *,
+        rng: jax.Array | None = None,
+        val_fn: Callable[[Any, int], dict] | None = None,  # (params, step) -> logs
+        callbacks: list | None = None,
+    ):
+        self.cfg = cfg
+        self.step_fn = step_fn
+        self.data_iter = iter(data_iter)
+        self.state = state
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.val_fn = val_fn
+        self.callbacks = callbacks or []
+        self.log_buffer: list[dict] = []
+
+    # ---- callbacks ----
+    def _fire(self, hook: str, **kw):
+        for cb in self.callbacks:
+            fn = getattr(cb, hook, None)
+            if fn is not None:
+                fn(trainer=self, **kw)
+
+    def maybe_resume(self):
+        if not self.cfg.resume:
+            return
+        path = latest_checkpoint(self.cfg.output_dir)
+        if path is None:
+            return
+        logger.info("resuming from %s", path)
+        params = load_params(path, like=self.state.params)
+        opt_state = load_opt_state(path, like=self.state.opt_state)
+        import jax.numpy as jnp
+
+        self.state = TrainState(
+            step=jnp.asarray(checkpoint_step(path), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+        )
+
+    _last_saved: int = -1
+
+    def save(self, step: int):
+        if jax.process_index() != 0 or step == self._last_saved:
+            return
+        path = save_checkpoint(
+            self.cfg.output_dir, step, self.state.params, self.state.opt_state
+        )
+        self._last_saved = step
+        logger.info("saved %s", path)
+        self._fire("on_save", step=step, path=path)
+
+    def train(self):
+        self.maybe_resume()
+        start_step = int(self.state.step)
+        t_last = time.perf_counter()
+        for step in range(start_step, self.cfg.max_steps):
+            batch = next(self.data_iter)
+            self.rng, sub = jax.random.split(self.rng)
+            new_state, aux = self.step_fn(self.state, batch, sub)
+
+            if self.cfg.skip_nan_loss:
+                loss = float(aux["loss"])
+                if not np.isfinite(loss):
+                    logger.warning("step %d: non-finite loss %s — skipping update", step, loss)
+                    # keep old params; advance data only (reference filters the
+                    # loss rather than the update; with a jitted fused step we
+                    # drop the whole update instead)
+                    continue
+            self.state = new_state
+            self.log_buffer.append({k: float(v) for k, v in aux.items()})
+            self._fire("on_step", step=step + 1, aux=aux)
+
+            cur = step + 1
+            if self.cfg.log_steps and cur % self.cfg.log_steps == 0:
+                dt = time.perf_counter() - t_last
+                t_last = time.perf_counter()
+                logs = {
+                    k: float(np.mean([b[k] for b in self.log_buffer]))
+                    for k in self.log_buffer[0]
+                }
+                logs["steps_per_sec"] = self.cfg.log_steps / dt
+                if self.cfg.tokens_per_batch:
+                    logs["tokens_per_sec"] = self.cfg.tokens_per_batch * self.cfg.log_steps / dt
+                self.log_buffer.clear()
+                logger.info("step %d: %s", cur, {k: round(v, 5) for k, v in logs.items()})
+                self._fire("on_log", step=cur, logs=logs)
+
+            if self.cfg.val_steps and cur % self.cfg.val_steps == 0 and self.val_fn:
+                val_logs = self.val_fn(self.state.params, cur)
+                logger.info("validation @%d: %s", cur, val_logs)
+                self._fire("on_validate", step=cur, logs=val_logs)
+
+            if self.cfg.save_steps and cur % self.cfg.save_steps == 0:
+                self.save(cur)
+
+        if int(self.state.step) > start_step:
+            self.save(int(self.state.step))
+        return self.state
