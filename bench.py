@@ -75,11 +75,23 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1):
     return batch * DECODE / dt, dt
 
 
-def bench_unet(steps_timed=10, equivalent_steps=50):
+def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
+    """SD-2.1 UNet denoise step time.
+
+    ``piecewise=True`` jits each down/mid/up block separately: the monolithic
+    UNet graph overloads this environment's remote-compile service (40+ min,
+    then broken pipe), while ~10 block-sized graphs compile in minutes and
+    execute back-to-back with negligible dispatch overhead.
+    """
     import jax
     import jax.numpy as jnp
 
     from dreamllm_tpu.models.sd import UNetConfig, init_unet_params, unet_forward
+    from dreamllm_tpu.models.sd.blocks import (
+        conv2d, dense, downsample, resnet_block, timestep_embedding, upsample,
+    )
+    from dreamllm_tpu.models.sd.unet import _transformer2d
+    from dreamllm_tpu.ops.norms import group_norm
 
     cfg = UNetConfig(dtype=jnp.bfloat16)  # SD 2.1 base architecture
     params = jax.jit(lambda r: init_unet_params(r, cfg))(jax.random.PRNGKey(0))
@@ -87,10 +99,84 @@ def bench_unet(steps_timed=10, equivalent_steps=50):
 
     lat = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)  # CFG-duplicated batch 1
     ctx = jnp.zeros((2, 64, 1024), jnp.bfloat16)
+    g = cfg.norm_num_groups
+    heads = cfg.num_attention_heads
 
-    @jax.jit
-    def step(lat, t):
-        return unet_forward(params, cfg, lat, t, ctx)
+    if not piecewise:
+        @jax.jit
+        def step(lat, t):
+            return unet_forward(params, cfg, lat, t, ctx)
+    else:
+        @jax.jit
+        def stage_in(sample, t, ctx):
+            temb = timestep_embedding(t, cfg.block_out_channels[0])
+            te = params["time_embedding"]
+            temb = dense(jax.nn.silu(dense(temb.astype(sample.dtype), te["linear_1"])), te["linear_2"])
+            h = conv2d(sample, params["conv_in"])
+            return h, temb
+
+        def make_down(i):
+            blk = params["down"][i]
+
+            @jax.jit
+            def f(h, temb, ctx):
+                outs = []
+                for j, r in enumerate(blk["resnets"]):
+                    h = resnet_block(r, h, temb, groups=g)
+                    if "attentions" in blk:
+                        h = _transformer2d(blk["attentions"][j], h, ctx, heads[i], g)
+                    outs.append(h)
+                if "downsample" in blk:
+                    h = downsample(blk["downsample"], h)
+                    outs.append(h)
+                return h, outs
+
+            return f
+
+        @jax.jit
+        def stage_mid(h, temb, ctx):
+            m = params["mid"]
+            h = resnet_block(m["resnet1"], h, temb, groups=g)
+            h = _transformer2d(m["attention"], h, ctx, heads[-1], g)
+            return resnet_block(m["resnet2"], h, temb, groups=g)
+
+        def make_up(i):
+            blk = params["up"][i]
+            rev_heads = list(reversed(heads))
+
+            @jax.jit
+            def f(h, skips, temb, ctx):
+                for j, r in enumerate(blk["resnets"]):
+                    h = jnp.concatenate([h, skips[-(j + 1)]], axis=-1)
+                    h = resnet_block(r, h, temb, groups=g)
+                    if "attentions" in blk:
+                        h = _transformer2d(blk["attentions"][j], h, ctx, rev_heads[i], g)
+                if "upsample" in blk:
+                    h = upsample(blk["upsample"], h)
+                return h
+
+            return f
+
+        @jax.jit
+        def stage_out(h):
+            h = group_norm(h, params["norm_out"]["w"], params["norm_out"]["b"], num_groups=g)
+            return conv2d(jax.nn.silu(h), params["conv_out"])
+
+        downs = [make_down(i) for i in range(len(params["down"]))]
+        ups = [make_up(i) for i in range(len(params["up"]))]
+        n_res = cfg.layers_per_block + 1
+
+        def step(lat, t):
+            h, temb = stage_in(lat, t, ctx)
+            skips = [h]
+            for f in downs:
+                h, outs = f(h, temb, ctx)
+                skips += outs
+            h = stage_mid(h, temb, ctx)
+            for f in ups:
+                take, skips = skips[-n_res:], skips[:-n_res]
+                h = f(h, take, temb, ctx)
+            return stage_out(h)
 
     out = step(lat, jnp.asarray([500, 500]))
     jax.block_until_ready(out)

@@ -1,0 +1,165 @@
+"""Dataset catalog: registered factories for the corpora the reference trains
+on (omni/data/constants.py:44-232 — laion400m/laion-coco/blip-laion/mmc4
+/obelics/llava-instruct/...), plus synthetic datasets for offline smoke runs.
+
+Real datasets resolve shard paths under ``$DREAMLLM_DATA_ROOT`` and stream
+via data/webdataset.py; registration is lazy, so missing data only fails when
+a dataset is actually built.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+from dreamllm_tpu.data.dataset_types import (
+    ConversationSample,
+    ImageTextPair,
+    InterleavedImageText,
+    Message,
+)
+from dreamllm_tpu.data.registry import register_dataset
+from dreamllm_tpu.data.webdataset import IterableAsMapStyle, ShardStream
+
+DATA_ROOT_ENV = "DREAMLLM_DATA_ROOT"
+
+
+def _shards(subdir: str) -> list[str]:
+    root = os.environ.get(DATA_ROOT_ENV)
+    if not root:
+        raise RuntimeError(
+            f"set ${DATA_ROOT_ENV} to the dataset root to use real datasets"
+        )
+    shards = sorted(glob.glob(os.path.join(root, subdir, "*.tar")))
+    if not shards:
+        raise RuntimeError(f"no shards under {root}/{subdir}")
+    return shards
+
+
+def _pair_wds(subdir: str, size: int):
+    def factory(**kw):
+        stream = ShardStream(
+            _shards(subdir),
+            map_fn=lambda s: ImageTextPair(image=s["image"], text=s.get("txt", "")),
+            filters=[lambda s: "image" in s and s.get("txt")],
+            **kw,
+        )
+        return IterableAsMapStyle(stream, size)
+
+    return factory
+
+
+def _interleaved_wds(subdir: str, size: int):
+    def factory(**kw):
+        def to_sample(s):
+            meta = s["json"]
+            return InterleavedImageText(
+                texts=meta.get("text_list", meta.get("texts", [])),
+                images=[s[k] for k in sorted(s) if k.startswith("image")],
+                matched_text_index=meta.get("matched_text_index", []),
+                matched_sim=meta.get("matched_sim"),
+            )
+
+        stream = ShardStream(_shards(subdir), map_fn=to_sample,
+                             filters=[lambda s: "json" in s], **kw)
+        return IterableAsMapStyle(stream, size)
+
+    return factory
+
+
+def _conversation_json(subdir: str, size: int):
+    def factory(**kw):
+        import json
+
+        root = os.environ.get(DATA_ROOT_ENV, "")
+        path = os.path.join(root, subdir)
+        with open(path) as f:
+            raw = json.load(f)
+
+        class Conv:
+            def __len__(self):
+                return len(raw)
+
+            def __getitem__(self, i):
+                item = raw[i]
+                msgs = [
+                    Message("user" if m["from"] in ("human", "user") else "assistant",
+                            m["value"].replace("<image>", "<image>"))
+                    for m in item["conversations"]
+                ]
+                images = []
+                if "image" in item:
+                    from PIL import Image
+
+                    images = [np.asarray(Image.open(
+                        os.path.join(root, "images", item["image"])).convert("RGB"))]
+                return ConversationSample(messages=msgs, images=images)
+
+        return Conv()
+
+    return factory
+
+
+# --- real corpora (names mirror the reference's registry) ---
+for name, sub, size, kind in [
+    ("laion400m", "laion400m", 400_000_000, "pair"),
+    ("laion_coco", "laion-coco", 600_000_000, "pair"),
+    ("blip_laion", "blip-laion", 115_000_000, "pair"),
+    ("journeydb", "journeydb", 4_000_000, "pair"),
+    ("mmc4_core", "mmc4-core", 7_000_000, "interleaved"),
+    ("obelics", "obelics", 141_000_000, "interleaved"),
+    ("mmc4_instruct", "mmc4-instruct", 500_000, "interleaved"),
+]:
+    factory = _pair_wds(sub, size) if kind == "pair" else _interleaved_wds(sub, size)
+    register_dataset(name, factory, dataset_type=kind, approx_size=size)
+
+register_dataset(
+    "llava_instruct", _conversation_json("llava_instruct_150k.json", 150_000),
+    dataset_type="conversation", approx_size=150_000,
+)
+register_dataset(
+    "llava_pretrain_cc3m", _conversation_json("ccs_synthetic_filtered_large.json", 558_000),
+    dataset_type="conversation", approx_size=558_000,
+)
+
+
+# --- synthetic datasets (offline smoke/testing) ---
+
+
+def _synthetic_pairs(size: int = 64, image_size: int = 16, **_):
+    rng = np.random.default_rng(0)
+
+    class Synth:
+        def __len__(self):
+            return size
+
+        def __getitem__(self, i):
+            img = (rng.random((image_size, image_size, 3)) * 255).astype(np.uint8)
+            return ImageTextPair(image=img, text=f"synthetic caption number {i % 17}")
+
+    return Synth()
+
+
+def _synthetic_interleaved(size: int = 64, image_size: int = 16, **_):
+    rng = np.random.default_rng(1)
+
+    class Synth:
+        def __len__(self):
+            return size
+
+        def __getitem__(self, i):
+            img = (rng.random((image_size, image_size, 3)) * 255).astype(np.uint8)
+            return InterleavedImageText(
+                texts=[f"doc {i} first chunk", "second chunk"],
+                images=[img],
+                matched_text_index=[0],
+            )
+
+    return Synth()
+
+
+register_dataset("synthetic_pairs", _synthetic_pairs, dataset_type="pair", approx_size=64)
+register_dataset("synthetic_interleaved", _synthetic_interleaved,
+                 dataset_type="interleaved", approx_size=64)

@@ -329,9 +329,23 @@ def dreamllm_forward(
 
 def param_freeze_mask(params: Params, cfg: DreamLLMConfig) -> Params:
     """Boolean pytree: True = trainable. Consumed by optax.masked — the
-    TPU-native replacement for requires_grad_(False) + fsdp_ignored_modules."""
-    def mark(path_root: str, tree):
-        trainable = path_root not in cfg.frozen
-        return jax.tree.map(lambda _: trainable, tree)
+    TPU-native replacement for requires_grad_(False) + fsdp_ignored_modules.
 
-    return {k: mark(k, v) for k, v in params.items()}
+    ``cfg.frozen`` entries are slash-separated path *prefixes*, giving the
+    per-part granularity of the reference's plugin freeze flags
+    (modeling_plugins.py:248-257 freeze_clip_vision_model vs
+    freeze_projector): ``"llm"`` freezes the whole decoder;
+    ``"clip_vision_embedding/clip"`` freezes the ViT but trains its projector.
+    """
+
+    def walk(tree, path: str):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{path}/{k}" if path else k) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(walk(v, f"{path}/{i}") for i, v in enumerate(tree))
+        frozen = any(
+            path == f or path.startswith(f + "/") for f in cfg.frozen
+        )
+        return not frozen
+
+    return walk(params, "")

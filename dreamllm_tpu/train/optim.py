@@ -102,3 +102,22 @@ def make_optimizer(
             jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask),
         )
     return tx
+
+
+# ---------------------------------------------------------------------------
+# EMA (reference EMAModel, utils/training_utils.py:419+ — used by the plain
+# stable_diffusion training project and `use_ema` TrainingArguments)
+# ---------------------------------------------------------------------------
+
+
+def ema_decay_schedule(step: jnp.ndarray, max_decay: float = 0.9999):
+    """Warmup decay: min(max_decay, (1+step)/(10+step)) — diffusers EMAModel."""
+    return jnp.minimum(max_decay, (1.0 + step) / (10.0 + step))
+
+
+def ema_update(ema_params, params, decay):
+    """ema ← decay·ema + (1-decay)·params (jit-safe, works inside the step)."""
+    return jax.tree.map(
+        lambda e, p: (e * decay + p.astype(e.dtype) * (1.0 - decay)).astype(e.dtype),
+        ema_params, params,
+    )

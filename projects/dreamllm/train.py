@@ -1,0 +1,197 @@
+"""DreamLLM training entry point.
+
+TPU-native equivalent of the reference's projects/dreamllm/train.py:63-216:
+    python -m projects.dreamllm.train --config_file projects/dreamllm/configs/smoke.py
+Wires: lazy config → tokenizer → model/plugin init (or checkpoint restore
+with stage mixing) → mixed datasets → builder/collator stream → sharded pjit
+train step → Trainer loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import dreamllm_tpu.data.catalog  # noqa: F401 — registers datasets
+from dreamllm_tpu.config import LazyArgumentParser, default_setup, instantiate
+from dreamllm_tpu.data import BuilderConfig, DataManager, DreamLLMBuilder, collate
+from dreamllm_tpu.data.tokenization import HFTokenizer, ToyTokenizer
+from dreamllm_tpu.models.dreamllm import (
+    DreamLLMConfig,
+    init_dreamllm_params,
+    param_freeze_mask,
+)
+from dreamllm_tpu.models.sd.head import SDHeadConfig, init_sd_head_params, make_head_loss_fn
+from dreamllm_tpu.parallel import MeshConfig, batch_shardings, create_mesh, param_shardings
+from dreamllm_tpu.train import (
+    OptimizerConfig,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from dreamllm_tpu.train.checkpoints import latest_checkpoint, load_params
+from dreamllm_tpu.train.trainer import Trainer, TrainerConfig
+from dreamllm_tpu.utils.logging import get_logger
+from dreamllm_tpu.utils.metrics_logger import MetricsLogger
+
+logger = get_logger("projects.dreamllm.train")
+
+
+def build_model_cfg(config) -> tuple[DreamLLMConfig, SDHeadConfig]:
+    m = instantiate(config["model"])
+    frozen = tuple(m.pop("frozen", ()))
+    cfg = DreamLLMConfig(**m, frozen=frozen)
+    h = instantiate(config["sd_head"])
+    if config.get("head_type", "sd") == "sdxl":
+        from dreamllm_tpu.models.sd.sdxl import SDXLHeadConfig
+
+        head_cfg = SDXLHeadConfig(**h)
+    else:
+        head_cfg = SDHeadConfig(**h)
+    return cfg, head_cfg
+
+
+def head_init_and_loss(config, head_cfg):
+    """(init_fn, loss_fn_factory) for the configured head type."""
+    if config.get("head_type", "sd") == "sdxl":
+        from dreamllm_tpu.models.sd.sdxl import init_sdxl_head_params, make_sdxl_head_loss_fn
+
+        return init_sdxl_head_params, make_sdxl_head_loss_fn
+    return init_sd_head_params, make_head_loss_fn
+
+
+def make_tokenizer(config, cfg: DreamLLMConfig):
+    name = config.get("tokenizer", "toy")
+    if name == "toy":
+        return ToyTokenizer(vocab_size=cfg.llm.vocab_size)
+    tok = HFTokenizer(name)
+    return tok
+
+
+def data_stream(config, cfg: DreamLLMConfig, tokenizer):
+    d = config["data"]
+    dm = DataManager()
+    mixed = dm(
+        d["datasets"],
+        size_list=d.get("size_list"),
+        ratios=d.get("ratios"),
+        total_size=d.get("total_size"),
+    )
+    bcfg = BuilderConfig(
+        max_seq_len=d.get("max_seq_len", cfg.llm.max_position_embeddings),
+        image_embed_len=cfg.image_embed_len,
+        n_dream_queries=cfg.n_dream_queries,
+        special=cfg.special_tokens,
+        max_images=d.get("max_images", 6),
+        max_dreams=d.get("max_dreams", 5),
+        i2t_probability=d.get("i2t_probability", 0.5),
+        image_size=d.get("image_size", cfg.vision.image_size),
+        image_size_dm=d.get("image_size_dm", 256),
+    )
+    builder = DreamLLMBuilder(tokenizer, bcfg, seed=config.get("seed", 0))
+    bs = d["batch_size"]
+
+    def stream():
+        i = 0
+        n = len(mixed)
+        while True:
+            samples = []
+            while len(samples) < bs:
+                try:
+                    samples.append(builder.build(mixed[i % n]))
+                except Exception as e:  # per-sample fault tolerance
+                    logger.warning("sample %d failed: %s", i, e)
+                finally:
+                    i += 1
+            batch = collate(
+                samples,
+                pad_token_id=cfg.special_tokens.pad,
+                max_images=bcfg.max_images,
+                max_dreams=bcfg.max_dreams,
+                seq_len=bcfg.max_seq_len,
+                image_size=bcfg.image_size,
+                image_size_dm=bcfg.image_size_dm,
+            )
+            yield {k: jnp.asarray(v) for k, v in batch.items()}
+
+    return stream()
+
+
+def main(argv=None):
+    args, config = LazyArgumentParser().parse(argv)
+    run_dir = default_setup(args, config)
+
+    cfg, head_cfg = build_model_cfg(config)
+    tokenizer = make_tokenizer(config, cfg)
+
+    mesh = create_mesh(MeshConfig(**config.get("mesh", {})))
+    logger.info("mesh: %s", dict(mesh.shape))
+
+    # ---- params: init or restore (+ stage mixing) ----
+    init_head, make_loss = head_init_and_loss(config, head_cfg)
+
+    def make_params(rng):
+        p = init_dreamllm_params(rng, cfg)
+        p["sd_head"] = init_head(jax.random.fold_in(rng, 1), head_cfg)
+        return p
+
+    params = jax.jit(make_params)(jax.random.PRNGKey(config.get("seed", 0)))
+    pre = config.get("pretrained", {}) or {}
+    if pre.get("resume_from"):
+        ck = latest_checkpoint(pre["resume_from"])
+        if ck:
+            params = load_params(ck, like=params)
+            logger.info("loaded params from %s", ck)
+    if pre.get("resume_plugins"):
+        overrides = {}
+        base = None
+        for plugin, root in pre["resume_plugins"].items():
+            ck = latest_checkpoint(root)
+            if ck:
+                overrides[plugin] = ck
+                base = base or ck
+        if base:
+            loaded = load_params(base, like=params, overrides=overrides)
+            for k in overrides:
+                params[k] = loaded[k]
+            logger.info("stage-mixed plugins: %s", overrides)
+
+    params = jax.tree.map(jax.device_put, params, param_shardings(params, mesh))
+
+    # ---- optimizer + step ----
+    ocfg = OptimizerConfig(**config["optimizer"])
+    mask = param_freeze_mask(params, cfg)
+    tx = make_optimizer(ocfg, trainable_mask=mask)
+    state = init_train_state(params, tx)
+    step = make_train_step(
+        cfg, tx,
+        head_loss_fn=make_loss(head_cfg),
+        grad_accum=config.get("grad_accum", 1),
+        remat=True,
+        use_flash=jax.default_backend() == "tpu",
+    )
+
+    # ---- data ----
+    raw_stream = data_stream(config, cfg, tokenizer)
+
+    def sharded_stream():
+        for batch in raw_stream:
+            yield jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
+
+    # ---- loop ----
+    tcfg = TrainerConfig(**config["trainer"])
+    d = config["data"]
+    tcfg.tokens_per_batch = d["batch_size"] * d.get("max_seq_len", cfg.llm.max_position_embeddings)
+    mlog = MetricsLogger(run_dir, run_name=config.get("run_name"))
+    trainer = Trainer(tcfg, step, sharded_stream(), state, callbacks=[mlog])
+    final = trainer.train()
+    mlog.finish()
+    logger.info("done at step %d", int(final.step))
+    return final
+
+
+if __name__ == "__main__":
+    main()
