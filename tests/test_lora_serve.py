@@ -1,0 +1,110 @@
+"""LoRA adapter + serving shim tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward, llama_logits
+from dreamllm_tpu.serve import ModelServer, OnlineClient
+from dreamllm_tpu.train.lora import LoRAConfig, apply_lora, init_lora_params, lora_loss_fn
+
+TINY = dict(vocab_size=120, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=64)
+
+
+class TestLoRA:
+    def test_zero_init_is_identity(self):
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        lcfg = LoRAConfig(rank=4)
+        lora = init_lora_params(jax.random.PRNGKey(1), params, lcfg)
+        merged = apply_lora(params, lora, lcfg)
+        ids = jnp.asarray([[3, 7, 11]])
+        a = llama_forward(params, cfg, input_ids=ids, use_flash=False)["last_hidden_state"]
+        b = llama_forward(merged, cfg, input_ids=ids, use_flash=False)["last_hidden_state"]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    def test_grads_only_through_lora(self):
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        lcfg = LoRAConfig(rank=4, targets=("wq", "wv"))
+        lora = init_lora_params(jax.random.PRNGKey(1), params, lcfg)
+        ids = jnp.asarray([[3, 7, 11, 2]])
+        labels = ids
+
+        def base_loss(p, batch, rng):
+            h = llama_forward(p, cfg, input_ids=batch, use_flash=False)["last_hidden_state"]
+            logits = llama_logits(p, cfg, h)
+            logp = jax.nn.log_softmax(logits[:, :-1])
+            return -jnp.mean(jnp.take_along_axis(logp, batch[:, 1:, None], axis=-1))
+
+        fn = lora_loss_fn(params, cfg, lcfg, base_loss)
+        g = jax.grad(fn)(lora, ids, None)
+        # b factors get gradient (a's grad flows through b which is 0 -> a grad 0 at init)
+        gb = float(sum(jnp.abs(x).sum() for x in
+                       [g["layers"]["wq"]["b"], g["layers"]["wv"]["b"]]))
+        assert gb > 0
+
+    def test_training_changes_output(self):
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        lcfg = LoRAConfig(rank=2)
+        lora = init_lora_params(jax.random.PRNGKey(1), params, lcfg)
+        ids = jnp.asarray([[3, 7, 11, 2]])
+
+        def base_loss(p, batch, rng):
+            h = llama_forward(p, cfg, input_ids=batch, use_flash=False)["last_hidden_state"]
+            logits = llama_logits(p, cfg, h)
+            logp = jax.nn.log_softmax(logits[:, :-1])
+            return -jnp.mean(jnp.take_along_axis(logp, batch[:, 1:, None], axis=-1))
+
+        fn = lora_loss_fn(params, cfg, lcfg, base_loss)
+        l0 = float(fn(lora, ids, None))
+        for _ in range(5):
+            g = jax.grad(fn)(lora, ids, None)
+            lora = jax.tree.map(lambda p, gg: p - 0.5 * gg, lora, g)
+        l1 = float(fn(lora, ids, None))
+        assert l1 < l0
+
+
+class TestServe:
+    def test_generate_and_logprob_roundtrip(self):
+        def gen(prompt, kw):
+            return prompt.upper() + "!" * kw.get("max_new_tokens", 1)
+
+        def lp(context, conts):
+            return [-float(len(c)) for c in conts]
+
+        server = ModelServer(gen, lp, port=0).start()
+        try:
+            client = OnlineClient(f"http://127.0.0.1:{server.port}")
+            assert client.healthy()
+            assert client.generate("hi", max_new_tokens=3) == "HI!!!"
+            assert client.logprob("c", ["a", "bbb"]) == [-1.0, -3.0]
+        finally:
+            server.stop()
+
+    def test_error_handling(self):
+        def gen(prompt, kw):
+            raise RuntimeError("boom")
+
+        server = ModelServer(gen, port=0).start()
+        try:
+            import json
+            import urllib.error
+            import urllib.request
+
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}/generate",
+                data=json.dumps({"prompt": "x"}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req, timeout=10)
+                raise AssertionError("expected HTTP 500")
+            except urllib.error.HTTPError as e:
+                assert e.code == 500
+                assert "boom" in json.loads(e.read())["error"]
+        finally:
+            server.stop()
