@@ -58,22 +58,26 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1):
     params = jax.jit(lambda r: init_llama_params(r, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
-    ids = jax.random.randint(jax.random.PRNGKey(1), (batch, PREFILL), 10, 31000)
     lens = jnp.full((batch,), PREFILL, jnp.int32)
     scfg = SamplingConfig(greedy=True, max_new_tokens=DECODE, eos_token_id=-1)
 
-    def run():
+    def run(seed):
+        # a DIFFERENT prompt every run: identical (program, args) pairs can be
+        # served from an execution cache in this tunnelled environment,
+        # producing impossible >roofline readings
+        ids = jax.random.randint(jax.random.PRNGKey(seed), (batch, PREFILL), 10, 31000)
         out = generate_text(params, cfg, ids, lens, scfg)
         jax.block_until_ready(out["tokens"])
         return out
 
-    run()  # compile + warmup
+    run(0)  # compile + warmup
     times = []
-    for _ in range(5):
+    for i in range(5):
         t0 = time.perf_counter()
-        run()
+        run(i + 1)
         times.append(time.perf_counter() - t0)
-    dt = min(times)  # best-of-N: the tunnel scheduler adds tail noise
+    times.sort()
+    dt = times[len(times) // 2]  # median: tunnel timing has outliers BOTH ways
     return batch * DECODE / dt, dt
 
 
@@ -231,6 +235,14 @@ def main():
         except Exception as e:  # OOM etc. — try the next rung
             extra[f"decode_{name}_error"] = str(e)[:200]
         gc.collect()
+
+    # serving throughput: batched decode amortizes the weight reads
+    if tok_s is not None and backend == "tpu":
+        try:
+            tok_s8, _ = bench_decode(**kw, batch=8)
+            extra["decode_b8_tok_s"] = round(tok_s8, 1)
+        except Exception as e:
+            extra["decode_b8_error"] = str(e)[:200]
 
     value = round(tok_s, 2) if tok_s is not None else 0.0
     print(json.dumps({

@@ -72,3 +72,83 @@ def collate(
         out["images_dm"] = images_dm
         out["dream_positions"] = dream_positions
     return out
+
+
+def pack_samples(samples: list[BuiltSample], seq_len: int) -> list[BuiltSample]:
+    """Greedy first-fit packing of short samples into ``seq_len`` rows.
+
+    TPU-native efficiency feature the reference lacks (its 2048-token rows are
+    mostly padding for short SFT samples): multiple samples share one row,
+    separated by **segment ids** which the attention kernels already honor
+    (ops/attention.py). Span positions shift with the packing offset. The
+    packed BuiltSample accumulates per-sample ``(segment, position)`` via the
+    ``segments`` attribute consumed by :func:`collate_packed`.
+    """
+    order = sorted(range(len(samples)), key=lambda i: -len(samples[i].input_ids))
+    rows: list[list[int]] = []   # sample indices per row
+    space: list[int] = []
+    for i in order:
+        n = len(samples[i].input_ids)
+        if n > seq_len:
+            rows.append([i])
+            space.append(0)
+            continue
+        placed = False
+        for r in range(len(rows)):
+            if space[r] >= n:
+                rows[r].append(i)
+                space[r] -= n
+                placed = True
+                break
+        if not placed:
+            rows.append([i])
+            space.append(seq_len - n)
+
+    packed = []
+    for row in rows:
+        ids, labels, segs, poss = [], [], [], []
+        images, image_positions, images_dm, dream_positions = [], [], [], []
+        for s_idx, i in enumerate(row, start=1):
+            s = samples[i]
+            n = min(len(s.input_ids), seq_len - len(ids))
+            if n <= 0:
+                break
+            off = len(ids)
+            ids.extend(s.input_ids[:n].tolist())
+            labels.extend(s.labels[:n].tolist())
+            segs.extend([s_idx] * n)
+            poss.extend(range(n))
+            for img, p in zip(s.images, s.image_positions):
+                if p + len(img) <= n:
+                    images.append(img)
+                    image_positions.append(p + off)
+            for img, p in zip(s.images_dm, s.dream_positions):
+                if p < n:
+                    images_dm.append(img)
+                    dream_positions.append(p + off)
+        b = BuiltSample(
+            input_ids=np.asarray(ids, np.int32),
+            labels=np.asarray(labels, np.int32),
+            images=images,
+            image_positions=image_positions,
+            images_dm=images_dm,
+            dream_positions=dream_positions,
+        )
+        b.segments = np.asarray(segs, np.int32)       # type: ignore[attr-defined]
+        b.positions = np.asarray(poss, np.int32)      # type: ignore[attr-defined]
+        packed.append(b)
+    return packed
+
+
+def collate_packed(samples: list[BuiltSample], **kw) -> dict:
+    """collate() honoring per-sample ``segments``/``positions`` from
+    :func:`pack_samples`."""
+    out = collate(samples, **kw)
+    for i, s in enumerate(samples):
+        segs = getattr(s, "segments", None)
+        poss = getattr(s, "positions", None)
+        if segs is not None:
+            n = min(len(segs), out["segment_ids"].shape[1])
+            out["segment_ids"][i, :n] = segs[:n]
+            out["positions"][i, :n] = poss[:n]
+    return out
