@@ -217,6 +217,27 @@ def canonical_dream_sequence(cfg: DreamLLMConfig) -> jnp.ndarray:
     )[None]
 
 
+def encode_prompt_embeds(params: Params, cfg: DreamLLMConfig, tokenizer, prompt: str):
+    """Text prompt → [1, n_queries, H] dream-query hidden states: tokenize,
+    append the dream span, one spliced forward, gather the query states
+    (reference get_prompt_embeds :1598-1673 collapsed into one forward)."""
+    st = cfg.special_tokens
+    ids = [st.bos] + tokenizer.encode(prompt)
+    dream_pos = len(ids) + 1
+    ids += [st.dream_start] + [st.dream] * cfg.n_dream_queries + [st.dream_end]
+    arr = jnp.asarray([ids], jnp.int32)
+    embeds = multimodal_embed(
+        params, cfg, arr, dream_positions=jnp.asarray([[dream_pos]], jnp.int32)
+    )
+    from dreamllm_tpu.models.llama import llama_forward as _fwd
+
+    out = _fwd(params["llm"], cfg.llm, inputs_embeds=embeds, use_flash=False)
+    cond, _ = extract_dream_hidden(
+        out["last_hidden_state"], jnp.asarray([[dream_pos]], jnp.int32), cfg.n_dream_queries
+    )
+    return cond[:, 0]
+
+
 def unconditional_dream_hidden(params: Params, cfg: DreamLLMConfig) -> jnp.ndarray:
     """LLM forward over the canonical dream sequence → [1, 64, H] uncond states."""
     ids = canonical_dream_sequence(cfg)

@@ -145,7 +145,12 @@ class Trainer:
 
             if self.cfg.val_steps and cur % self.cfg.val_steps == 0 and self.val_fn:
                 val_logs = self.val_fn(self.state.params, cur)
-                logger.info("validation @%d: %s", cur, val_logs)
+                scalars = {
+                    k: round(float(v), 5) for k, v in val_logs.items()
+                    if np.ndim(v) == 0
+                }
+                arrays = [k for k, v in val_logs.items() if np.ndim(v) > 0]
+                logger.info("validation @%d: %s arrays=%s", cur, scalars, arrays)
                 self._fire("on_validate", step=cur, logs=val_logs)
 
             if self.cfg.save_steps and cur % self.cfg.save_steps == 0:

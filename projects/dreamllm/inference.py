@@ -39,25 +39,7 @@ NEGATIVE_PROMPT = (
 )
 
 
-def encode_prompt_embeds(params, cfg, tokenizer, prompt: str):
-    """LLM-encode a prompt then append the dream queries and read their
-    hidden states (reference get_prompt_embeds :1598-1673, done here as one
-    spliced forward instead of two cached ones)."""
-    st = cfg.special_tokens
-    ids = [st.bos] + tokenizer.encode(prompt)
-    dream_pos = len(ids) + 1
-    ids += [st.dream_start] + [st.dream] * cfg.n_dream_queries + [st.dream_end]
-    ids = jnp.asarray([ids], jnp.int32)
-    from dreamllm_tpu.models.dreamllm import multimodal_embed
-
-    embeds = multimodal_embed(
-        params, cfg, ids, dream_positions=jnp.asarray([[dream_pos]], jnp.int32)
-    )
-    out = llama_forward(params["llm"], cfg.llm, inputs_embeds=embeds)
-    condv, _ = extract_dream_hidden(
-        out["last_hidden_state"], jnp.asarray([[dream_pos]], jnp.int32), cfg.n_dream_queries
-    )
-    return condv[:, 0]
+from dreamllm_tpu.models.dreamllm import encode_prompt_embeds  # noqa: E402
 
 
 def main(argv=None):

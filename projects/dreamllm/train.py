@@ -186,7 +186,35 @@ def main(argv=None):
     d = config["data"]
     tcfg.tokens_per_batch = d["batch_size"] * d.get("max_seq_len", cfg.llm.max_position_embeddings)
     mlog = MetricsLogger(run_dir, run_name=config.get("run_name"))
-    trainer = Trainer(tcfg, step, sharded_stream(), state, callbacks=[mlog])
+
+    # mid-training validation: generate an image for fixed prompts and log it
+    # (reference val_steps + default_val_processor, trainer.py:1101-1188)
+    val_prompts = config.get("validation_prompts", ["a photo of a dog"])
+    val_fn = None
+    if tcfg.val_steps:
+        from dreamllm_tpu.models.dreamllm import encode_prompt_embeds, unconditional_dream_hidden
+        from dreamllm_tpu.models.sd.head import sd_head_pipeline
+        from dreamllm_tpu.models.sd.sdxl import sdxl_head_pipeline
+
+        pipeline = (
+            sdxl_head_pipeline if config.get("head_type", "sd") == "sdxl" else sd_head_pipeline
+        )
+
+        def val_fn(params, step_num):
+            logs = {}
+            uncond = unconditional_dream_hidden(params, cfg)
+            for i, prompt in enumerate(val_prompts):
+                cond = encode_prompt_embeds(params, cfg, tokenizer, prompt)
+                img = pipeline(
+                    params["sd_head"], head_cfg, cond, uncond,
+                    jax.random.PRNGKey(step_num),
+                    num_inference_steps=config.get("val_inference_steps", 10),
+                    guidance_scale=config.get("guidance_scale", 3.5),
+                )
+                logs[f"sample_{i}"] = np.asarray(img[0])
+            return logs
+
+    trainer = Trainer(tcfg, step, sharded_stream(), state, callbacks=[mlog], val_fn=val_fn)
     final = trainer.train()
     mlog.finish()
     logger.info("done at step %d", int(final.step))

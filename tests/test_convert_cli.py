@@ -1,0 +1,60 @@
+"""Conversion CLI: real HF save_pretrained dirs → assembled framework
+checkpoint → logits parity after the round trip through disk."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from dreamllm_tpu.convert.cli import assemble, convert_clip_dir, convert_llama_dir
+from dreamllm_tpu.models.llama import llama_forward, llama_logits
+from dreamllm_tpu.train.checkpoints import load_params
+
+TINY_LLAMA = dict(
+    vocab_size=128, hidden_size=64, intermediate_size=128,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=64,
+)
+TINY_CLIP = dict(
+    hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+    num_attention_heads=4, image_size=28, patch_size=7,
+)
+
+
+def save_tiny_hf_models(tmp_path):
+    from transformers import (
+        CLIPVisionConfig,
+        CLIPVisionModel,
+        LlamaConfig,
+        LlamaForCausalLM,
+    )
+
+    torch.manual_seed(0)
+    llm = LlamaForCausalLM(LlamaConfig(**TINY_LLAMA))
+    llm_dir = str(tmp_path / "llm")
+    llm.save_pretrained(llm_dir)
+    clip = CLIPVisionModel(CLIPVisionConfig(**TINY_CLIP))
+    clip_dir = str(tmp_path / "clip")
+    clip.save_pretrained(clip_dir)
+    return llm, llm_dir, clip, clip_dir
+
+
+def test_convert_llama_dir_logits_parity(tmp_path):
+    llm, llm_dir, _, _ = save_tiny_hf_models(tmp_path)
+    cfg, params = convert_llama_dir(llm_dir, dtype=jnp.float32)
+    ids = np.random.default_rng(0).integers(0, 128, (1, 9))
+    with torch.no_grad():
+        golden = llm(torch.from_numpy(ids)).logits.numpy()
+    h = llama_forward(params, cfg, input_ids=jnp.asarray(ids), use_flash=False)
+    got = llama_logits(params, cfg, h["last_hidden_state"])
+    np.testing.assert_allclose(np.asarray(got), golden, rtol=3e-4, atol=3e-4)
+
+
+def test_assemble_and_restore(tmp_path):
+    _, llm_dir, _, clip_dir = save_tiny_hf_models(tmp_path)
+    out = str(tmp_path / "assembled")
+    path = assemble(out, llm=llm_dir, clip=clip_dir, sd=None, dtype=jnp.float32)
+    restored = load_params(path)
+    assert "llm" in restored and "clip_vision_embedding" in restored
+    assert restored["llm"]["embed_tokens"].shape == (128, 64)
+    assert restored["clip_vision_embedding"]["clip"]["patch_embedding"].shape == (7, 7, 3, 32)
