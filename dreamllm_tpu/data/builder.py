@@ -73,6 +73,9 @@ class BuiltSample:
     image_positions: list[int]
     images_dm: list              # diffusion targets (HWC float in [-1,1])
     dream_positions: list[int]
+    # SDXL micro-conditioning per dream image: [orig_h, orig_w, crop_t,
+    # crop_l, target_h, target_w] (reference SDXLDataProcessor :14-44)
+    add_time_ids: list = dataclasses.field(default_factory=list)
 
 
 def _to_float01(image) -> np.ndarray:
@@ -115,6 +118,12 @@ class DreamLLMBuilder:
 
     def _img_dm(self, image) -> np.ndarray:
         return _resize_hwc(_to_float01(image), self.cfg.image_size_dm) * 2.0 - 1.0
+
+    def _time_ids(self, image) -> np.ndarray:
+        """SDXL micro-conditioning for one diffusion target."""
+        arr = np.asarray(image)
+        t = self.cfg.image_size_dm
+        return np.asarray([arr.shape[0], arr.shape[1], 0, 0, t, t], np.float32)
 
     # ---- per-type builders ----
 
@@ -160,7 +169,8 @@ class DreamLLMBuilder:
         ids = [st.bos] + cap + span + [st.eos]
         labels = [IGNORE] * len(ids)
         dream_pos = [1 + len(cap) + 1]
-        return self._finish(ids, labels, [], [], [self._img_dm(s.image)], dream_pos)
+        return self._finish(ids, labels, [], [], [self._img_dm(s.image)], dream_pos,
+                            time_ids=[self._time_ids(s.image)])
 
     def build_interleaved(self, s: InterleavedImageText) -> BuiltSample:
         st = self.cfg.special
@@ -174,6 +184,7 @@ class DreamLLMBuilder:
         ids: list[int] = [st.bos]
         labels: list[int] = [IGNORE]
         images, image_positions, images_dm, dream_positions = [], [], [], []
+        time_ids = []
 
         for ci, text in enumerate(s.texts):
             t_ids = self.tok.encode(text)
@@ -192,6 +203,7 @@ class DreamLLMBuilder:
                     # mask patches/end; keep <dream_start> learnable (:284-288)
                     dream_positions.append(len(ids) + 1)
                     images_dm.append(self._img_dm(s.images[ii]))
+                    time_ids.append(self._time_ids(s.images[ii]))
                     ids += d_span
                     labels += [st.dream_start] + [IGNORE] * (len(d_span) - 1)
                 if i_span:
@@ -203,7 +215,8 @@ class DreamLLMBuilder:
                 break
         ids.append(st.eos)
         labels.append(st.eos)
-        return self._finish(ids, labels, images, image_positions, images_dm, dream_positions)
+        return self._finish(ids, labels, images, image_positions, images_dm,
+                            dream_positions, time_ids=time_ids)
 
     def build_conversation(self, s: ConversationSample) -> BuiltSample:
         st = self.cfg.special
@@ -242,7 +255,8 @@ class DreamLLMBuilder:
         labels.append(st.eos if segs and segs[-1].learnable else IGNORE)
         return self._finish(ids, labels, images, image_positions, [], [])
 
-    def _finish(self, ids, labels, images, image_positions, images_dm, dream_positions):
+    def _finish(self, ids, labels, images, image_positions, images_dm,
+                dream_positions, time_ids=None):
         ids = np.asarray(ids[: self.cfg.max_seq_len], np.int32)
         labels = np.asarray(labels[: self.cfg.max_seq_len], np.int32)
         # never learn to predict raw patch/special placeholders except
@@ -257,4 +271,5 @@ class DreamLLMBuilder:
             image_positions=list(image_positions),
             images_dm=images_dm,
             dream_positions=list(dream_positions),
+            add_time_ids=list(time_ids or []),
         )

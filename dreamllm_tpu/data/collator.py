@@ -41,6 +41,13 @@ def collate(
     image_positions = np.full((b, max_images), -1, np.int32)
     images_dm = np.zeros((b, max_dreams, image_size_dm, image_size_dm, 3), np.float32)
     dream_positions = np.full((b, max_dreams), -1, np.int32)
+    # SDXL micro-conditioning (batched like the reference's SDXL collator,
+    # builder_dreamllm.py:486-504); harmless default for non-SDXL heads
+    add_time_ids = np.tile(
+        np.asarray([image_size_dm, image_size_dm, 0, 0, image_size_dm, image_size_dm],
+                   np.float32),
+        (b, max_dreams, 1),
+    )
 
     for i, s in enumerate(samples):
         n = min(len(s.input_ids), seq_len)
@@ -58,6 +65,9 @@ def collate(
                 continue
             images_dm[i, j] = img
             dream_positions[i, j] = p
+            tids = getattr(s, "add_time_ids", [])
+            if j < len(tids):
+                add_time_ids[i, j] = tids[j]
 
     out = {
         "input_ids": ids,
@@ -71,6 +81,7 @@ def collate(
     if max_dreams:
         out["images_dm"] = images_dm
         out["dream_positions"] = dream_positions
+        out["add_time_ids"] = add_time_ids
     return out
 
 

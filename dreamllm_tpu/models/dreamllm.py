@@ -332,8 +332,9 @@ def dreamllm_forward(
             hidden, batch["dream_positions"], cfg.n_dream_queries
         )
         uncond = unconditional_dream_hidden(params, cfg)  # [1, 64, H]
+        extras = {k: batch[k] for k in ("add_time_ids",) if batch.get(k) is not None}
         vm_loss, head_aux = head_loss_fn(
-            head_params, batch["images_dm"], cond, uncond, valid, rng
+            head_params, batch["images_dm"], cond, uncond, valid, rng, **extras
         )
         aux.update(head_aux)
     aux["vm_loss"] = vm_loss

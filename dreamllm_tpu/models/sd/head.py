@@ -164,9 +164,10 @@ def sd_head_loss(
 
 
 def make_head_loss_fn(cfg: SDHeadConfig):
-    """Adapter matching dreamllm_forward's ``head_loss_fn`` signature."""
+    """Adapter matching dreamllm_forward's ``head_loss_fn`` signature.
+    Ignores SDXL-only extras (add_time_ids)."""
 
-    def fn(head_params, images_dm, cond, uncond, valid, rng):
+    def fn(head_params, images_dm, cond, uncond, valid, rng, **_extras):
         return sd_head_loss(head_params, cfg, images_dm, cond, uncond, valid, rng)
 
     return fn

@@ -150,8 +150,11 @@ def sdxl_head_loss(
 
 
 def make_sdxl_head_loss_fn(cfg: SDXLHeadConfig):
-    def fn(head_params, images_dm, cond, uncond, valid, rng):
-        return sdxl_head_loss(head_params, cfg, images_dm, cond, uncond, valid, rng)
+    def fn(head_params, images_dm, cond, uncond, valid, rng, add_time_ids=None, **_):
+        return sdxl_head_loss(
+            head_params, cfg, images_dm, cond, uncond, valid, rng,
+            add_time_ids=add_time_ids,
+        )
 
     return fn
 

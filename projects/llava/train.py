@@ -55,6 +55,7 @@ def main(argv=None):
         for batch in raw:
             batch.pop("images_dm", None)
             batch.pop("dream_positions", None)
+            batch.pop("add_time_ids", None)
             yield jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
 
     tcfg = TrainerConfig(**config["trainer"])
