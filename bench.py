@@ -178,7 +178,32 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
         ups = [make_up(i) for i in range(len(params["up"]))]
         n_res = cfg.layers_per_block + 1
 
-        def step(lat, t):
+        # fuse halves into 2 graphs to cut per-step tunnel dispatches 9→2
+        # (falls back to per-block if the halves exceed the compile service)
+        @jax.jit
+        def first_half(p, lat, t, ctx):
+            h, temb = stage_in.__wrapped__(p, lat, t)
+            skips = [h]
+            for i in range(len(p["down"])):
+                h, outs = make_down(i).__wrapped__(p["down"][i], h, temb, ctx)
+                skips += outs
+            h = stage_mid.__wrapped__(p["mid"], h, temb, ctx)
+            return h, skips, temb
+
+        @jax.jit
+        def second_half(p, h, skips, temb, ctx):
+            for i in range(len(p["up"])):
+                take, skips = skips[-n_res:], skips[:-n_res]
+                h = make_up(i).__wrapped__(p["up"][i], h, take, temb, ctx)
+            return stage_out.__wrapped__(p, h)
+
+        use_halves = os.environ.get("BENCH_UNET_HALVES", "1") == "1"
+
+        def step_halves(lat, t):
+            h, skips, temb = first_half(params, lat, t, ctx)
+            return second_half(params, h, skips, temb, ctx)
+
+        def step_blocks(lat, t):
             h, temb = stage_in(params, lat, t)
             skips = [h]
             for i, f in enumerate(downs):
@@ -189,6 +214,17 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
                 take, skips = skips[-n_res:], skips[:-n_res]
                 h = f(params["up"][i], h, take, temb, ctx)
             return stage_out(params, h)
+
+        if use_halves:
+            try:
+                import numpy as _np
+
+                _np.asarray(step_halves(lat, jnp.asarray([500, 500])))
+                step = step_halves
+            except Exception:
+                step = step_blocks
+        else:
+            step = step_blocks
 
     import numpy as np
 

@@ -37,6 +37,7 @@ from dreamllm_tpu.data.dataset_types import (
     InterleavedImageText,
     Message,
     TextOnly,
+    VideoTextPair,
 )
 from dreamllm_tpu.models.dreamllm import SpecialTokens
 
@@ -136,7 +137,31 @@ class DreamLLMBuilder:
             return self.build_conversation(sample)
         if isinstance(sample, TextOnly):
             return self.build_text(sample)
+        if isinstance(sample, VideoTextPair):
+            return self.build_video_pair(sample)
         raise TypeError(f"unsupported sample type {type(sample)}")
+
+    def build_video_pair(self, s: VideoTextPair) -> BuiltSample:
+        """Video comprehension: each sampled frame becomes an image span
+        before the caption (frames share one temporal caption — reference
+        webvid handling; creation is not defined for video)."""
+        st = self.cfg.special
+        cap = self.tok.encode(s.text)
+        ids: list[int] = [st.bos]
+        labels: list[int] = [IGNORE]
+        images, image_positions = [], []
+        for frame in list(s.frames)[: self.cfg.max_images]:
+            span = self.image_ids()
+            if len(ids) + len(span) + len(cap) + 1 > self.cfg.max_seq_len:
+                break
+            image_positions.append(len(ids) + 1)
+            images.append(self._img(frame))
+            ids += span
+            labels += [IGNORE] * len(span)
+        cap = cap[: self.cfg.max_seq_len - len(ids) - 1]
+        ids += cap + [st.eos]
+        labels += cap + [st.eos]
+        return self._finish(ids, labels, images, image_positions, [], [])
 
     def build_text(self, s: TextOnly) -> BuiltSample:
         st = self.cfg.special

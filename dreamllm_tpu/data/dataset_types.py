@@ -59,3 +59,12 @@ class ConversationSample:
 class TextOnly:
     text: str
     dataset_type: DatasetType = DatasetType.TEXT_ONLY
+
+
+@dataclasses.dataclass
+class VideoTextPair:
+    """Sampled video frames + caption (reference webvid_vt_pair_dataset)."""
+
+    frames: Sequence[Any]   # [T] HWC arrays
+    text: str
+    dataset_type: DatasetType = DatasetType.VIDEO_TEXT_PAIR

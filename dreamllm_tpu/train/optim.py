@@ -78,11 +78,15 @@ def _decay_mask(params) -> Any:
 def make_optimizer(
     cfg: OptimizerConfig,
     trainable_mask: Any | None = None,
+    grad_multipliers: Any | None = None,
 ) -> optax.GradientTransformation:
     """AdamW + clip + schedule, with optional freeze mask pytree
-    (True = trainable)."""
+    (True = trainable) and optional per-layer gradient multipliers
+    (see :func:`layerwise_multiplier_tree` — partial unfreeze / LLRD)."""
     schedule = make_lr_schedule(cfg)
     chain = []
+    if grad_multipliers is not None:
+        chain.append(scale_grads_by_tree(grad_multipliers))
     if cfg.max_grad_norm and cfg.max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
     chain.append(
@@ -102,6 +106,71 @@ def make_optimizer(
             jax.tree.map(lambda t: "train" if t else "freeze", trainable_mask),
         )
     return tx
+
+
+# ---------------------------------------------------------------------------
+# Per-layer gradient scaling over scan-stacked params
+# ---------------------------------------------------------------------------
+#
+# Layers live stacked on a leading L axis (models/llama.py, models/clip.py),
+# so "freeze all but the last K ViT layers" (reference CLIPVisionEmbedding
+# partial unfreeze, modeling_plugins.py:248-257) and "layer-wise LR decay"
+# (reference llrd_utils.py / vit_llrd, trainer.py:416-434) are both a
+# per-leading-index multiplier on the gradient — not an optax.masked leaf
+# mask, which can't see inside one array.
+
+
+def scale_grads_by_tree(multipliers: Any) -> optax.GradientTransformation:
+    """Multiply each grad leaf by the matching multiplier (or 1.0 if the
+    multiplier tree has None there). Multipliers broadcast from the leading
+    axis: shape [L] scales layer-stacked [L, ...] leaves."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+
+        def apply(g, m):
+            if m is None:
+                return g
+            m = jnp.asarray(m, g.dtype)
+            return g * m.reshape(m.shape + (1,) * (g.ndim - m.ndim))
+
+        return jax.tree.map(apply, updates, multipliers,
+                            is_leaf=lambda x: x is None), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def trailing_layers_multiplier(num_layers: int, unfreeze_last: int) -> jnp.ndarray:
+    """[L] vector: 0 for frozen leading layers, 1 for the trailing K."""
+    idx = jnp.arange(num_layers)
+    return (idx >= num_layers - unfreeze_last).astype(jnp.float32)
+
+
+def llrd_multiplier(num_layers: int, decay: float) -> jnp.ndarray:
+    """[L] layer-wise LR decay: top layer 1.0, each earlier layer ×decay."""
+    idx = jnp.arange(num_layers)
+    return decay ** (num_layers - 1 - idx).astype(jnp.float32)
+
+
+def layerwise_multiplier_tree(params: Any, rules: dict[str, jnp.ndarray]) -> Any:
+    """Build a multiplier tree: ``rules`` maps slash-path prefixes to an [L]
+    vector applied to every leaf under that prefix; elsewhere None."""
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{path}/{k}" if path else k) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(walk(v, f"{path}/{i}") for i, v in enumerate(tree))
+        for prefix, vec in rules.items():
+            if path == prefix or path.startswith(prefix + "/"):
+                return vec
+        return None
+
+    return walk(params, "")
 
 
 # ---------------------------------------------------------------------------

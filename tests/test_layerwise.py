@@ -1,0 +1,59 @@
+"""Per-layer gradient scaling: trailing-layer partial unfreeze and LLRD over
+scan-stacked params."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamllm_tpu.train.optim import (
+    OptimizerConfig,
+    layerwise_multiplier_tree,
+    llrd_multiplier,
+    make_optimizer,
+    scale_grads_by_tree,
+    trailing_layers_multiplier,
+)
+
+
+def test_trailing_multiplier():
+    m = np.asarray(trailing_layers_multiplier(4, 2))
+    np.testing.assert_array_equal(m, [0, 0, 1, 1])
+
+
+def test_llrd_multiplier():
+    m = np.asarray(llrd_multiplier(3, 0.5))
+    np.testing.assert_allclose(m, [0.25, 0.5, 1.0])
+
+
+def test_scale_grads_broadcasts_leading_axis():
+    params = {"layers": {"w": jnp.ones((3, 2, 2)), "b": jnp.ones((3, 2))},
+              "other": jnp.ones((5,))}
+    mult = layerwise_multiplier_tree(params, {"layers": jnp.asarray([0.0, 0.5, 1.0])})
+    assert mult["other"] is None
+    tx = scale_grads_by_tree(mult)
+    grads = jax.tree.map(jnp.ones_like, params)
+    out, _ = tx.update(grads, tx.init(params))
+    np.testing.assert_allclose(np.asarray(out["layers"]["w"][0]), 0.0)
+    np.testing.assert_allclose(np.asarray(out["layers"]["w"][1]), 0.5)
+    np.testing.assert_allclose(np.asarray(out["layers"]["b"][2]), 1.0)
+    np.testing.assert_allclose(np.asarray(out["other"]), 1.0)
+
+
+def test_partial_unfreeze_in_full_optimizer():
+    """Leading layers of a stacked tensor stay EXACTLY unchanged through a
+    real AdamW update."""
+    params = {"layers": {"w": jnp.ones((4, 3, 3))}}
+    mult = layerwise_multiplier_tree(
+        params, {"layers": trailing_layers_multiplier(4, 1)}
+    )
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=0.1, schedule="constant", warmup_steps=0,
+                        total_steps=10, max_grad_norm=0.0),
+        grad_multipliers=mult,
+    )
+    state = tx.init(params)
+    grads = {"layers": {"w": jnp.ones((4, 3, 3))}}
+    updates, _ = tx.update(grads, state, params)
+    u = np.asarray(updates["layers"]["w"])
+    np.testing.assert_allclose(u[:3], 0.0, atol=1e-9)  # frozen layers untouched
+    assert np.all(np.abs(u[3]) > 0)
