@@ -95,6 +95,7 @@ def run_vqa(
     task: str = "vqav2",
     max_new_tokens: int = 32,
     batch_size: int = 8,
+    num_beams: int = 1,
     template: str = "vicuna_v1.1",
     out_path: str | None = None,
 ) -> dict:
@@ -131,10 +132,22 @@ def run_vqa(
             params, cfg, jnp.asarray(ids),
             images=jnp.asarray(imgs), image_positions=jnp.asarray(img_pos),
         )
-        out = generate_text(
-            params["llm"], cfg.llm, jnp.asarray(ids), jnp.asarray(lens), scfg,
-            inputs_embeds=embeds,
-        )
+        if num_beams > 1:
+            from dreamllm_tpu.generation.sampler import beam_search
+
+            out = beam_search(
+                params["llm"], cfg.llm, jnp.asarray(ids), jnp.asarray(lens),
+                num_beams=num_beams, max_new_tokens=max_new_tokens,
+                eos_token_id=cfg.special_tokens.eos,
+                pad_token_id=cfg.special_tokens.pad,
+                inputs_embeds=embeds,
+            )
+            out["lengths"] = jnp.sum(out["tokens"] != cfg.special_tokens.pad, axis=-1)
+        else:
+            out = generate_text(
+                params["llm"], cfg.llm, jnp.asarray(ids), jnp.asarray(lens), scfg,
+                inputs_embeds=embeds,
+            )
         for j, s in enumerate(chunk):
             n = int(out["lengths"][j])
             text = tokenizer.decode(np.asarray(out["tokens"][j, :n]).tolist()).strip()

@@ -94,6 +94,9 @@ def generate_interleaved(
     )
     uncond = unconditional_dream_hidden(params, cfg)
 
+    max_seg = icfg.max_new_tokens  # static buffer: no recompiles as the
+    # remaining budget shrinks (budget is a traced operand below)
+
     def decode_segment(first_tok, cache, start_pos, budget, rng):
         """Greedy/sampled decode until eos/<dream_start>/budget."""
         def step(state):
@@ -117,7 +120,7 @@ def generate_interleaved(
             i, _, _, reason, _, _ = state
             return (i < budget) & (reason == 0)
 
-        toks0 = jnp.full((budget,), scfg.pad_token_id, jnp.int32)
+        toks0 = jnp.full((max_seg,), scfg.pad_token_id, jnp.int32)
         n, nxt, toks, reason, cache, rng = jax.lax.while_loop(
             cond, step, (jnp.int32(0), first_tok, toks0, jnp.int32(0), cache, rng)
         )
@@ -131,7 +134,7 @@ def generate_interleaved(
 
     while budget > 0:
         n, toks, reason, cache, rng = decode_segment(
-            first_tok[:1].reshape(1), cache, jnp.int32(cur_pos), int(budget), rng
+            first_tok[:1].reshape(1), cache, jnp.int32(cur_pos), jnp.int32(budget), rng
         )
         n = int(n)
         reason = int(reason)

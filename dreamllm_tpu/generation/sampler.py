@@ -143,3 +143,126 @@ def generate_text(
 @partial(jax.jit, static_argnames=("llm_cfg", "cfg"))
 def generate_text_jit(params, llm_cfg, input_ids, prompt_lengths, cfg, rng):
     return generate_text(params, llm_cfg, input_ids, prompt_lengths, cfg, rng)
+
+
+def beam_search(
+    params,
+    llm_cfg: LlamaConfig,
+    input_ids: jnp.ndarray,          # [B, S] right-padded
+    prompt_lengths: jnp.ndarray,     # [B]
+    *,
+    num_beams: int = 4,
+    max_new_tokens: int = 32,
+    eos_token_id: int = 2,
+    pad_token_id: int = 0,
+    length_penalty: float = 1.0,
+    inputs_embeds: jnp.ndarray | None = None,
+    cache_dtype=jnp.bfloat16,
+) -> dict:
+    """Batched beam search with a static KV cache.
+
+    The reference gets beams from HF ``generate(num_beams=...)`` with
+    ``_reorder_cache`` shuffling past_key_values per step
+    (modeling_dreamllm.py:1549); here the cache lives as ``[L, B·K, S, ...]``
+    and reordering is one gather on the beam axis inside the loop — fixed
+    shapes, fully on device.
+
+    Returns {"tokens": [B, max_new_tokens], "scores": [B]} for the best beam.
+    """
+    b, s = input_ids.shape
+    k = num_beams
+    max_len = s + max_new_tokens
+    NEG = jnp.float32(-1e9)
+
+    pos = jnp.arange(s, dtype=jnp.int32)[None]
+    seg = (pos < prompt_lengths[:, None]).astype(jnp.int32)
+    positions = jnp.where(seg == 1, pos, 0)
+
+    # ---- prefill once per sample, then tile the cache per beam ----
+    cache = init_kv_cache(llm_cfg, b, max_len, dtype=cache_dtype)
+    out = llama_forward(
+        params, llm_cfg,
+        input_ids=None if inputs_embeds is not None else input_ids,
+        inputs_embeds=inputs_embeds,
+        segment_ids=seg, positions=positions, kv_cache=cache,
+    )
+    cache = out["kv_cache"]
+    last_idx = jnp.maximum(prompt_lengths - 1, 0)
+    last_hidden = jnp.take_along_axis(out["last_hidden_state"], last_idx[:, None, None], axis=1)
+    logp0 = jax.nn.log_softmax(
+        llama_logits(params, llm_cfg, last_hidden)[:, 0].astype(jnp.float32), axis=-1
+    )  # [B, V]
+
+    cache = {
+        "k": jnp.repeat(cache["k"], k, axis=1),
+        "v": jnp.repeat(cache["v"], k, axis=1),
+        "seg": jnp.repeat(cache["seg"], k, axis=0),
+        "pos": jnp.repeat(cache["pos"], k, axis=0),
+        "index": cache["index"],
+    }
+    beam_lens = jnp.repeat(prompt_lengths, k, axis=0)  # [B*K]
+
+    # initial beams: top-k first tokens per sample
+    top_lp, top_tok = jax.lax.top_k(logp0, k)           # [B, K]
+    scores = top_lp.reshape(b * k)                      # [B*K]
+    cur_tok = top_tok.reshape(b * k).astype(jnp.int32)
+    toks0 = jnp.full((b * k, max_new_tokens), pad_token_id, jnp.int32)
+    toks0 = toks0.at[:, 0].set(cur_tok)
+    done0 = cur_tok == eos_token_id
+    V = llm_cfg.vocab_size
+
+    def step(state):
+        i, toks, scores, done, cache, cur_tok = state
+        positions = (beam_lens + i)[:, None].astype(jnp.int32)
+        o = llama_forward(
+            params, llm_cfg, input_ids=cur_tok[:, None],
+            segment_ids=jnp.ones((b * k, 1), jnp.int32),
+            positions=positions, kv_cache=cache,
+        )
+        lp = jax.nn.log_softmax(
+            llama_logits(params, llm_cfg, o["last_hidden_state"])[:, 0].astype(jnp.float32),
+            axis=-1,
+        )  # [B*K, V]
+        # finished beams only extend with PAD, at no cost
+        lp = jnp.where(done[:, None], NEG, lp)
+        lp = lp.at[:, pad_token_id].set(jnp.where(done, 0.0, lp[:, pad_token_id]))
+
+        cand = scores[:, None] + lp                      # [B*K, V]
+        cand = cand.reshape(b, k * V)
+        new_scores, flat_idx = jax.lax.top_k(cand, k)    # [B, K]
+        src_beam = flat_idx // V                          # [B, K] in 0..K-1
+        new_tok = (flat_idx % V).astype(jnp.int32)
+
+        # gather/reorder beams
+        gather_rows = (jnp.arange(b)[:, None] * k + src_beam).reshape(b * k)
+        new_cache = {
+            "k": o["kv_cache"]["k"][:, gather_rows],
+            "v": o["kv_cache"]["v"][:, gather_rows],
+            "seg": o["kv_cache"]["seg"][gather_rows],
+            "pos": o["kv_cache"]["pos"][gather_rows],
+            "index": o["kv_cache"]["index"],
+        }
+        toks = toks[gather_rows]
+        done = done[gather_rows]
+        scores = new_scores.reshape(b * k)
+        cur = new_tok.reshape(b * k)
+        toks = toks.at[:, i + 1].set(jnp.where(done, pad_token_id, cur))
+        done = done | (cur == eos_token_id)
+        return i + 1, toks, scores, done, new_cache, jnp.where(done, pad_token_id, cur)
+
+    def cond(state):
+        i, _, _, done, _, _ = state
+        return (i < max_new_tokens - 1) & ~jnp.all(done)
+
+    i, toks, scores, done, cache, _ = jax.lax.while_loop(
+        cond, step, (jnp.int32(0), toks0, scores, done0, cache, cur_tok)
+    )
+    # length-penalized best beam per sample (HF convention: score / len^alpha)
+    lengths = jnp.sum((toks != pad_token_id) & (toks != eos_token_id), axis=-1)
+    norm = scores / jnp.maximum(lengths.astype(jnp.float32), 1.0) ** length_penalty
+    norm = norm.reshape(b, k)
+    best = jnp.argmax(norm, axis=-1)
+    toks = toks.reshape(b, k, max_new_tokens)[jnp.arange(b), best]
+    # strip eos
+    toks = jnp.where(toks == eos_token_id, pad_token_id, toks)
+    return {"tokens": toks, "scores": norm[jnp.arange(b), best]}
