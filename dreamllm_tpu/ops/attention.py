@@ -249,6 +249,48 @@ def _flash_attention_tpu(
     )(q, k, v, qseg, kseg)
 
 
+# ---------------------------------------------------------------------------
+# Custom VJP: Pallas forward, XLA-recompute backward.
+#
+# The flash kernel isn't differentiable through pallas_call (scratch carries,
+# fori accumulation); training needs grads through attention. Standard trick:
+# forward runs the fused kernel, backward recomputes attention with the plain
+# XLA formulation and pulls gradients through that — numerically identical
+# (same math, fp32 softmax in both) and memory-bounded per-layer under remat.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_core(q, k, v, qseg, kseg, causal, sm_scale, block_q, block_k, interpret):
+    return _flash_attention_tpu(
+        q, k, v, qseg, kseg,
+        causal=causal, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, interpret=interpret,
+    )
+
+
+def _flash_core_fwd(q, k, v, qseg, kseg, causal, sm_scale, block_q, block_k, interpret):
+    out = _flash_core(q, k, v, qseg, kseg, causal, sm_scale, block_q, block_k, interpret)
+    return out, (q, k, v, qseg, kseg)
+
+
+def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, residuals, g):
+    q, k, v, qseg, kseg = residuals
+
+    def ref(q, k, v):
+        return dot_product_attention(
+            q, k, v, causal=causal, segment_ids=qseg, kv_segment_ids=kseg,
+            sm_scale=sm_scale,
+        )
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -265,7 +307,8 @@ def flash_attention(
     """Flash attention, BSHD layout. Pallas on TPU, XLA elsewhere.
 
     Functional drop-in for ``dot_product_attention``; see its docstring for
-    the segment-id contract.
+    the segment-id contract. Differentiable: backward recomputes through the
+    XLA formulation (see _flash_core).
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
@@ -291,15 +334,15 @@ def flash_attention(
             kv_segment_ids=kv_segment_ids,
             sm_scale=sm_scale,
         )
-    return _flash_attention_tpu(
-        q,
-        k,
-        v,
-        segment_ids,
-        kv_segment_ids,
-        causal=causal,
-        sm_scale=sm_scale,
-        block_q=block_q,
-        block_k=block_k,
-        interpret=interpret,
+    b = q.shape[0]
+    if segment_ids is not None:
+        kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
+        qseg = segment_ids.astype(jnp.int32)
+        kseg = kv_seg.astype(jnp.int32)
+    else:
+        qseg = jnp.ones((b, sq), jnp.int32)
+        kseg = jnp.ones((b, skv), jnp.int32)
+    return _flash_core(
+        q, k, v, qseg, kseg, causal, sm_scale,
+        min(block_q, sq), min(block_k, skv), interpret,
     )

@@ -227,3 +227,34 @@ class TestAttention:
         )
         valid = seg != 0
         np.testing.assert_allclose(_np(got)[valid], _np(ref)[valid], rtol=1e-4, atol=1e-5)
+
+
+class TestFlashVJP:
+    def test_grads_match_xla(self):
+        """Pallas-forward custom VJP must give the same grads as pure XLA."""
+        rng = np.random.default_rng(11)
+        b, s, h, d = 1, 256, 2, 128
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, causal=True, block_q=128,
+                                           block_k=128, interpret=True) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(dot_product_attention(q, k, v, causal=True) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gx):
+            np.testing.assert_allclose(_np(a), _np(b_), rtol=1e-3, atol=1e-4)
+
+    def test_forward_unchanged_with_vjp_wrapper(self):
+        rng = np.random.default_rng(12)
+        q = jnp.asarray(rng.standard_normal((1, 256, 2, 128)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((1, 256, 1, 128)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((1, 256, 1, 128)), jnp.float32)
+        a = flash_attention(q, k, v, causal=True, block_q=128, block_k=128, interpret=True)
+        b = dot_product_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(_np(a), _np(b), rtol=1e-4, atol=1e-5)
