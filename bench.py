@@ -36,7 +36,7 @@ PREFILL = 128
 DECODE = 128
 
 
-def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1):
+def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False):
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +55,15 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1):
     )
     # jit the init: eager init on the axon backend dispatches every leaf as
     # its own remotely-compiled program — minutes of overhead
-    params = jax.jit(lambda r: init_llama_params(r, cfg))(jax.random.PRNGKey(0))
+    def make(r):
+        p = init_llama_params(r, cfg)
+        if quantize:
+            from dreamllm_tpu.ops.quant import quantize_llama_params
+
+            p = quantize_llama_params(p)
+        return p
+
+    params = jax.jit(make)(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     lens = jnp.full((batch,), PREFILL, jnp.int32)
@@ -278,8 +286,18 @@ def main():
             extra[f"decode_{name}_error"] = str(e)[:200]
         gc.collect()
 
+    # int8 weight-only serving: halves the HBM reads that bound b1 decode
+    if tok_s is not None and backend == "tpu":
+        gc.collect()
+        try:
+            tok_si8, _ = bench_decode(**kw, quantize=True)
+            extra["decode_int8_tok_s"] = round(tok_si8, 1)
+        except Exception as e:
+            extra["decode_int8_error"] = str(e)[:200]
+
     # serving throughput: batched decode amortizes the weight reads
     if tok_s is not None and backend == "tpu":
+        gc.collect()
         try:
             tok_s8, _ = bench_decode(**kw, batch=4)
             extra["decode_b4_tok_s"] = round(tok_s8, 1)

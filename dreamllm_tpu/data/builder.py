@@ -249,6 +249,14 @@ class DreamLLMBuilder:
         template = TEMPLATES[cfg.conv_template]
         segs = render_conversation(template, list(s.messages), s.system)
 
+        # Exact path: tokenizers with char-offset support (HF fast) tokenize
+        # each text-between-images as ONE string and mask labels by the char
+        # spans of assistant segments — immune to tokens merging across turn
+        # boundaries (the failure mode behind the reference's legacy-SPM
+        # offset hacks, builder_dreamllm.py:383-397).
+        if hasattr(self.tok, "encode_with_offsets"):
+            return self._build_conversation_offsets(s, segs)
+
         ids: list[int] = [st.bos]
         labels: list[int] = [IGNORE]
         images, image_positions = [], []
@@ -274,6 +282,66 @@ class DreamLLMBuilder:
                     t_ids = t_ids[: max(room, 0)]
                     ids += t_ids
                     labels += t_ids if seg.learnable else [IGNORE] * len(t_ids)
+            if len(ids) >= cfg.max_seq_len - 1:
+                break
+        ids.append(st.eos)
+        labels.append(st.eos if segs and segs[-1].learnable else IGNORE)
+        return self._finish(ids, labels, images, image_positions, [], [])
+
+    def _build_conversation_offsets(self, s: ConversationSample, segs) -> BuiltSample:
+        st = self.cfg.special
+        cfg = self.cfg
+        # stitch segments into chunks split at <image> placeholders, tracking
+        # learnable char ranges over each chunk
+        chunks: list[tuple[str, list[tuple[int, int]]]] = []  # (text, learn spans)
+        cur_text, cur_spans = "", []
+        n_images_seen = 0
+        for seg in segs:
+            parts = seg.text.split(IMAGE_PLACEHOLDER)
+            for pi, part in enumerate(parts):
+                if pi > 0:
+                    chunks.append((cur_text, cur_spans))
+                    chunks.append(("<IMAGE>", []))
+                    n_images_seen += 1
+                    cur_text, cur_spans = "", []
+                if part:
+                    start = len(cur_text)
+                    cur_text += part
+                    if seg.learnable:
+                        cur_spans.append((start, len(cur_text)))
+        chunks.append((cur_text, cur_spans))
+        if n_images_seen > len(s.images):
+            raise ValueError("more <image> placeholders than images")
+
+        ids: list[int] = [st.bos]
+        labels: list[int] = [IGNORE]
+        images, image_positions = [], []
+        img_iter = iter(s.images)
+        for text, spans in chunks:
+            if text == "<IMAGE>":
+                if len(images) >= cfg.max_images:
+                    next(img_iter, None)
+                    continue
+                span = self.image_ids()
+                if len(ids) + len(span) >= cfg.max_seq_len:
+                    continue
+                image_positions.append(len(ids) + 1)
+                images.append(self._img(next(img_iter)))
+                ids += span
+                labels += [IGNORE] * len(span)
+                continue
+            if not text:
+                continue
+            t_ids, offsets = self.tok.encode_with_offsets(text)
+            room = cfg.max_seq_len - len(ids) - 1
+            t_ids, offsets = t_ids[:room], offsets[:room]
+            for tid, (c0, c1) in zip(t_ids, offsets):
+                # a token is learnable iff its char span overlaps a learnable
+                # range (tokens straddling the boundary count as learnable,
+                # matching the reference's inclusion of the sep in the loss)
+                learn = any(c1 > a and c0 < b for a, b in spans)
+                ids.append(tid)
+                labels.append(tid if learn else IGNORE)
             if len(ids) >= cfg.max_seq_len - 1:
                 break
         ids.append(st.eos)

@@ -53,6 +53,14 @@ class HFTokenizer:
     def encode(self, text: str) -> list[int]:
         return self.tok.encode(text, add_special_tokens=False)
 
+    def encode_with_offsets(self, text: str) -> tuple[list[int], list[tuple[int, int]]]:
+        """(ids, char spans). Enables exact label masking on the FULL rendered
+        conversation — the clean replacement for the reference's token-count
+        turn-masking hacks (builder_dreamllm.py:383-397), which break when
+        SPM merges tokens across turn boundaries."""
+        out = self.tok(text, add_special_tokens=False, return_offsets_mapping=True)
+        return out["input_ids"], out["offset_mapping"]
+
     def decode(self, ids) -> str:
         return self.tok.decode(ids, skip_special_tokens=True)
 

@@ -39,6 +39,7 @@ from dreamllm_tpu.ops.attention import dot_product_attention, flash_attention
 from dreamllm_tpu.ops.norms import rms_norm
 from dreamllm_tpu.ops.rope import RopeConfig, apply_rope, rope_cos_sin
 from dreamllm_tpu.ops.activations import swiglu
+from dreamllm_tpu.ops.quant import matmul as qmm
 
 Params = dict[str, Any]
 
@@ -169,9 +170,9 @@ def _attention(
     b, s, h = x.shape
     hq, hkv, hd = cfg.num_attention_heads, cfg.kv_heads, cfg.head_dim
 
-    q = (x @ layer["wq"]).reshape(b, s, hq, hd)
-    k = (x @ layer["wk"]).reshape(b, s, hkv, hd)
-    v = (x @ layer["wv"]).reshape(b, s, hkv, hd)
+    q = qmm(x, layer["wq"]).reshape(b, s, hq, hd)
+    k = qmm(x, layer["wk"]).reshape(b, s, hkv, hd)
+    v = qmm(x, layer["wv"]).reshape(b, s, hkv, hd)
     q, k = apply_rope(q, k, cos, sin)
 
     new_cache = None
@@ -198,7 +199,7 @@ def _attention(
     else:
         out = dot_product_attention(q, k, v, causal=True, segment_ids=segment_ids)
 
-    out = out.reshape(b, s, hq * hd) @ layer["wo"]
+    out = qmm(out.reshape(b, s, hq * hd), layer["wo"])
     return out, new_cache
 
 
@@ -229,7 +230,7 @@ def _decoder_layer(
     )
     x = x + attn_out
     y = rms_norm(x, layer["post_attn_norm"], cfg.rms_norm_eps)
-    y = swiglu(y @ layer["w_gate"], y @ layer["w_up"]) @ layer["w_down"]
+    y = qmm(swiglu(qmm(y, layer["w_gate"]), qmm(y, layer["w_up"])), layer["w_down"])
     return x + y, new_cache
 
 
@@ -324,7 +325,11 @@ def llama_forward(
 
 def llama_logits(params: Params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     """LM head in fp32 (reference casts logits to float, :1452)."""
+    from dreamllm_tpu.ops.quant import QTensor
+
     w = params.get("lm_head")
     if w is None:
         w = params["embed_tokens"].T
+    if isinstance(w, QTensor):
+        return qmm(hidden.astype(jnp.float32), w)
     return hidden.astype(jnp.float32) @ w.astype(jnp.float32)

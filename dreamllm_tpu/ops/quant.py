@@ -1,0 +1,89 @@
+"""Weight-only int8 quantization for serving.
+
+Decode at batch 1 is HBM-bandwidth-bound (reading every weight once per
+token); int8 weights halve the bytes → ~2× decode throughput on the same
+chip. This is a capability the reference lacks entirely (its only quantized
+option is bitsandbytes Adam8bit *optimizer state*, trainer.py:451-463).
+
+Scheme: symmetric per-output-channel int8.
+    scale[o] = max|W[:, o]| / 127 ;  Wq = round(W / scale)
+    y = (x @ dequant(Wq)) = (x @ Wq_bf16) * scale      (XLA reads int8 from
+    HBM and upcasts in VMEM — the bandwidth win is in the read)
+
+``QTensor`` is a pytree node, so quantized params flow through jit/sharding/
+checkpointing like any other leaf pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QTensor:
+    q: jnp.ndarray       # int8, same shape as the original weight
+    scale: jnp.ndarray   # fp32, one per output (last-dim) channel; leading
+                         # dims broadcast (stacked layers keep their L axis)
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+    @property
+    def size(self):
+        return self.q.size
+
+    @property
+    def dtype(self):
+        return self.q.dtype
+
+
+def quantize_int8(w: jnp.ndarray) -> QTensor:
+    """Per-output-channel symmetric quantization: the reduction runs over the
+    contraction ('in') axis only, so stacked-layer weights [L, in, out] get
+    independent [L, 1, out] scales per layer."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=w.ndim - 2, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return QTensor(q=q, scale=scale.astype(jnp.float32))
+
+
+def dequantize(t: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (t.q.astype(jnp.float32) * t.scale).astype(dtype)
+
+
+def matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
+    """x @ w where w is a raw array or a QTensor (dequantized on the fly).
+
+    For stacked-layer weights sliced by scan, the QTensor slice keeps its
+    scale row, so this works inside lax.scan unchanged.
+    """
+    if isinstance(w, QTensor):
+        wq = w.q.astype(x.dtype)
+        y = x @ wq
+        return y * w.scale.reshape((1,) * (y.ndim - 1) + (-1,)).astype(x.dtype)
+    return x @ w
+
+
+def quantize_llama_params(params: dict) -> dict:
+    """Quantize the bandwidth-dominant matmul weights of a decoder param
+    tree (attention/MLP projections + lm_head); embeddings and norms stay in
+    their original dtype (gathers/elementwise don't benefit)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        layers[k] = quantize_int8(layers[k])
+    out["layers"] = layers
+    if "lm_head" in params:
+        out["lm_head"] = quantize_int8(params["lm_head"])
+    return out

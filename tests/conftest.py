@@ -21,3 +21,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # fp32 matmuls in tests must be real fp32 (defaults can be bf16-ish on TPU).
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: repeat suite runs skip most XLA compiles
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

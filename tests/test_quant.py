@@ -1,0 +1,90 @@
+"""int8 weight-only quantization: numerics, pytree behavior, quantized decode
+consistency with the fp model."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamllm_tpu.generation import SamplingConfig, generate_text
+from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward, llama_logits
+from dreamllm_tpu.ops.quant import QTensor, dequantize, matmul, quantize_int8, quantize_llama_params
+
+TINY = dict(vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=64)
+
+
+class TestQuantOps:
+    def test_roundtrip_error_small(self):
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+        t = quantize_int8(w)
+        assert t.q.dtype == jnp.int8
+        assert t.scale.shape == (1, 32)
+        back = dequantize(t, jnp.float32)
+        rel = float(jnp.max(jnp.abs(back - w)) / jnp.max(jnp.abs(w)))
+        assert rel < 0.01  # 1/127 per-channel
+
+    def test_stacked_layers_get_per_layer_scales(self):
+        rng = np.random.default_rng(1)
+        w = np.stack([rng.standard_normal((8, 4)), 100 * rng.standard_normal((8, 4))])
+        t = quantize_int8(jnp.asarray(w, jnp.float32))
+        assert t.scale.shape == (2, 1, 4)
+        # layer 1's scale ~100x layer 0's
+        assert float(t.scale[1].mean() / t.scale[0].mean()) > 10
+
+    def test_matmul_matches_dequant(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((3, 64)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+        t = quantize_int8(w)
+        a = matmul(x, t)
+        b = x @ dequantize(t, jnp.float32)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+    def test_qtensor_is_pytree(self):
+        t = quantize_int8(jnp.ones((4, 4)))
+        leaves = jax.tree.leaves(t)
+        assert len(leaves) == 2
+        out = jax.jit(lambda q: matmul(jnp.ones((1, 4)), q))(t)
+        assert out.shape == (1, 4)
+
+
+class TestQuantizedDecoder:
+    def test_forward_close_to_fp(self):
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        qparams = quantize_llama_params(params)
+        ids = jnp.asarray([[3, 9, 21, 40]])
+        ref = llama_logits(params, cfg,
+                           llama_forward(params, cfg, input_ids=ids, use_flash=False)["last_hidden_state"])
+        got = llama_logits(qparams, cfg,
+                           llama_forward(qparams, cfg, input_ids=ids, use_flash=False)["last_hidden_state"])
+        # logits close in a relative sense; argmax ideally preserved
+        cos = float(
+            jnp.sum(ref * got) / (jnp.linalg.norm(ref) * jnp.linalg.norm(got))
+        )
+        assert cos > 0.999
+
+    def test_quantized_decode_runs(self):
+        cfg = LlamaConfig(**TINY)
+        params = quantize_llama_params(init_llama_params(jax.random.PRNGKey(0), cfg))
+        out = generate_text(params, cfg, jnp.asarray([[3, 9, 21]]), jnp.asarray([3]),
+                            SamplingConfig(greedy=True, max_new_tokens=5, eos_token_id=-1),
+                            cache_dtype=jnp.float32)
+        toks = np.asarray(out["tokens"][0])
+        assert toks.shape == (5,)
+        assert np.all((toks >= 0) & (toks < TINY["vocab_size"]))
+
+    def test_memory_halved(self):
+        cfg = LlamaConfig(**TINY, )
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        q = quantize_llama_params(params)
+
+        def nbytes(t):
+            return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(t))
+
+        # the quantized matmul weights use ~1/4 the bytes of fp32 (int8+scales)
+        orig = nbytes(params["layers"])
+        quant = nbytes(q["layers"])
+        assert quant < orig * 0.3
