@@ -51,6 +51,7 @@ def dot_product_attention(
     kv_segment_ids: jnp.ndarray | None = None,
     bias: jnp.ndarray | None = None,
     sm_scale: float | None = None,
+    return_lse: bool = False,
 ) -> jnp.ndarray:
     """Plain XLA attention with fp32 softmax. BSHD layout, GQA-aware.
 
@@ -91,9 +92,21 @@ def dot_product_attention(
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
 
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf)
-    return out.reshape(b, sq, hq, d).astype(q.dtype)
+    if not return_lse:
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf)
+        return out.reshape(b, sq, hq, d).astype(q.dtype)
+
+    # numerically-safe unnormalized form + log-sum-exp, for partial-attention
+    # merging (ring attention / flash-decoding style combination)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    m = jnp.maximum(m, NEG_INF)  # fully-masked rows stay finite
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", p / jnp.maximum(denom, 1e-30), vf)
+    lse = (m + jnp.log(jnp.maximum(denom, 1e-30)))[..., 0]  # [B,Hkv,G,Sq]
+    lse = lse.reshape(b, hq, sq).transpose(0, 2, 1)          # -> [B,Sq,Hq]
+    return out.reshape(b, sq, hq, d).astype(q.dtype), lse
 
 
 # ---------------------------------------------------------------------------
