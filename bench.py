@@ -286,12 +286,19 @@ def main():
             extra[f"decode_{name}_error"] = str(e)[:200]
         gc.collect()
 
-    # int8 weight-only serving: halves the HBM reads that bound b1 decode
+    # int8 weight-only serving: halves the HBM reads that bound b1 decode.
+    # When it works it becomes the headline (the fastest supported serving
+    # configuration); bf16 stays in extras for comparison.
+    quant_label = None
     if tok_s is not None and backend == "tpu":
         gc.collect()
         try:
             tok_si8, _ = bench_decode(**kw, quantize=True)
             extra["decode_int8_tok_s"] = round(tok_si8, 1)
+            if tok_si8 > tok_s:
+                extra["decode_bf16_tok_s"] = round(tok_s, 1)
+                tok_s = tok_si8
+                quant_label = "int8-weights"
         except Exception as e:
             extra["decode_int8_error"] = str(e)[:200]
 
@@ -305,10 +312,11 @@ def main():
             extra["decode_b4_error"] = str(e)[:200]
 
     value = round(tok_s, 2) if tok_s is not None else 0.0
+    dtype_label = quant_label or "bf16"
     print(json.dumps({
         "metric": "decode_tokens_per_sec_per_chip",
         "value": value,
-        "unit": f"tok/s ({extra.get('decode_model', 'n/a')}, bf16, b1, greedy)",
+        "unit": f"tok/s ({extra.get('decode_model', 'n/a')}, {dtype_label}, b1, greedy)",
         "vs_baseline": round(value / A100_7B_DECODE_TOK_S, 3),
         "extra": extra,
     }))
