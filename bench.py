@@ -36,7 +36,8 @@ PREFILL = 128
 DECODE = 128
 
 
-def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False):
+def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False,
+                 fuse=False):
     import jax
     import jax.numpy as jnp
 
@@ -57,6 +58,10 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False
     # its own remotely-compiled program — minutes of overhead
     def make(r):
         p = init_llama_params(r, cfg)
+        if fuse:
+            from dreamllm_tpu.models.llama import fuse_llama_params
+
+            p = fuse_llama_params(p)
         if quantize:
             from dreamllm_tpu.ops.quant import quantize_llama_params
 
@@ -293,12 +298,12 @@ def main():
     if tok_s is not None and backend == "tpu":
         gc.collect()
         try:
-            tok_si8, _ = bench_decode(**kw, quantize=True)
-            extra["decode_int8_tok_s"] = round(tok_si8, 1)
+            tok_si8, _ = bench_decode(**kw, quantize=True, fuse=True)
+            extra["decode_int8_fused_tok_s"] = round(tok_si8, 1)
             if tok_si8 > tok_s:
                 extra["decode_bf16_tok_s"] = round(tok_s, 1)
                 tok_s = tok_si8
-                quant_label = "int8-weights"
+                quant_label = "int8-weights+fused-proj"
         except Exception as e:
             extra["decode_int8_error"] = str(e)[:200]
 

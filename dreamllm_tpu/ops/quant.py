@@ -81,8 +81,10 @@ def quantize_llama_params(params: dict) -> dict:
     their original dtype (gathers/elementwise don't benefit)."""
     out = dict(params)
     layers = dict(params["layers"])
-    for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
-        layers[k] = quantize_int8(layers[k])
+    for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+              "wqkv", "w_gate_up"):  # fused serving layout included
+        if k in layers:
+            layers[k] = quantize_int8(layers[k])
     out["layers"] = layers
     if "lm_head" in params:
         out["lm_head"] = quantize_int8(params["lm_head"])

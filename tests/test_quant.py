@@ -88,3 +88,29 @@ class TestQuantizedDecoder:
         orig = nbytes(params["layers"])
         quant = nbytes(q["layers"])
         assert quant < orig * 0.3
+
+class TestFusedProjections:
+    def test_fused_matches_unfused(self):
+        from dreamllm_tpu.models.llama import fuse_llama_params
+
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        fused = fuse_llama_params(params)
+        assert "wqkv" in fused["layers"] and "wq" not in fused["layers"]
+        ids = jnp.asarray([[3, 9, 21, 40]])
+        a = llama_forward(params, cfg, input_ids=ids, use_flash=False)["last_hidden_state"]
+        b = llama_forward(fused, cfg, input_ids=ids, use_flash=False)["last_hidden_state"]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+    def test_fused_plus_int8_decode(self):
+        from dreamllm_tpu.models.llama import fuse_llama_params
+
+        cfg = LlamaConfig(**TINY)
+        params = quantize_llama_params(
+            fuse_llama_params(init_llama_params(jax.random.PRNGKey(0), cfg))
+        )
+        assert isinstance(params["layers"]["wqkv"], QTensor)
+        out = generate_text(params, cfg, jnp.asarray([[3, 9, 21]]), jnp.asarray([3]),
+                            SamplingConfig(greedy=True, max_new_tokens=4, eos_token_id=-1),
+                            cache_dtype=jnp.float32)
+        assert out["tokens"].shape == (1, 4)
