@@ -19,3 +19,30 @@ Design stance (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Public API surface (lazy-friendly: submodules import quickly; heavy deps
+# like PIL/orbax load only when the relevant functions run).
+from dreamllm_tpu.models.dreamllm import (  # noqa: E402,F401
+    DreamLLMConfig,
+    SpecialTokens,
+    dreamllm_forward,
+    encode_prompt_embeds,
+    init_dreamllm_params,
+    param_freeze_mask,
+)
+from dreamllm_tpu.models.llama import (  # noqa: E402,F401
+    LlamaConfig,
+    fuse_llama_params,
+    init_kv_cache,
+    init_llama_params,
+    llama_forward,
+    llama_logits,
+)
+from dreamllm_tpu.generation import (  # noqa: E402,F401
+    InterleavedConfig,
+    SamplingConfig,
+    generate_interleaved,
+    generate_text,
+)
+from dreamllm_tpu.generation.sampler import beam_search  # noqa: E402,F401
+from dreamllm_tpu.generation.chat import chat  # noqa: E402,F401

@@ -1,0 +1,111 @@
+"""Multimodal chat API: conversation + images in, text (and images) out.
+
+The user-facing wrapper the reference spreads across vqa_inference.py
+prompt assembly and inference.py demos: render the dialog with a template,
+splice images, decode — optionally routing through the interleaved
+decode-then-diffuse loop so the assistant can answer WITH images.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamllm_tpu.data.conversation import TEMPLATES, render_prompt
+from dreamllm_tpu.data.dataset_types import Message
+from dreamllm_tpu.generation.interleaved import InterleavedConfig, generate_interleaved
+from dreamllm_tpu.generation.sampler import SamplingConfig, generate_text
+from dreamllm_tpu.models.clip import clip_preprocess
+from dreamllm_tpu.models.dreamllm import DreamLLMConfig, multimodal_embed
+
+IMAGE_PLACEHOLDER = "<image>"
+
+
+def encode_chat_prompt(
+    tokenizer,
+    cfg: DreamLLMConfig,
+    messages: Sequence[Message],
+    images: Sequence[Any] = (),
+    template: str = "vicuna_v1.1",
+):
+    """→ (input_ids [1,S], images [1,M,H,W,3], image_positions [1,M])."""
+    st = cfg.special_tokens
+    prompt = render_prompt(TEMPLATES[template], list(messages))
+    parts = prompt.split(IMAGE_PLACEHOLDER)
+    if len(parts) - 1 != len(images):
+        raise ValueError(
+            f"{len(parts) - 1} <image> placeholders but {len(images)} images"
+        )
+    ids: list[int] = [st.bos]
+    positions: list[int] = []
+    pix: list[np.ndarray] = []
+    for i, part in enumerate(parts):
+        if i > 0:
+            positions.append(len(ids) + 1)
+            ids += [st.im_start] + [st.im_patch] * cfg.image_embed_len + [st.im_end]
+            raw = jnp.asarray(np.asarray(images[i - 1], np.float32))[None]
+            if raw.max() > 1.5:
+                raw = raw / 255.0
+            pix.append(np.asarray(clip_preprocess(raw, cfg.vision.image_size)[0]))
+        if part:
+            ids += tokenizer.encode(part)
+    arr_ids = jnp.asarray([ids], jnp.int32)
+    if pix:
+        return (
+            arr_ids,
+            jnp.asarray(np.stack(pix))[None],
+            jnp.asarray([positions], jnp.int32),
+        )
+    return arr_ids, None, None
+
+
+def chat(
+    params,
+    cfg: DreamLLMConfig,
+    tokenizer,
+    messages: Sequence[Message],
+    images: Sequence[Any] = (),
+    *,
+    sampling: SamplingConfig | None = None,
+    template: str = "vicuna_v1.1",
+    head_params=None,
+    head_cfg=None,
+    interleaved: InterleavedConfig | None = None,
+    rng: jax.Array | None = None,
+) -> dict:
+    """One assistant turn. Returns {"text": str, "images": [arrays]}.
+
+    Pass ``head_params``/``head_cfg`` (+ optionally ``interleaved``) to let
+    the assistant emit images via <dream_start> routing.
+    """
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    ids, pix, pos = encode_chat_prompt(tokenizer, cfg, messages, images, template)
+
+    if head_params is not None and head_cfg is not None:
+        icfg = interleaved or InterleavedConfig(
+            sampling=sampling or SamplingConfig(greedy=True)
+        )
+        out = generate_interleaved(
+            params, cfg, head_params, head_cfg, ids, icfg, rng,
+            prompt_images=pix, prompt_image_positions=pos,
+        )
+        text_parts = [
+            tokenizer.decode(np.asarray(t).tolist())
+            for kind, t in out["segments"] if kind == "text"
+        ]
+        return {"text": "\n".join(text_parts), "images": out["images"]}
+
+    scfg = sampling or SamplingConfig(greedy=True, eos_token_id=cfg.special_tokens.eos)
+    embeds = multimodal_embed(params, cfg, ids, images=pix, image_positions=pos)
+    out = generate_text(
+        params["llm"], cfg.llm, ids,
+        jnp.asarray([ids.shape[1]], jnp.int32), scfg, rng,
+        inputs_embeds=embeds,
+    )
+    n = int(out["lengths"][0])
+    return {"text": tokenizer.decode(np.asarray(out["tokens"][0, :n]).tolist()),
+            "images": []}

@@ -1,0 +1,88 @@
+"""Chat API + prefetch utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dreamllm_tpu.data.dataset_types import Message
+from dreamllm_tpu.data.prefetch import background_iterator, device_prefetch
+from dreamllm_tpu.data.tokenization import ToyTokenizer
+from dreamllm_tpu.generation import SamplingConfig
+from dreamllm_tpu.generation.chat import chat, encode_chat_prompt
+from dreamllm_tpu.models.clip import CLIPVisionConfig
+from dreamllm_tpu.models.dreamllm import DreamLLMConfig, init_dreamllm_params
+from dreamllm_tpu.models.llama import LlamaConfig
+from dreamllm_tpu.models.projector import ProjectorConfig
+
+CFG = DreamLLMConfig(
+    llm=LlamaConfig(vocab_size=40000, hidden_size=32, intermediate_size=64,
+                    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+                    max_position_embeddings=512),
+    vision=CLIPVisionConfig(hidden_size=16, intermediate_size=32, num_hidden_layers=2,
+                            num_attention_heads=2, image_size=8, patch_size=4),
+    vision_projector=ProjectorConfig(projector_type="linear", in_dim=16, out_dim=32),
+    n_dream_queries=4, image_embed_len=4,
+)
+
+
+class DecToy(ToyTokenizer):
+    def decode(self, ids):
+        return " ".join(f"t{int(i)}" for i in ids if int(i) > 9)
+
+
+class TestChat:
+    def test_encode_prompt_with_images(self):
+        ids, pix, pos = encode_chat_prompt(
+            DecToy(), CFG,
+            [Message("user", "look <image> tell me"), Message("assistant", "")][:1],
+            images=[np.zeros((8, 8, 3), np.float32)],
+        )
+        assert pix.shape == (1, 1, 8, 8, 3)
+        st = CFG.special_tokens
+        p = int(pos[0, 0])
+        assert int(ids[0, p - 1]) == st.im_start
+
+    def test_placeholder_count_mismatch(self):
+        with pytest.raises(ValueError):
+            encode_chat_prompt(DecToy(), CFG, [Message("user", "no image here")],
+                               images=[np.zeros((8, 8, 3))])
+
+    def test_text_chat(self):
+        params = init_dreamllm_params(jax.random.PRNGKey(0), CFG)
+        out = chat(params, CFG, DecToy(),
+                   [Message("user", "hello there")],
+                   sampling=SamplingConfig(greedy=True, max_new_tokens=4, eos_token_id=-1))
+        assert isinstance(out["text"], str) and out["images"] == []
+
+    def test_image_chat(self):
+        params = init_dreamllm_params(jax.random.PRNGKey(0), CFG)
+        out = chat(params, CFG, DecToy(),
+                   [Message("user", "describe <image>")],
+                   images=[np.random.default_rng(0).random((8, 8, 3)).astype(np.float32)],
+                   sampling=SamplingConfig(greedy=True, max_new_tokens=4, eos_token_id=-1))
+        assert isinstance(out["text"], str)
+
+
+class TestPrefetch:
+    def test_device_prefetch_order_and_completeness(self):
+        items = [{"x": np.full((2,), i)} for i in range(7)]
+        out = list(device_prefetch(iter(items), size=3))
+        assert len(out) == 7
+        for i, o in enumerate(out):
+            assert isinstance(o["x"], jax.Array)
+            np.testing.assert_array_equal(np.asarray(o["x"]), [i, i])
+
+    def test_background_iterator(self):
+        out = list(background_iterator(range(20), maxsize=4))
+        assert out == list(range(20))
+
+    def test_background_iterator_propagates_errors(self):
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+
+        it = background_iterator(gen(), maxsize=2)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError):
+            list(it)
