@@ -210,7 +210,9 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
                 h = make_up(i).__wrapped__(p["up"][i], h, take, temb, ctx)
             return stage_out.__wrapped__(p, h)
 
-        use_halves = os.environ.get("BENCH_UNET_HALVES", "1") == "1"
+        # halves compile on this env but execute ~13x slower than per-block
+        # graphs (likely VMEM spilling in the fused half) — keep them opt-in
+        use_halves = os.environ.get("BENCH_UNET_HALVES", "0") == "1"
 
         def step_halves(lat, t):
             h, skips, temb = first_half(params, lat, t, ctx)
@@ -249,7 +251,34 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
     np.asarray(out)
     per_step = (time.perf_counter() - t0) / steps_timed
     image_time = per_step * equivalent_steps
-    return 60.0 / image_time, per_step
+    result = (60.0 / image_time, per_step)
+
+    # DeepCache (interval 2): full step + shallow cached step alternating
+    try:
+        from dreamllm_tpu.models.sd.unet import unet_forward_shallow
+
+        @jax.jit
+        def full_step(p, lat, t, ctx):
+            return unet_forward(p, cfg, lat, t, ctx, return_deep=True)
+
+        @jax.jit
+        def shallow_step(p, lat, t, ctx, deep):
+            return unet_forward_shallow(p, cfg, lat, t, ctx, deep)
+
+        o, deep = full_step(params, lat, jnp.asarray([500, 500]), ctx)
+        o2 = shallow_step(params, o, jnp.asarray([499, 499]), ctx, deep)
+        np.asarray(o2)
+        t0 = time.perf_counter()
+        o = o2
+        for i in range(steps_timed // 2):
+            o, deep = full_step(params, o * 0.99, jnp.asarray([498 - 2 * i] * 2), ctx)
+            o = shallow_step(params, o * 0.99, jnp.asarray([497 - 2 * i] * 2), ctx, deep)
+        np.asarray(o)
+        per_step_dc = (time.perf_counter() - t0) / (2 * (steps_timed // 2))
+        result = result + (60.0 / (per_step_dc * equivalent_steps),)
+    except Exception:
+        pass
+    return result
 
 
 def main():
@@ -273,9 +302,12 @@ def main():
     # UNet first — the 7B decode bench fills most of HBM and its params must
     # be gone before the UNet allocates.
     try:
-        img_min, unet_step_s = bench_unet()
+        res = bench_unet()
+        img_min, unet_step_s = res[0], res[1]
         extra["images_per_min_sd21_unet"] = round(img_min, 3)
         extra["unet_step_s"] = round(unet_step_s, 4)
+        if len(res) > 2:
+            extra["images_per_min_sd21_deepcache2"] = round(res[2], 3)
     except Exception as e:
         extra["unet_error"] = str(e)[:200]
     gc.collect()

@@ -191,6 +191,9 @@ def sd_head_pipeline(
     guidance_scale: float = 7.5,
     guidance_rescale: float = 0.0,
     sampler: str = "ddim",  # "ddim" | "dpm"
+    deepcache_interval: int = 1,  # >1: DeepCache — full UNet every k-th step,
+                                  # shallow cached steps between (see
+                                  # unet_forward_shallow; quality/speed dial)
     return_latents: bool = False,
 ) -> jnp.ndarray:
     """Generate images from LLM dream-query hidden states
@@ -219,29 +222,50 @@ def sd_head_pipeline(
         raise ValueError(sampler)
     ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, jnp.int32)])
 
-    def denoise(latents, t, t_prev):
-        lat_in = jnp.concatenate([latents, latents], axis=0)
-        out = unet_forward(
-            params["unet"], cfg.unet, lat_in.astype(cond.dtype),
-            jnp.broadcast_to(t, (2 * b,)), ctx,
-        ).astype(jnp.float32)
+    from dreamllm_tpu.models.sd.unet import unet_forward_shallow
+
+    deep_ch = cfg.unet.block_out_channels[min(1, len(cfg.unet.block_out_channels) - 1)]
+    deep0 = jnp.zeros((2 * b, h, w, deep_ch), cond.dtype)
+
+    def denoise(i, latents, deep):
+        lat_in = jnp.concatenate([latents, latents], axis=0).astype(cond.dtype)
+        tb2 = jnp.broadcast_to(ts[i], (2 * b,))
+        if deepcache_interval <= 1:
+            out, new_deep = unet_forward(
+                params["unet"], cfg.unet, lat_in, tb2, ctx, return_deep=True
+            )
+        else:
+            def full(_):
+                return unet_forward(
+                    params["unet"], cfg.unet, lat_in, tb2, ctx, return_deep=True
+                )
+
+            def cached(_):
+                o = unet_forward_shallow(
+                    params["unet"], cfg.unet, lat_in, tb2, ctx, deep
+                )
+                return o, deep
+
+            out, new_deep = jax.lax.cond(i % deepcache_interval == 0, full, cached, None)
+        out = out.astype(jnp.float32)
         un, co = jnp.split(out, 2, axis=0)
         g = classifier_free_guidance(co, un, guidance_scale)
-        return rescale_noise_cfg(g, co, guidance_rescale)
+        return rescale_noise_cfg(g, co, guidance_rescale), new_deep
 
     if sampler == "ddim":
-        def body(i, latents):
+        def body(i, carry):
+            latents, deep = carry
             t, t_prev = ts[i], ts_prev[i]
-            model_out = denoise(latents, t, t_prev)
+            model_out, deep = denoise(i, latents, deep)
             tb = jnp.broadcast_to(t, (b,))
-            return ddim_step(sched, model_out, tb, jnp.broadcast_to(t_prev, (b,)), latents)
+            return ddim_step(sched, model_out, tb, jnp.broadcast_to(t_prev, (b,)), latents), deep
 
-        latents = jax.lax.fori_loop(0, ts.shape[0], body, latents)
+        latents, _ = jax.lax.fori_loop(0, ts.shape[0], body, (latents, deep0))
     else:
         def body(i, carry):
-            latents, last_x0, has_last = carry
+            latents, last_x0, has_last, deep = carry
             t, t_prev = ts[i], ts_prev[i]
-            model_out = denoise(latents, t, t_prev)
+            model_out, deep = denoise(i, latents, deep)
             tb = jnp.broadcast_to(t, (b,))
             tpb = jnp.broadcast_to(t_prev, (b,))
             t_last = jnp.broadcast_to(ts[jnp.maximum(i - 1, 0)], (b,))
@@ -250,10 +274,11 @@ def sd_head_pipeline(
             x2, x0_b = dpm_solver_step(sched, model_out, tb, tpb, latents, last_x0, t_last)
             nxt = jnp.where(has_last, x2, x1)
             x0 = jnp.where(has_last, x0_b, x0_a)
-            return nxt, x0, jnp.bool_(True)
+            return nxt, x0, jnp.bool_(True), deep
 
-        latents, _, _ = jax.lax.fori_loop(
-            0, ts.shape[0], body, (latents, jnp.zeros_like(latents), jnp.bool_(False))
+        latents, _, _, _ = jax.lax.fori_loop(
+            0, ts.shape[0], body,
+            (latents, jnp.zeros_like(latents), jnp.bool_(False), deep0),
         )
 
     if return_latents:

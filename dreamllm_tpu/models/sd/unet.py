@@ -265,6 +265,7 @@ def unet_forward(
     timesteps: jnp.ndarray,              # [B] or scalar
     encoder_hidden_states: jnp.ndarray,  # [B, S_ctx, cross_attention_dim]
     added_cond: dict | None = None,      # SDXL: {"time_ids": [B,6], "text_embeds": [B,1280]}
+    return_deep: bool = False,           # also return the input to the last up block
 ) -> jnp.ndarray:
     g = cfg.norm_num_groups
     heads = cfg.num_attention_heads
@@ -305,7 +306,10 @@ def unet_forward(
     h = resnet_block(m["resnet2"], h, temb, groups=g)
 
     rev_heads = list(reversed(heads))
+    deep = None
     for i, blk in enumerate(params["up"]):
+        if i == len(params["up"]) - 1:
+            deep = h  # feature entering the last (shallowest) up block
         for j, r in enumerate(blk["resnets"]):
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
@@ -314,6 +318,67 @@ def unet_forward(
                 h = _transformer2d(blk["attentions"][j], h, ctx, rev_heads[i], g)
         if "upsample" in blk:
             h = upsample(blk["upsample"], h)
+
+    h = group_norm(h, params["norm_out"]["w"], params["norm_out"]["b"], num_groups=g)
+    h = jax.nn.silu(h)
+    out = conv2d(h, params["conv_out"])
+    if return_deep:
+        return out, deep
+    return out
+
+
+def unet_forward_shallow(
+    params: Params,
+    cfg: UNetConfig,
+    sample: jnp.ndarray,
+    timesteps: jnp.ndarray,
+    encoder_hidden_states: jnp.ndarray,
+    deep_feature: jnp.ndarray,           # cached input to the last up block
+    added_cond: dict | None = None,
+) -> jnp.ndarray:
+    """DeepCache-style cached step ("Cache Me if You Can" / DeepCache,
+    PAPERS.md): deep blocks change slowly across adjacent denoise steps, so a
+    cached step recomputes ONLY the shallowest down block (for fresh skips)
+    and the last up block, splicing in the cached deep feature — skipping
+    ~75-85% of the UNet's FLOPs. Pair with ``unet_forward(return_deep=True)``
+    on refresh steps. Opt-in; off by default in the pipeline."""
+    g = cfg.norm_num_groups
+    heads = cfg.num_attention_heads
+    if timesteps.ndim == 0:
+        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+    temb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+    te = params["time_embedding"]
+    temb = dense(jax.nn.silu(dense(temb.astype(sample.dtype), te["linear_1"])), te["linear_2"])
+    if cfg.addition_embed_type == "text_time":
+        assert added_cond is not None
+        tids = added_cond["time_ids"]
+        tid_emb = timestep_embedding(tids.reshape(-1), cfg.addition_time_embed_dim)
+        tid_emb = tid_emb.reshape(tids.shape[0], -1)
+        add = jnp.concatenate([added_cond["text_embeds"], tid_emb.astype(sample.dtype)], axis=-1)
+        ae = params["add_embedding"]
+        temb = temb + dense(jax.nn.silu(dense(add, ae["linear_1"])), ae["linear_2"])
+
+    ctx = encoder_hidden_states.astype(sample.dtype)
+    h = conv2d(sample, params["conv_in"])
+    skips = [h]
+    blk0 = params["down"][0]
+    for j, r in enumerate(blk0["resnets"]):
+        h = resnet_block(r, h, temb, groups=g)
+        if "attentions" in blk0:
+            h = _transformer2d(blk0["attentions"][j], h, ctx, heads[0], g)
+        skips.append(h)
+
+    # last up block consumes the cached deep feature + the fresh shallow skips
+    blk = params["up"][-1]
+    rev_heads = list(reversed(heads))
+    h = deep_feature
+    for j, r in enumerate(blk["resnets"]):
+        skip = skips.pop()
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = resnet_block(r, h, temb, groups=g)
+        if "attentions" in blk:
+            h = _transformer2d(blk["attentions"][j], h, ctx, rev_heads[-1], g)
 
     h = group_norm(h, params["norm_out"]["w"], params["norm_out"]["b"], num_groups=g)
     h = jax.nn.silu(h)

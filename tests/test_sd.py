@@ -264,3 +264,48 @@ class TestHead:
         assert imgs.shape == (1, 16, 16, 3)
         a = np.asarray(imgs)
         assert np.all(a >= 0) and np.all(a <= 1) and np.all(np.isfinite(a))
+
+
+class TestDeepCache:
+    @pytest.fixture(scope="class")
+    def head(self):
+        return init_sd_head_params(jax.random.PRNGKey(0), HEAD_CFG)
+
+    def test_interval1_matches_baseline(self, head):
+        cond = jnp.ones((1, 4, 32))
+        uncond = jnp.zeros((1, 4, 32))
+        a = sd_head_pipeline(head, HEAD_CFG, cond, uncond, jax.random.PRNGKey(3),
+                             height=16, width=16, num_inference_steps=4,
+                             guidance_scale=2.0, deepcache_interval=1)
+        b = sd_head_pipeline(head, HEAD_CFG, cond, uncond, jax.random.PRNGKey(3),
+                             height=16, width=16, num_inference_steps=4,
+                             guidance_scale=2.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    def test_interval2_close_to_full(self, head):
+        cond = jnp.ones((1, 4, 32))
+        uncond = jnp.zeros((1, 4, 32))
+        full = sd_head_pipeline(head, HEAD_CFG, cond, uncond, jax.random.PRNGKey(3),
+                                height=16, width=16, num_inference_steps=6,
+                                guidance_scale=2.0)
+        cached = sd_head_pipeline(head, HEAD_CFG, cond, uncond, jax.random.PRNGKey(3),
+                                  height=16, width=16, num_inference_steps=6,
+                                  guidance_scale=2.0, deepcache_interval=2)
+        a, c = np.asarray(full), np.asarray(cached)
+        assert np.all(np.isfinite(c))
+        # caching approximates: outputs correlated but not identical
+        assert np.abs(a - c).mean() < 0.25
+        assert not np.allclose(a, c)
+
+    def test_shallow_forward_shapes(self, head):
+        from dreamllm_tpu.models.sd.unet import unet_forward, unet_forward_shallow
+
+        x = jnp.zeros((2, 8, 8, 4))
+        ctx = jnp.zeros((2, 6, 24))
+        t = jnp.asarray([5, 5])
+        out, deep = unet_forward(head["unet"], HEAD_CFG.unet, x, t, ctx, return_deep=True)
+        assert deep.shape == (2, 8, 8, HEAD_CFG.unet.block_out_channels[1])
+        o2 = unet_forward_shallow(head["unet"], HEAD_CFG.unet, x, t, ctx, deep)
+        assert o2.shape == out.shape
+        # with the TRUE deep feature, shallow must reproduce the full output
+        np.testing.assert_allclose(np.asarray(o2), np.asarray(out), rtol=2e-4, atol=2e-5)
