@@ -90,6 +90,12 @@ class DreamLLMConfig:
     image_embed_len: int = 256  # (image_size/patch_size)^2
     loss_weight_lm: float = 1.0
     loss_weight_vm: float = 1.0
+    # "none" | "l1" | "l2": normalize the joint loss by the norm of its two
+    # terms (reference loss_scale_schedule, modeling_dreamllm.py:1472-1477)
+    loss_scale: str = "none"
+    # log per-decoder-layer activation abs-max into aux (log_hidden_states,
+    # configuration_dreamllm.py:221-223)
+    log_hidden_states: bool = False
     # plugin freeze flags (metadata consumed by train/optim.py + sharding)
     frozen: tuple[str, ...] = ()  # e.g. ("clip_vision_embedding", "llm")
 
@@ -311,10 +317,15 @@ def dreamllm_forward(
         positions=batch.get("positions"),
         use_flash=use_flash,
         remat=remat,
+        output_stats=cfg.log_hidden_states,
     )
     hidden = out["last_hidden_state"]
 
     aux: dict = {}
+    if cfg.log_hidden_states and "layer_absmax" in out:
+        stats = out["layer_absmax"]
+        aux["hidden_absmax_max"] = jnp.max(stats)
+        aux["hidden_absmax_mean"] = jnp.mean(stats)
     lm_loss = jnp.float32(0.0)
     if batch.get("labels") is not None and cfg.loss_weight_lm != 0.0:
         logits = llama_logits(params["llm"], cfg.llm, hidden)
@@ -346,6 +357,13 @@ def dreamllm_forward(
     lm_loss = jnp.where(lm_ok, lm_loss, 0.0)
     vm_loss = jnp.where(vm_ok, vm_loss, 0.0)
     loss = cfg.loss_weight_lm * lm_loss + cfg.loss_weight_vm * vm_loss
+    # loss_scale normalization (reference :1472-1477): divide by the l1/l2
+    # norm of the two detached loss terms so neither dominates
+    if cfg.loss_scale != "none":
+        a = jax.lax.stop_gradient(lm_loss)
+        b = jax.lax.stop_gradient(vm_loss)
+        denom = (a + b) if cfg.loss_scale == "l1" else jnp.sqrt(a**2 + b**2)
+        loss = loss / jnp.maximum(denom, 1e-8)
     return loss, aux
 
 

@@ -260,6 +260,7 @@ def llama_forward(
     use_flash: bool = True,
     remat: bool = False,
     output_hidden_states: bool = False,
+    output_stats: bool = False,
 ):
     """Run the decoder stack.
 
@@ -310,7 +311,12 @@ def llama_forward(
         y, _ = _decoder_layer(
             layer, x, cos, sin, cfg, segment_ids, positions, None, None, use_flash
         )
-        return y, (x if output_hidden_states else None)
+        ys = x if output_hidden_states else None
+        if output_stats:
+            # per-layer activation abs-max (reference log_hidden_states,
+            # modeling_dreamllm.py:989-990,1019-1022 — wandb layer monitors)
+            ys = (ys, jnp.max(jnp.abs(y)).astype(jnp.float32))
+        return y, ys
 
     if remat:
         step = jax.checkpoint(step, prevent_cse=False)
@@ -329,11 +335,17 @@ def llama_forward(
         x, hs = jax.lax.scan(step, x, params["layers"])
         new_cache = None
 
+    stats = None
+    if kv_cache is None and output_stats:
+        hs, stats = hs
+
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
 
     out = {"last_hidden_state": x, "kv_cache": new_cache}
     if output_hidden_states:
         out["hidden_states"] = jnp.concatenate([hs, x[None]], axis=0)
+    if stats is not None:
+        out["layer_absmax"] = stats  # [L]
     return out
 
 

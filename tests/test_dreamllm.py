@@ -201,3 +201,24 @@ class TestLoss:
         assert mask["llm"]["final_norm"] is True or mask["llm"]["final_norm"] == True  # noqa: E712
         flat = jax.tree.leaves(mask["clip_vision_embedding"])
         assert all(x is False or x == False for x in flat)  # noqa: E712
+
+
+class TestAuxFeatures:
+    def test_log_hidden_states(self, model):
+        cfg, params = model
+        import dataclasses as dc
+        cfg2 = dc.replace(cfg, log_hidden_states=True)
+        batch = make_batch(cfg2)
+        loss, aux = dreamllm_forward(params, cfg2, batch, use_flash=False)
+        assert float(aux["hidden_absmax_max"]) > 0
+        assert float(aux["hidden_absmax_mean"]) <= float(aux["hidden_absmax_max"])
+
+    def test_loss_scale_l1(self, model):
+        cfg, params = model
+        import dataclasses as dc
+        batch = make_batch(cfg)
+        l0, _ = dreamllm_forward(params, cfg, batch, use_flash=False)
+        l1, aux = dreamllm_forward(params, dc.replace(cfg, loss_scale="l1"), batch, use_flash=False)
+        # with vm=0 and l1 scaling, loss = lm/lm = 1
+        np.testing.assert_allclose(float(l1), 1.0, rtol=1e-5)
+        assert float(l0) > 1.0
