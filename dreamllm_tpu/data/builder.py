@@ -26,7 +26,7 @@ Label semantics ported exactly:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Protocol, Sequence
+from typing import Protocol
 
 import numpy as np
 
@@ -35,7 +35,6 @@ from dreamllm_tpu.data.dataset_types import (
     ConversationSample,
     ImageTextPair,
     InterleavedImageText,
-    Message,
     TextOnly,
     VideoTextPair,
 )

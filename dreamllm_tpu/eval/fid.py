@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dreamllm_tpu.models.sd.blocks import init_conv, init_dense
+from dreamllm_tpu.models.sd.blocks import init_conv
 
 Params = dict[str, Any]
 

@@ -8,7 +8,6 @@ decode-then-diffuse loop so the assistant can answer WITH images.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Sequence
 
 import jax

@@ -29,7 +29,6 @@ import jax.numpy as jnp
 from dreamllm_tpu.generation.sampler import SamplingConfig, sample_token
 from dreamllm_tpu.models.dreamllm import (
     DreamLLMConfig,
-    extract_dream_hidden,
     multimodal_embed,
     unconditional_dream_hidden,
 )

@@ -29,7 +29,6 @@ HF checkpoint converter (convert/hf_llama.py) handles the transpose.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax

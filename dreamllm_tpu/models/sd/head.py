@@ -40,7 +40,6 @@ from dreamllm_tpu.models.sd.schedulers import (
     dpm_solver_timesteps,
     get_velocity,
     make_schedule,
-    pred_x0_eps,
     rescale_noise_cfg,
     snr,
 )

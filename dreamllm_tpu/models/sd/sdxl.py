@@ -43,7 +43,6 @@ from dreamllm_tpu.models.sd.schedulers import (
 )
 from dreamllm_tpu.models.sd.unet import UNetConfig, init_unet_params, sdxl_unet_config, unet_forward
 from dreamllm_tpu.models.sd.vae import (
-    VAEConfig,
     init_vae_params,
     vae_decode,
     vae_encode,

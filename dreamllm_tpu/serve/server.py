@@ -20,8 +20,6 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable
 
-import numpy as np
-
 from dreamllm_tpu.utils.logging import get_logger
 
 logger = get_logger("dreamllm_tpu.serve")

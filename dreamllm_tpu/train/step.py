@@ -11,7 +11,6 @@ already mean-reduced across devices by virtue of being computed inside jit.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -19,7 +18,6 @@ import jax.numpy as jnp
 import optax
 
 from dreamllm_tpu.models.dreamllm import DreamLLMConfig, dreamllm_forward
-from dreamllm_tpu.train.optim import OptimizerConfig, make_optimizer
 
 
 @jax.tree_util.register_dataclass
