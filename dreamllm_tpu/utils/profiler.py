@@ -47,6 +47,28 @@ class FunctionProfiler:
         return False
 
 
+def enable_full_determinism(seed: int = 0):
+    """Deterministic runs (reference trainer_utils.py:56-80
+    enable_full_determinism): on TPU/XLA this means seeding python/numpy and
+    asking XLA for deterministic op lowering. Call BEFORE the first jit."""
+    import os
+    import random
+
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed % 2**32)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "--xla_gpu_deterministic_ops" not in flags:  # harmless on TPU
+        os.environ["XLA_FLAGS"] = (flags + " --xla_gpu_deterministic_ops=true").strip()
+    try:
+        import jax
+
+        jax.config.update("jax_threefry_partitionable", True)
+    except Exception:
+        pass
+
+
 def install_timeout(seconds: int):
     """SIGALRM abort after N seconds — profile a few steps cheaply
     (reference profiler.py:70-84 / arg_parser.py time_out)."""
