@@ -295,3 +295,38 @@ def compute_fid_against_stats(feats: np.ndarray, stats_npz: str) -> float:
     d = np.load(stats_npz)
     mu1, s1 = activation_statistics(feats)
     return frechet_distance(mu1, s1, d["mu"], d["sigma"])
+
+
+def save_stats_npz(feats: np.ndarray, out_path: str):
+    """Precompute a reference-statistics file from pool3 features
+    (pytorch-fid's --save-stats equivalent)."""
+    mu, sigma = activation_statistics(feats)
+    np.savez(out_path, mu=mu, sigma=sigma)
+
+
+def stats_from_image_dir(
+    inception_params, image_dir: str, out_path: str, *,
+    batch_size: int = 32, image_size: int = 256,
+) -> str:
+    """Walk a directory of images → pool3 features → stats npz (builds
+    ``fid_stats_*`` files from a local COCO val dump)."""
+    import os
+
+    from PIL import Image
+
+    paths = sorted(
+        os.path.join(image_dir, f) for f in os.listdir(image_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
+    if not paths:
+        raise ValueError(f"no images under {image_dir}")
+    fn = jax.jit(lambda p, x: inception_pool3(p, x))
+    feats = []
+    for i in range(0, len(paths), batch_size):
+        batch = []
+        for p in paths[i : i + batch_size]:
+            img = Image.open(p).convert("RGB").resize((image_size, image_size))
+            batch.append(np.asarray(img, np.float32) / 255.0)
+        feats.append(np.asarray(fn(inception_params, jnp.asarray(np.stack(batch)))))
+    save_stats_npz(np.concatenate(feats), out_path)
+    return out_path
