@@ -85,7 +85,7 @@ def projector_forward(params: Params, cfg: ProjectorConfig, x: jnp.ndarray) -> j
         for i, layer in enumerate(params["layers"]):
             x = x @ layer["w"].astype(x.dtype) + layer["b"].astype(x.dtype)
             if i + 1 < len(params["layers"]):
-                x = jax.nn.gelu(x)
+                x = jax.nn.gelu(x, approximate=False)  # exact erf (torch nn.GELU)
         return x
 
     b, s, c = x.shape
@@ -93,10 +93,10 @@ def projector_forward(params: Params, cfg: ProjectorConfig, x: jnp.ndarray) -> j
     assert g * g == s, f"conv projectors need square token grids, got {s}"
     grid = x.reshape(b, g, g, c)
     if t == "conv":
-        grid = jax.nn.gelu(_conv2d(grid, params["conv"], stride=1))
+        grid = jax.nn.gelu(_conv2d(grid, params["conv"], stride=1), approximate=False)
     elif t == "sam":
-        grid = jax.nn.gelu(_conv2d(grid, params["conv1"], stride=2))
-        grid = jax.nn.gelu(_conv2d(grid, params["conv2"], stride=2))
+        grid = jax.nn.gelu(_conv2d(grid, params["conv1"], stride=2), approximate=False)
+        grid = jax.nn.gelu(_conv2d(grid, params["conv2"], stride=2), approximate=False)
     else:
         raise ValueError(t)
     y = grid.reshape(b, -1, c)

@@ -17,8 +17,9 @@ def swiglu(gate: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
 
 
 def geglu(gate: jnp.ndarray, up: jnp.ndarray) -> jnp.ndarray:
-    """GEGLU used by SD UNet transformer feed-forward blocks."""
-    return jax.nn.gelu(gate) * up
+    """GEGLU used by SD UNet transformer feed-forward blocks. Exact-erf GELU
+    (diffusers nn.GELU default) — the tanh approximation drifts FID parity."""
+    return jax.nn.gelu(gate, approximate=False) * up
 
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:

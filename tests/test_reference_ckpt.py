@@ -46,8 +46,7 @@ def test_projector_mlp_parity():
     with torch.no_grad():
         golden = seq(torch.from_numpy(x)).numpy()
     got = projector_forward(params, cfg, jnp.asarray(x))
-    # jax.nn.gelu default is tanh-approx; torch nn.GELU is exact erf — close
-    np.testing.assert_allclose(np.asarray(got), golden, rtol=5e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got), golden, rtol=1e-4, atol=1e-5)
 
 
 def test_dream_embedding_bin():
