@@ -149,7 +149,7 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
             def f(blk, h, temb, ctx):
                 outs = []
                 for j, r in enumerate(blk["resnets"]):
-                    h = resnet_block(r, h, temb, groups=g)
+                    h = resnet_block(r, h, temb, groups=g, eps=1e-5)
                     if "attentions" in blk:
                         h = _transformer2d(blk["attentions"][j], h, ctx, heads[i], g)
                     outs.append(h)
@@ -162,9 +162,9 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
 
         @jax.jit
         def stage_mid(m, h, temb, ctx):
-            h = resnet_block(m["resnet1"], h, temb, groups=g)
+            h = resnet_block(m["resnet1"], h, temb, groups=g, eps=1e-5)
             h = _transformer2d(m["attention"], h, ctx, heads[-1], g)
-            return resnet_block(m["resnet2"], h, temb, groups=g)
+            return resnet_block(m["resnet2"], h, temb, groups=g, eps=1e-5)
 
         def make_up(i):
             rev_heads = list(reversed(heads))
@@ -173,7 +173,7 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
             def f(blk, h, skips, temb, ctx):
                 for j, r in enumerate(blk["resnets"]):
                     h = jnp.concatenate([h, skips[-(j + 1)]], axis=-1)
-                    h = resnet_block(r, h, temb, groups=g)
+                    h = resnet_block(r, h, temb, groups=g, eps=1e-5)
                     if "attentions" in blk:
                         h = _transformer2d(blk["attentions"][j], h, ctx, rev_heads[i], g)
                 if "upsample" in blk:
@@ -184,7 +184,7 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
 
         @jax.jit
         def stage_out(p, h):
-            h = group_norm(h, p["norm_out"]["w"], p["norm_out"]["b"], num_groups=g)
+            h = group_norm(h, p["norm_out"]["w"], p["norm_out"]["b"], num_groups=g, eps=1e-5)
             return conv2d(jax.nn.silu(h), p["conv_out"])
 
         downs = [make_down(i) for i in range(len(params["down"]))]

@@ -69,15 +69,16 @@ def init_resnet_block(rng, cin, cout, temb_dim=None, dtype=jnp.float32):
     return p
 
 
-def resnet_block(p: Params, x: jnp.ndarray, temb: jnp.ndarray | None = None, groups: int = 32):
+def resnet_block(p: Params, x: jnp.ndarray, temb: jnp.ndarray | None = None, groups: int = 32,
+                 eps: float = 1e-6):
     """norm→silu→conv→(+temb)→norm→silu→conv + shortcut."""
-    h = group_norm(x, p["norm1"]["w"], p["norm1"]["b"], num_groups=groups)
+    h = group_norm(x, p["norm1"]["w"], p["norm1"]["b"], num_groups=groups, eps=eps)
     h = jax.nn.silu(h)
     h = conv2d(h, p["conv1"])
     if temb is not None and "time_emb_proj" in p:
         t = dense(jax.nn.silu(temb), p["time_emb_proj"])
         h = h + t[:, None, None, :].astype(h.dtype)
-    h = group_norm(h, p["norm2"]["w"], p["norm2"]["b"], num_groups=groups)
+    h = group_norm(h, p["norm2"]["w"], p["norm2"]["b"], num_groups=groups, eps=eps)
     h = jax.nn.silu(h)
     h = conv2d(h, p["conv2"])
     if "shortcut" in p:

@@ -292,7 +292,7 @@ def unet_forward(
     skips = [h]
     for i, blk in enumerate(params["down"]):
         for j, r in enumerate(blk["resnets"]):
-            h = resnet_block(r, h, temb, groups=g)
+            h = resnet_block(r, h, temb, groups=g, eps=1e-5)
             if "attentions" in blk:
                 h = _transformer2d(blk["attentions"][j], h, ctx, heads[i], g)
             skips.append(h)
@@ -301,9 +301,9 @@ def unet_forward(
             skips.append(h)
 
     m = params["mid"]
-    h = resnet_block(m["resnet1"], h, temb, groups=g)
+    h = resnet_block(m["resnet1"], h, temb, groups=g, eps=1e-5)
     h = _transformer2d(m["attention"], h, ctx, heads[-1], g)
-    h = resnet_block(m["resnet2"], h, temb, groups=g)
+    h = resnet_block(m["resnet2"], h, temb, groups=g, eps=1e-5)
 
     rev_heads = list(reversed(heads))
     deep = None
@@ -313,13 +313,13 @@ def unet_forward(
         for j, r in enumerate(blk["resnets"]):
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
-            h = resnet_block(r, h, temb, groups=g)
+            h = resnet_block(r, h, temb, groups=g, eps=1e-5)
             if "attentions" in blk:
                 h = _transformer2d(blk["attentions"][j], h, ctx, rev_heads[i], g)
         if "upsample" in blk:
             h = upsample(blk["upsample"], h)
 
-    h = group_norm(h, params["norm_out"]["w"], params["norm_out"]["b"], num_groups=g)
+    h = group_norm(h, params["norm_out"]["w"], params["norm_out"]["b"], num_groups=g, eps=1e-5)
     h = jax.nn.silu(h)
     out = conv2d(h, params["conv_out"])
     if return_deep:
@@ -364,7 +364,7 @@ def unet_forward_shallow(
     skips = [h]
     blk0 = params["down"][0]
     for j, r in enumerate(blk0["resnets"]):
-        h = resnet_block(r, h, temb, groups=g)
+        h = resnet_block(r, h, temb, groups=g, eps=1e-5)
         if "attentions" in blk0:
             h = _transformer2d(blk0["attentions"][j], h, ctx, heads[0], g)
         skips.append(h)
@@ -376,10 +376,10 @@ def unet_forward_shallow(
     for j, r in enumerate(blk["resnets"]):
         skip = skips.pop()
         h = jnp.concatenate([h, skip], axis=-1)
-        h = resnet_block(r, h, temb, groups=g)
+        h = resnet_block(r, h, temb, groups=g, eps=1e-5)
         if "attentions" in blk:
             h = _transformer2d(blk["attentions"][j], h, ctx, rev_heads[-1], g)
 
-    h = group_norm(h, params["norm_out"]["w"], params["norm_out"]["b"], num_groups=g)
+    h = group_norm(h, params["norm_out"]["w"], params["norm_out"]["b"], num_groups=g, eps=1e-5)
     h = jax.nn.silu(h)
     return conv2d(h, params["conv_out"])
