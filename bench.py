@@ -98,6 +98,43 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False
     return batch * DECODE / dt, dt
 
 
+def bench_prefill(hidden, inter, layers, heads, kv_heads, seq=2048, batch=1):
+    """Prefill throughput — the Pallas flash-attention path (seq >= 128,
+    head_dim 128)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward
+
+    cfg = LlamaConfig(
+        vocab_size=32000, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=seq,
+        dtype=jnp.bfloat16,
+    )
+    params = jax.jit(lambda r: init_llama_params(r, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    @jax.jit
+    def fwd(p, ids):
+        return llama_forward(p, cfg, input_ids=ids, use_flash=True)["last_hidden_state"]
+
+    def run(seed):
+        ids = jax.random.randint(jax.random.PRNGKey(seed), (batch, seq), 10, 31000)
+        np.asarray(fwd(params, ids))
+
+    run(0)
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+    return batch * seq / dt
+
+
 def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
     """SD-2.1 UNet denoise step time.
 
@@ -338,6 +375,15 @@ def main():
                 quant_label = "int8-weights+fused-proj"
         except Exception as e:
             extra["decode_int8_error"] = str(e)[:200]
+
+    # prefill throughput: the Pallas flash-attention path
+    if tok_s is not None and backend == "tpu":
+        gc.collect()
+        try:
+            pf = bench_prefill(**kw)
+            extra["prefill_tok_s_2048"] = round(pf, 1)
+        except Exception as e:
+            extra["prefill_error"] = str(e)[:200]
 
     # serving throughput: batched decode amortizes the weight reads
     if tok_s is not None and backend == "tpu":
