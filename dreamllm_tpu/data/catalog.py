@@ -125,6 +125,72 @@ register_dataset(
 )
 
 
+# --- additional dataset kinds (reference datasets/ variants) ---
+
+
+def hf_it_pair_dataset(name_or_path: str, image_key="image", text_key="text",
+                       split="train", size: int | None = None, **_):
+    """HF `datasets` image-text pairs (reference hf_it_pair_dataset.py)."""
+    import datasets as hfds
+
+    ds = hfds.load_dataset(name_or_path, split=split)
+
+    class HF:
+        def __len__(self):
+            return size or len(ds)
+
+        def __getitem__(self, i):
+            row = ds[int(i) % len(ds)]
+            return ImageTextPair(image=np.asarray(row[image_key]), text=row[text_key])
+
+    return HF()
+
+
+def simple_it_pair_dataset(root: str, captions_json: str = "captions.json",
+                           size: int | None = None, **_):
+    """Folder of images + {filename: caption} json (reference
+    simple_it_pair_dataset.py)."""
+    import json
+
+    with open(os.path.join(root, captions_json)) as f:
+        table = sorted(json.load(f).items())
+
+    class Simple:
+        def __len__(self):
+            return size or len(table)
+
+        def __getitem__(self, i):
+            from PIL import Image
+
+            name, caption = table[int(i) % len(table)]
+            img = np.asarray(Image.open(os.path.join(root, name)).convert("RGB"))
+            return ImageTextPair(image=img, text=caption)
+
+    return Simple()
+
+
+def simple_text_only_dataset(path: str, size: int | None = None, **_):
+    """One document per line (reference simple_hf_text_only_dataset.py)."""
+    from dreamllm_tpu.data.dataset_types import TextOnly
+
+    with open(path) as f:
+        lines = [l.strip() for l in f if l.strip()]
+
+    class Text:
+        def __len__(self):
+            return size or len(lines)
+
+        def __getitem__(self, i):
+            return TextOnly(text=lines[int(i) % len(lines)])
+
+    return Text()
+
+
+register_dataset("hf_it_pair", hf_it_pair_dataset, dataset_type="pair")
+register_dataset("simple_it_pair", simple_it_pair_dataset, dataset_type="pair")
+register_dataset("simple_text_only", simple_text_only_dataset, dataset_type="text")
+
+
 # --- synthetic datasets (offline smoke/testing) ---
 
 
