@@ -128,6 +128,9 @@ class DreamLLMBuilder:
     # ---- per-type builders ----
 
     def build(self, sample) -> BuiltSample:
+        if isinstance(sample, BuiltSample):
+            return sample  # pretokenized passthrough (reference
+            # unified_it_pair_pretokenized_webdataset)
         if isinstance(sample, ImageTextPair):
             return self.build_pair(sample)
         if isinstance(sample, InterleavedImageText):

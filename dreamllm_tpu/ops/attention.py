@@ -149,8 +149,8 @@ def _flash_kernel(
 
     @pl.when(should_compute)
     def _compute():
-        q = q_ref[0, :, 0, :].astype(jnp.float32) * sm_scale  # [bq, d]
-        k = k_ref[0, :, 0, :].astype(jnp.float32)  # [bk, d]
+        q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [bq, d]
+        k = k_ref[0, 0].astype(jnp.float32)  # [bk, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk]
@@ -175,7 +175,7 @@ def _flash_kernel(
         alpha = jnp.exp(m_prev - m_new)  # [bq]
 
         l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=-1)
-        v = v_ref[0, :, 0, :].astype(jnp.float32)  # [bk, d]
+        v = v_ref[0, 0].astype(jnp.float32)  # [bk, d]
         pv = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -187,7 +187,7 @@ def _flash_kernel(
         # Fully-masked rows (padding) have l == 0; emit zeros there.
         l = l_ref[:, 0]
         denom = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, :, 0, :] = (acc_ref[...] / denom[:, None]).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[...] / denom[:, None]).astype(o_ref.dtype)
 
 
 def _flash_attention_tpu(
@@ -233,18 +233,25 @@ def _flash_attention_tpu(
         use_segments=use_segments,
     )
 
-    return pl.pallas_call(
+    # BHSD inside the kernel: blocks (1, 1, block, d) keep the LAST TWO block
+    # dims (block, d) tile-aligned — a BSHD block (1, block, 1, d) puts (1, d)
+    # last, which Mosaic rejects once S is actually blocked (seq > block).
+    qT = q.transpose(0, 2, 1, 3)
+    kT = k.transpose(0, 2, 1, 3)
+    vT = v.transpose(0, 2, 1, 3)
+
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda b_, h, iq, ik: (b_, iq, h, 0)),
-            pl.BlockSpec((1, block_k, 1, d), lambda b_, h, iq, ik: (b_, ik, h // groups, 0)),
-            pl.BlockSpec((1, block_k, 1, d), lambda b_, h, iq, ik: (b_, ik, h // groups, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, iq, ik: (b_, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, iq, ik: (b_, h // groups, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, iq, ik: (b_, h // groups, ik, 0)),
             pl.BlockSpec((1, block_q), lambda b_, h, iq, ik: (b_, iq)),
             pl.BlockSpec((1, block_k), lambda b_, h, iq, ik: (b_, ik)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d), lambda b_, h, iq, ik: (b_, iq, h, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h, iq, ik: (b_, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct(qT.shape, q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -259,7 +266,8 @@ def _flash_attention_tpu(
             transcendentals=b * hq * sq * skv,
         ),
         interpret=interpret,
-    )(q, k, v, qseg, kseg)
+    )(qT, kT, vT, qseg, kseg)
+    return out.transpose(0, 2, 1, 3)
 
 
 # ---------------------------------------------------------------------------
