@@ -149,11 +149,14 @@ def _flash_kernel(
 
     @pl.when(should_compute)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [bq, d]
-        k = k_ref[0, 0].astype(jnp.float32)  # [bk, d]
+        # keep q/k in their input dtype for the MXU dot (bf16 in = full-rate
+        # MXU; upcasting first would force 8x-slower fp32 matmuls) and
+        # accumulate in fp32; the scale applies to fp32 scores afterwards
+        q = q_ref[0, 0]  # [bq, d]
+        k = k_ref[0, 0]  # [bk, d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk]
+        ) * sm_scale  # [bq, bk] fp32
 
         mask = None
         if causal:
@@ -175,9 +178,10 @@ def _flash_kernel(
         alpha = jnp.exp(m_prev - m_new)  # [bq]
 
         l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=-1)
-        v = v_ref[0, 0].astype(jnp.float32)  # [bk, d]
+        v = v_ref[0, 0]  # [bk, d] input dtype
         pv = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         acc_ref[...] = acc_ref[...] * alpha[:, None] + pv
         m_ref[:, 0] = m_new
@@ -321,8 +325,8 @@ def flash_attention(
     segment_ids: jnp.ndarray | None = None,
     kv_segment_ids: jnp.ndarray | None = None,
     sm_scale: float | None = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 256,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention, BSHD layout. Pallas on TPU, XLA elsewhere.
