@@ -386,11 +386,12 @@ def main():
             extra["prefill_error"] = str(e)[:200]
 
     # serving throughput: batched decode amortizes the weight reads
+    # (int8+fused — the bf16 b4 graph crashes this env's remote compiler)
     if tok_s is not None and backend == "tpu":
         gc.collect()
         try:
-            tok_s8, _ = bench_decode(**kw, batch=4)
-            extra["decode_b4_tok_s"] = round(tok_s8, 1)
+            tok_s8, _ = bench_decode(**kw, batch=4, quantize=True, fuse=True)
+            extra["decode_b4_int8_tok_s"] = round(tok_s8, 1)
         except Exception as e:
             extra["decode_b4_error"] = str(e)[:200]
 
