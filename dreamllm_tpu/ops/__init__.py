@@ -6,3 +6,9 @@ from dreamllm_tpu.ops.rope import (
 )
 from dreamllm_tpu.ops.activations import swiglu, geglu, quick_gelu
 from dreamllm_tpu.ops.attention import dot_product_attention, flash_attention
+from dreamllm_tpu.ops.quant import (
+    QTensor,
+    dequantize,
+    quantize_int8,
+    quantize_llama_params,
+)
