@@ -33,6 +33,7 @@ import numpy as np
 from dreamllm_tpu.data.conversation import TEMPLATES, render_conversation
 from dreamllm_tpu.data.dataset_types import (
     ConversationSample,
+    ImageImagePair,
     ImageTextPair,
     InterleavedImageText,
     TextOnly,
@@ -141,7 +142,38 @@ class DreamLLMBuilder:
             return self.build_text(sample)
         if isinstance(sample, VideoTextPair):
             return self.build_video_pair(sample)
+        if isinstance(sample, ImageImagePair):
+            return self.build_ii_pair(sample)
         raise TypeError(f"unsupported sample type {type(sample)}")
+
+    def build_ii_pair(self, s: ImageImagePair) -> BuiltSample:
+        """Image→image: comprehend the source (image span), create the target
+        (dream span). Layout: [bos] img_span [text] dream_span [eos]; only
+        <dream_start> learnable (the model learns when to emit), target image
+        is the diffusion target (reference unified_ii_pair semantics)."""
+        st = self.cfg.special
+        ids: list[int] = [st.bos]
+        labels: list[int] = [IGNORE]
+        img_span = self.image_ids()
+        image_positions = [len(ids) + 1]
+        ids += img_span
+        labels += [IGNORE] * len(img_span)
+        t_ids = self.tok.encode(s.text) if s.text else []
+        budget = self.cfg.max_seq_len - len(ids) - len(self.dream_ids()) - 1
+        t_ids = t_ids[: max(budget, 0)]
+        ids += t_ids
+        labels += t_ids
+        d_span = self.dream_ids()
+        dream_positions = [len(ids) + 1]
+        ids += d_span
+        labels += [st.dream_start] + [IGNORE] * (len(d_span) - 1)
+        ids.append(st.eos)
+        labels.append(st.eos)
+        return self._finish(
+            ids, labels, [self._img(s.source)], image_positions,
+            [self._img_dm(s.target)], dream_positions,
+            time_ids=[self._time_ids(s.target)],
+        )
 
     def build_video_pair(self, s: VideoTextPair) -> BuiltSample:
         """Video comprehension: each sampled frame becomes an image span

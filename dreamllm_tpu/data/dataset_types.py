@@ -42,6 +42,17 @@ class InterleavedImageText:
 
 
 @dataclasses.dataclass
+class ImageImagePair:
+    """Source→target image pair (reference unified_ii_pair_webdataset —
+    variation/edit training: comprehend the source, create the target)."""
+
+    source: Any
+    target: Any
+    text: str = ""
+    dataset_type: DatasetType = DatasetType.IMAGE_IMAGE_PAIR
+
+
+@dataclasses.dataclass
 class Message:
     role: str            # "system" | "user" | "assistant"
     content: str         # may contain "<image>" placeholders

@@ -260,3 +260,45 @@ class TestWebdataset:
         out = list(stream)
         # 5 - 1 corrupt - 1 filtered
         assert len(out) == 3
+
+
+class TestIIPair:
+    def test_image_image_pair(self):
+        from dreamllm_tpu.data.dataset_types import ImageImagePair
+
+        b = make_builder()
+        s = b.build(ImageImagePair(source=img(0.2), target=img(0.8), text="make it bright"))
+        assert len(s.images) == 1 and len(s.images_dm) == 1
+        np.testing.assert_allclose(s.images[0][0, 0, 0], 0.2)
+        np.testing.assert_allclose(s.images_dm[0][0, 0, 0], 0.8 * 2 - 1)
+        ids, labels = s.input_ids, s.labels
+        ds_pos = s.dream_positions[0] - 1
+        assert ids[ds_pos] == ST.dream_start
+        assert labels[ds_pos] == ST.dream_start  # learnable
+        # image span masked; text learnable
+        special = np.isin(ids, [ST.im_patch, ST.im_start, ST.im_end, ST.dream_end])
+        assert np.all(labels[special] == IGNORE)
+        assert (labels != IGNORE).sum() == 3 + 2  # 3 words + dream_start + eos
+
+
+class TestCatalogWds:
+    def test_real_shard_factory(self, tmp_path, monkeypatch):
+        import io, tarfile
+        from PIL import Image
+        root = tmp_path / "laion400m"
+        root.mkdir()
+        with tarfile.open(str(root / "00000.tar"), "w") as tf:
+            for i in range(3):
+                buf = io.BytesIO()
+                Image.fromarray(np.full((8, 8, 3), i * 50, np.uint8)).save(buf, "JPEG")
+                d = buf.getvalue()
+                ti = tarfile.TarInfo(f"{i:05d}.jpg"); ti.size = len(d)
+                tf.addfile(ti, io.BytesIO(d))
+                c = f"cap {i}".encode()
+                ti = tarfile.TarInfo(f"{i:05d}.txt"); ti.size = len(c)
+                tf.addfile(ti, io.BytesIO(c))
+        monkeypatch.setenv("DREAMLLM_DATA_ROOT", str(tmp_path))
+        import dreamllm_tpu.data.catalog  # noqa: F401
+        ds = DATASETS["laion400m"].build(shuffle_buffer=1, resample=False)
+        s = ds[0]
+        assert s.text.startswith("cap") and s.image.shape == (8, 8, 3)
