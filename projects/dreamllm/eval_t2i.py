@@ -89,11 +89,29 @@ def main(argv=None):
             deepcache_interval=config.get("deepcache_interval", 1),
         )
 
-    # CLIP scorer: re-uses the model's vision tower + a text tower checkpoint
-    # (config keys clip_text_*). Without one, fall back to image-brightness-free
-    # cosine on vision CLS vs itself is meaningless — so require it or skip select.
-    clip_score_fn = None
-    if config.get("clip_text_checkpoint") or config.get("use_random_clip_text"):
+    # CLIP scorer for best-of-N selection. Preferred: a full HF CLIPModel dir
+    # (``clip_model_dir``) — vision+text towers, projections, logit_scale —
+    # matching the reference's CLIP-L/14 re-ranker. Fallbacks: a random text
+    # tower (plumbing tests) or no re-rank (keep seed 0).
+    if config.get("clip_model_dir"):
+        from dreamllm_tpu.convert.hf_clip import convert_clip_model_dir
+
+        (vcfg, vparams), (tcfg, tparams), vproj, tproj, logit_scale = (
+            convert_clip_model_dir(config["clip_model_dir"])
+        )
+
+        def clip_score_fn(images, caps):
+            pix = clip_preprocess(jnp.asarray(images), vcfg.image_size)
+            last = clip_vision_forward(vparams, vcfg, pix)
+            img_emb = clip_pooled_output(vparams, vcfg, last)
+            ids = np.zeros((len(caps), tcfg.max_position_embeddings), np.int64)
+            for i, c in enumerate(caps):
+                t = tokenizer.encode(c)[: tcfg.max_position_embeddings]
+                ids[i, : len(t)] = t
+            _, txt_emb = clip_text_forward(tparams, tcfg, jnp.asarray(ids % tcfg.vocab_size))
+            sims = clip_similarity(img_emb, txt_emb, vproj, tproj, logit_scale)
+            return np.asarray(jnp.diagonal(sims))
+    elif config.get("use_random_clip_text"):
         tcfg = CLIPTextConfig(**config.get("clip_text_config", {}))
         tparams = init_clip_text_params(jax.random.PRNGKey(1), tcfg)
         vproj = jnp.eye(cfg.vision.hidden_size, tcfg.projection_dim)
