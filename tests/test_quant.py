@@ -114,3 +114,19 @@ class TestFusedProjections:
                             SamplingConfig(greedy=True, max_new_tokens=4, eos_token_id=-1),
                             cache_dtype=jnp.float32)
         assert out["tokens"].shape == (1, 4)
+
+
+class TestQuantCheckpoint:
+    def test_qtensor_orbax_roundtrip(self, tmp_path):
+        """Quantized serving checkpoints must save/restore through orbax."""
+        from dreamllm_tpu.train.checkpoints import load_params, save_checkpoint
+
+        cfg = LlamaConfig(**TINY)
+        params = {"llm": quantize_llama_params(init_llama_params(jax.random.PRNGKey(0), cfg))}
+        path = save_checkpoint(str(tmp_path / "q"), 1, params)
+        back = load_params(path, like=params)
+        w0 = params["llm"]["layers"]["wq"]
+        w1 = back["llm"]["layers"]["wq"]
+        assert isinstance(w1, QTensor) and w1.q.dtype == jnp.int8
+        np.testing.assert_array_equal(np.asarray(w0.q), np.asarray(w1.q))
+        np.testing.assert_allclose(np.asarray(w0.scale), np.asarray(w1.scale))
