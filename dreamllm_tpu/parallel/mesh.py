@@ -36,11 +36,15 @@ class MeshConfig:
         d, f, t = self.data, self.fsdp, self.tp
         known = [x for x in (d, f, t) if x != -1]
         prod = int(np.prod(known)) if known else 1
-        missing = n_devices // max(prod, 1)
+        if n_devices % prod != 0 or prod > n_devices:
+            raise ValueError(
+                f"MeshConfig(data={d}, fsdp={f}, tp={t}): fixed axes need a "
+                f"multiple of {prod} devices, got {n_devices}"
+            )
+        missing = n_devices // prod
         out = tuple(missing if x == -1 else x for x in (d, f, t))
-        assert int(np.prod(out)) == n_devices, (
-            f"mesh {out} does not cover {n_devices} devices"
-        )
+        if int(np.prod(out)) != n_devices:
+            raise ValueError(f"mesh {out} does not cover {n_devices} devices")
         return out
 
 

@@ -40,6 +40,15 @@ class TestMesh:
         assert MeshConfig(data=2, fsdp=-1, tp=2).resolve(8) == (2, 2, 2)
         assert MeshConfig().resolve(8) == (1, 8, 1)
 
+    def test_resolve_rejects_uncoverable_device_counts(self):
+        # regression: used to emit a 0-sized axis (mesh (2, 0, 2) for 1 device)
+        with pytest.raises(ValueError):
+            MeshConfig(data=2, fsdp=-1, tp=2).resolve(1)
+        with pytest.raises(ValueError):
+            MeshConfig(data=2, fsdp=-1, tp=2).resolve(6)
+        with pytest.raises(ValueError):
+            MeshConfig(data=3, fsdp=1, tp=1).resolve(8)
+
     def test_create_mesh_axes(self):
         mesh = create_mesh(MeshConfig(data=2, fsdp=2, tp=2))
         assert dict(mesh.shape) == {"data": 2, "fsdp": 2, "tp": 2}
