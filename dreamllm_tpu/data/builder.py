@@ -39,6 +39,7 @@ from dreamllm_tpu.data.dataset_types import (
     TextOnly,
     VideoTextPair,
 )
+from dreamllm_tpu.models.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
 from dreamllm_tpu.models.dreamllm import SpecialTokens
 
 IGNORE = -100
@@ -70,7 +71,7 @@ class BuilderConfig:
 class BuiltSample:
     input_ids: np.ndarray        # [S] int32
     labels: np.ndarray           # [S] int32, IGNORE where masked
-    images: list                 # CLIP inputs (HWC float arrays in [0,1])
+    images: list                 # CLIP inputs (HWC float, CLIP mean/std normalized)
     image_positions: list[int]
     images_dm: list              # diffusion targets (HWC float in [-1,1])
     dream_positions: list[int]
@@ -115,7 +116,14 @@ class DreamLLMBuilder:
         return [st.dream_start] + [st.im_patch] * self.cfg.n_dream_queries + [st.dream_end]
 
     def _img(self, image) -> np.ndarray:
-        return _resize_hwc(_to_float01(image), self.cfg.image_size)
+        # CLIP mean/std normalization here so the TRAIN path feeds the frozen
+        # CLIP tower the same distribution as the inference paths, which go
+        # through clip_preprocess (reference normalizes in its builder via
+        # CLIPImageProcessor.preprocess).
+        arr = _resize_hwc(_to_float01(image), self.cfg.image_size)
+        mean = np.asarray(CLIP_IMAGE_MEAN, np.float32)
+        std = np.asarray(CLIP_IMAGE_STD, np.float32)
+        return (arr - mean) / std
 
     def _img_dm(self, image) -> np.ndarray:
         return _resize_hwc(_to_float01(image), self.cfg.image_size_dm) * 2.0 - 1.0

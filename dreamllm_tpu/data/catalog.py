@@ -86,7 +86,11 @@ def _conversation_json(subdir: str, size: int):
                 item = raw[i]
                 msgs = [
                     Message("user" if m["from"] in ("human", "user") else "assistant",
-                            m["value"].replace("<image>", "<image>"))
+                            # normalize placeholder whitespace ("<image>\n..."
+                            # in llava-instruct json) so the split on <image>
+                            # doesn't leave stray newlines in the prompt
+                            m["value"].replace("<image>\n", "<image>")
+                                      .replace("\n<image>", "<image>"))
                     for m in item["conversations"]
                 ]
                 images = []

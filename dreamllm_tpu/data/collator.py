@@ -22,6 +22,8 @@ def collate(
     seq_len: int | None = None,
     image_size: int = 224,
     image_size_dm: int = 256,
+    image_embed_len: int = 256,
+    n_dream_queries: int = 64,
 ) -> dict:
     b = len(samples)
     seq_len = seq_len or max(len(s.input_ids) for s in samples)
@@ -55,13 +57,16 @@ def collate(
         labels[i, :n] = s.labels[:n]
         seg[i, :n] = 1
         pos[i, :n] = np.arange(n)
+        # a span is kept only if its TOKEN footprint ([im_start] + embed_len
+        # patches + [im_end], i.e. p-1 .. p+embed_len) fits inside seq_len —
+        # a partial span would scatter features past its region
         for j, (img, p) in enumerate(zip(s.images, s.image_positions)):
-            if j >= max_images or p + img.shape[0] < 0 or p >= seq_len:
+            if j >= max_images or p < 0 or p + image_embed_len + 1 > seq_len:
                 continue
             images[i, j] = img
             image_positions[i, j] = p
         for j, (img, p) in enumerate(zip(s.images_dm, s.dream_positions)):
-            if j >= max_dreams or p >= seq_len:
+            if j >= max_dreams or p < 0 or p + n_dream_queries + 1 > seq_len:
                 continue
             images_dm[i, j] = img
             dream_positions[i, j] = p
@@ -85,7 +90,13 @@ def collate(
     return out
 
 
-def pack_samples(samples: list[BuiltSample], seq_len: int) -> list[BuiltSample]:
+def pack_samples(
+    samples: list[BuiltSample],
+    seq_len: int,
+    *,
+    image_embed_len: int = 256,
+    n_dream_queries: int = 64,
+) -> list[BuiltSample]:
     """Greedy first-fit packing of short samples into ``seq_len`` rows.
 
     TPU-native efficiency feature the reference lacks (its 2048-token rows are
@@ -129,12 +140,15 @@ def pack_samples(samples: list[BuiltSample], seq_len: int) -> list[BuiltSample]:
             labels.extend(s.labels[:n].tolist())
             segs.extend([s_idx] * n)
             poss.extend(range(n))
+            # keep a span only if its full TOKEN footprint survived the
+            # truncation to n (p indexes the first patch token; the span ends
+            # at p + embed_len inclusive, the <im_end>/<dream_end> token)
             for img, p in zip(s.images, s.image_positions):
-                if p + len(img) <= n:
+                if p + image_embed_len + 1 <= n:
                     images.append(img)
                     image_positions.append(p + off)
             for img, p in zip(s.images_dm, s.dream_positions):
-                if p < n:
+                if p + n_dream_queries + 1 <= n:
                     images_dm.append(img)
                     dream_positions.append(p + off)
         b = BuiltSample(

@@ -38,6 +38,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dreamllm_tpu.models.clip import (
     CLIPVisionConfig,
@@ -358,12 +359,13 @@ def dreamllm_forward(
     vm_loss = jnp.where(vm_ok, vm_loss, 0.0)
     loss = cfg.loss_weight_lm * lm_loss + cfg.loss_weight_vm * vm_loss
     # loss_scale normalization (reference :1472-1477): divide by the l1/l2
-    # norm of the two detached loss terms so neither dominates
+    # norm of the two constant loss WEIGHTS (not the loss values — dividing by
+    # the values would renormalize the loss to ~1 every step and silently
+    # change the effective LR)
     if cfg.loss_scale != "none":
-        a = jax.lax.stop_gradient(lm_loss)
-        b = jax.lax.stop_gradient(vm_loss)
-        denom = (a + b) if cfg.loss_scale == "l1" else jnp.sqrt(a**2 + b**2)
-        loss = loss / jnp.maximum(denom, 1e-8)
+        a, b = cfg.loss_weight_lm, cfg.loss_weight_vm
+        denom = (a + b) if cfg.loss_scale == "l1" else float(np.sqrt(a**2 + b**2))
+        loss = loss / max(denom, 1e-8)
     return loss, aux
 
 

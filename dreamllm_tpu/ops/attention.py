@@ -348,6 +348,10 @@ def flash_attention(
         and sq >= 128
         and sq % min(block_q, sq) == 0
         and skv % min(block_k, skv) == 0
+        # the kernel's causal mask assumes q and kv start at the same
+        # position; the XLA path right-aligns with a (skv - sq) offset, so
+        # chunked-prefill-style causal calls (skv > sq) must take XLA
+        and (not causal or sq == skv)
     )
     if not ok:
         return dot_product_attention(

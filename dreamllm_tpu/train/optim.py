@@ -70,9 +70,25 @@ def make_lr_schedule(cfg: OptimizerConfig):
 
 
 def _decay_mask(params) -> Any:
-    """True where weight decay applies: rank>=2 tensors (matmuls/convs/
-    embeddings); norms scales and biases excluded (trainer.py:381-390)."""
-    return jax.tree.map(lambda p: p.ndim >= 2, params)
+    """True where weight decay applies: matmul/conv/embedding weights.
+
+    Exclusion is by param PATH, not rank — scan-stacked norm scales and
+    biases are rank-2 ``[L, h]`` (llama input_norm/post_attn_norm, CLIP
+    ln*/b* leaves), so ``ndim >= 2`` would wrongly decay them. Mirrors the
+    reference's norm/bias exclusion (trainer.py:381-390)."""
+
+    def decay(path, p) -> bool:
+        keys = [str(getattr(k, "key", k)).strip("'\"[]").lower() for k in path]
+        leaf = keys[-1] if keys else ""
+        # norm scales/biases: leaf OR any parent named *norm*/ln* (GroupNorm
+        # subtrees are {"norm1": {"w": ..., "b": ...}})
+        if any("norm" in k or k.startswith("ln") or k.endswith("_ln") for k in keys):
+            return False
+        if leaf in ("b", "bias", "bq", "bk", "bv", "bo") or leaf.endswith("_b"):
+            return False  # biases
+        return p.ndim >= 2
+
+    return jax.tree_util.tree_map_with_path(decay, params)
 
 
 def make_optimizer(

@@ -114,6 +114,8 @@ def data_stream(config, cfg: DreamLLMConfig, tokenizer):
                 seq_len=bcfg.max_seq_len,
                 image_size=bcfg.image_size,
                 image_size_dm=bcfg.image_size_dm,
+                image_embed_len=bcfg.image_embed_len,
+                n_dream_queries=bcfg.n_dream_queries,
             )
             yield {k: jnp.asarray(v) for k, v in batch.items()}
 

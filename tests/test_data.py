@@ -105,7 +105,13 @@ class TestInterleavedBuilder:
         ))
         assert s.images[0].shape == (8, 8, 3)
         assert s.images_dm[0].shape == (16, 16, 3)
-        np.testing.assert_allclose(s.images[0][0, 0, 0], 0.7)
+        # CLIP inputs are mean/std-normalized in the builder (train path must
+        # match the clip_preprocess inference paths)
+        from dreamllm_tpu.models.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+        np.testing.assert_allclose(
+            s.images[0][0, 0, 0], (0.7 - CLIP_IMAGE_MEAN[0]) / CLIP_IMAGE_STD[0],
+            rtol=1e-5,
+        )
         np.testing.assert_allclose(s.images_dm[0][0, 0, 0], 0.7 * 2 - 1)
 
     def test_caps_respected(self):
@@ -151,7 +157,8 @@ class TestCollate:
         b2 = make_builder(i2t=False)
         s2 = b2.build(ImageTextPair(image=img(), text="x"))
         batch = collate([s1, s2], seq_len=64, max_images=2, max_dreams=2,
-                        image_size=8, image_size_dm=16)
+                        image_size=8, image_size_dm=16,
+                        image_embed_len=4, n_dream_queries=4)
         assert batch["input_ids"].shape == (2, 64)
         assert batch["images"].shape == (2, 2, 8, 8, 3)
         assert batch["images_dm"].shape == (2, 2, 16, 16, 3)
@@ -180,7 +187,8 @@ class TestCollate:
             b.build(ImageTextPair(image=img(), text="caption words here")),
         ]
         batch = collate(samples, seq_len=64, max_images=2, max_dreams=2,
-                        image_size=8, image_size_dm=16)
+                        image_size=8, image_size_dm=16,
+                        image_embed_len=4, n_dream_queries=4)
         cfg = DreamLLMConfig(
             llm=LlamaConfig(vocab_size=40000, hidden_size=32, intermediate_size=64,
                             num_hidden_layers=2, num_attention_heads=4,
@@ -269,7 +277,11 @@ class TestIIPair:
         b = make_builder()
         s = b.build(ImageImagePair(source=img(0.2), target=img(0.8), text="make it bright"))
         assert len(s.images) == 1 and len(s.images_dm) == 1
-        np.testing.assert_allclose(s.images[0][0, 0, 0], 0.2)
+        from dreamllm_tpu.models.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+        np.testing.assert_allclose(
+            s.images[0][0, 0, 0], (0.2 - CLIP_IMAGE_MEAN[0]) / CLIP_IMAGE_STD[0],
+            rtol=1e-5,
+        )
         np.testing.assert_allclose(s.images_dm[0][0, 0, 0], 0.8 * 2 - 1)
         ids, labels = s.input_ids, s.labels
         ds_pos = s.dream_positions[0] - 1

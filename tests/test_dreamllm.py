@@ -213,12 +213,16 @@ class TestAuxFeatures:
         assert float(aux["hidden_absmax_max"]) > 0
         assert float(aux["hidden_absmax_mean"]) <= float(aux["hidden_absmax_max"])
 
-    def test_loss_scale_l1(self, model):
+    def test_loss_scale_divides_by_weight_norm(self, model):
+        # reference loss_scale_schedule (modeling_dreamllm.py:1472-1477):
+        # denominator is the norm of the constant loss WEIGHTS, not the loss
+        # values (value-norm would renormalize the loss to ~1 every step)
         cfg, params = model
         import dataclasses as dc
         batch = make_batch(cfg)
-        l0, _ = dreamllm_forward(params, cfg, batch, use_flash=False)
-        l1, aux = dreamllm_forward(params, dc.replace(cfg, loss_scale="l1"), batch, use_flash=False)
-        # with vm=0 and l1 scaling, loss = lm/lm = 1
-        np.testing.assert_allclose(float(l1), 1.0, rtol=1e-5)
-        assert float(l0) > 1.0
+        base = dc.replace(cfg, loss_weight_lm=3.0, loss_weight_vm=4.0)
+        l0, _ = dreamllm_forward(params, base, batch, use_flash=False)
+        l1, _ = dreamllm_forward(params, dc.replace(base, loss_scale="l1"), batch, use_flash=False)
+        l2, _ = dreamllm_forward(params, dc.replace(base, loss_scale="l2"), batch, use_flash=False)
+        np.testing.assert_allclose(float(l1), float(l0) / 7.0, rtol=1e-5)
+        np.testing.assert_allclose(float(l2), float(l0) / 5.0, rtol=1e-5)

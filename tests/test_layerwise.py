@@ -7,12 +7,52 @@ import numpy as np
 
 from dreamllm_tpu.train.optim import (
     OptimizerConfig,
+    _decay_mask,
     layerwise_multiplier_tree,
     llrd_multiplier,
     make_optimizer,
     scale_grads_by_tree,
     trailing_layers_multiplier,
 )
+
+
+def test_decay_mask_excludes_stacked_norms_and_biases():
+    """Weight decay must skip norm scales/biases even when scan-stacking
+    makes them rank-2 [L, h] (llama input_norm, CLIP ln*/b* leaves)."""
+    params = {
+        "llm": {
+            "embed_tokens": jnp.ones((10, 4)),
+            "layers": {
+                "wq": jnp.ones((2, 4, 4)),
+                "input_norm": jnp.ones((2, 4)),       # stacked norm: rank 2!
+                "post_attn_norm": jnp.ones((2, 4)),
+            },
+            "final_norm": jnp.ones((4,)),
+        },
+        "clip": {
+            "layers": {
+                "ln1_w": jnp.ones((2, 4)), "ln1_b": jnp.ones((2, 4)),
+                "bq": jnp.ones((2, 4)), "fc1_b": jnp.ones((2, 8)),
+                "fc1_w": jnp.ones((2, 4, 8)),
+            },
+        },
+        "sd_head": {"norm1": {"w": jnp.ones((8,)), "b": jnp.ones((8,))},
+                    "conv": {"w": jnp.ones((3, 3, 4, 4)), "b": jnp.ones((4,))}},
+    }
+    m = _decay_mask(params)
+    assert m["llm"]["embed_tokens"] is True
+    assert m["llm"]["layers"]["wq"] is True
+    assert m["llm"]["layers"]["input_norm"] is False
+    assert m["llm"]["layers"]["post_attn_norm"] is False
+    assert m["llm"]["final_norm"] is False
+    assert m["clip"]["layers"]["ln1_w"] is False
+    assert m["clip"]["layers"]["ln1_b"] is False
+    assert m["clip"]["layers"]["bq"] is False
+    assert m["clip"]["layers"]["fc1_b"] is False
+    assert m["clip"]["layers"]["fc1_w"] is True
+    assert m["sd_head"]["norm1"]["w"] is False
+    assert m["sd_head"]["conv"]["w"] is True
+    assert m["sd_head"]["conv"]["b"] is False
 
 
 def test_trailing_multiplier():

@@ -208,6 +208,22 @@ class TestAttention:
         )
         np.testing.assert_allclose(_np(got), _np(ref), rtol=1e-4, atol=1e-5)
 
+    def test_flash_causal_longer_kv_right_aligned(self):
+        """causal + skv > sq >= 128 (chunked prefill over a longer KV) must
+        apply the right-aligned causal mask — the Pallas kernel's mask assumes
+        aligned starts, so this shape combination routes to XLA."""
+        rng = np.random.default_rng(11)
+        b, sq, skv, h, d = 1, 128, 256, 2, 128
+        q = rng.standard_normal((b, sq, h, d), dtype=np.float32)
+        k = rng.standard_normal((b, skv, h, d), dtype=np.float32)
+        v = rng.standard_normal((b, skv, h, d), dtype=np.float32)
+        golden = _torch_attention(q, k, v, causal=True)
+        got = flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            causal=True, block_q=128, block_k=128, interpret=True,
+        )
+        np.testing.assert_allclose(_np(got), golden, rtol=1e-4, atol=1e-5)
+
     def test_pallas_interpret_segment_ids(self):
         rng = np.random.default_rng(9)
         b, s, h, d = 1, 256, 2, 128

@@ -35,7 +35,7 @@ def build_samples(n=4):
 class TestPacking:
     def test_pack_reduces_rows(self):
         samples = build_samples(4)  # each ~15 tokens; 64-token rows fit 4
-        packed = pack_samples(samples, seq_len=64)
+        packed = pack_samples(samples, seq_len=64, image_embed_len=4, n_dream_queries=4)
         assert len(packed) < len(samples)
         total_before = sum(len(s.input_ids) for s in samples)
         total_after = sum(len(p.input_ids) for p in packed)
@@ -43,7 +43,7 @@ class TestPacking:
 
     def test_segments_distinct_and_positions_reset(self):
         samples = build_samples(3)
-        packed = pack_samples(samples, seq_len=64)
+        packed = pack_samples(samples, seq_len=64, image_embed_len=4, n_dream_queries=4)
         row = packed[0]
         segs = row.segments
         assert segs.min() >= 1
@@ -55,7 +55,7 @@ class TestPacking:
 
     def test_image_positions_relocated(self):
         samples = build_samples(3)
-        packed = pack_samples(samples, seq_len=64)
+        packed = pack_samples(samples, seq_len=64, image_embed_len=4, n_dream_queries=4)
         row = packed[0]
         st = CFG_B.special
         for p in row.image_positions:
@@ -81,7 +81,8 @@ class TestPacking:
         refs = []
         for s in samples:
             batch = collate_packed([s], seq_len=64, max_images=2, max_dreams=2,
-                                   image_size=8, image_size_dm=16)
+                                   image_size=8, image_size_dm=16,
+                                   image_embed_len=4, n_dream_queries=4)
             e = multimodal_embed(
                 params, cfg, jnp.asarray(batch["input_ids"]),
                 images=jnp.asarray(batch["images"]),
@@ -95,10 +96,11 @@ class TestPacking:
             )["last_hidden_state"]
             refs.append(np.asarray(h[0, : len(s.input_ids)]))
 
-        packed = pack_samples(samples, seq_len=64)
+        packed = pack_samples(samples, seq_len=64, image_embed_len=4, n_dream_queries=4)
         assert len(packed) == 1
         batch = collate_packed(packed, seq_len=64, max_images=4, max_dreams=2,
-                               image_size=8, image_size_dm=16)
+                               image_size=8, image_size_dm=16,
+                               image_embed_len=4, n_dream_queries=4)
         e = multimodal_embed(
             params, cfg, jnp.asarray(batch["input_ids"]),
             images=jnp.asarray(batch["images"]),
