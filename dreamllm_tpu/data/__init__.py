@@ -1,6 +1,7 @@
 from dreamllm_tpu.data.dataset_types import (
     DatasetType,
     ImageTextPair,
+    InstructInterleavedImageText,
     InterleavedImageText,
     ConversationSample,
     Message,

@@ -30,12 +30,14 @@ from typing import Protocol
 
 import numpy as np
 
-from dreamllm_tpu.data.conversation import TEMPLATES, render_conversation
+from dreamllm_tpu.data.conversation import TEMPLATES, render_conversation, render_prompt
 from dreamllm_tpu.data.dataset_types import (
     ConversationSample,
     ImageImagePair,
     ImageTextPair,
+    InstructInterleavedImageText,
     InterleavedImageText,
+    Message,
     TextOnly,
     VideoTextPair,
 )
@@ -142,6 +144,8 @@ class DreamLLMBuilder:
             # unified_it_pair_pretokenized_webdataset)
         if isinstance(sample, ImageTextPair):
             return self.build_pair(sample)
+        if isinstance(sample, InstructInterleavedImageText):
+            return self.build_instruct_interleaved(sample)
         if isinstance(sample, InterleavedImageText):
             return self.build_interleaved(sample)
         if isinstance(sample, ConversationSample):
@@ -241,6 +245,25 @@ class DreamLLMBuilder:
 
     def build_interleaved(self, s: InterleavedImageText) -> BuiltSample:
         st = self.cfg.special
+        return self._interleaved_body(s, [st.bos], [IGNORE])
+
+    def build_instruct_interleaved(self, s: InstructInterleavedImageText) -> BuiltSample:
+        """Instruction-prefixed interleaved doc (reference builder
+        :290-356 + conversation_it_interleaved_dataset.py:87-101): the
+        conversation prefix (system + USER: instruction + ASSISTANT:) is
+        rendered from the template, and ALL its tokens are label-masked
+        (:355-356 masks the first instruction_len labels); the interleaved
+        document then follows with standard interleaved label semantics
+        (text + <dream_start> learnable)."""
+        st = self.cfg.special
+        template = TEMPLATES[self.cfg.conv_template]
+        prefix = render_prompt(template, [Message("user", s.instruction)])
+        ids = [st.bos] + self.tok.encode(prefix)
+        labels = [IGNORE] * len(ids)
+        return self._interleaved_body(s, ids, labels)
+
+    def _interleaved_body(self, s, ids: list[int], labels: list[int]) -> BuiltSample:
+        st = self.cfg.special
         cfg = self.cfg
         # group images by their text anchor (reference :100-108 sorts by
         # matched_text_index and merges)
@@ -248,8 +271,6 @@ class DreamLLMBuilder:
         for i, idx in enumerate(s.matched_text_index):
             by_chunk.setdefault(int(idx), []).append(i)
 
-        ids: list[int] = [st.bos]
-        labels: list[int] = [IGNORE]
         images, image_positions, images_dm, dream_positions = [], [], [], []
         time_ids = []
 

@@ -17,6 +17,7 @@ import numpy as np
 from dreamllm_tpu.data.dataset_types import (
     ConversationSample,
     ImageTextPair,
+    InstructInterleavedImageText,
     InterleavedImageText,
     Message,
 )
@@ -60,6 +61,28 @@ def _interleaved_wds(subdir: str, size: int):
                 images=[s[k] for k in sorted(s) if k.startswith("image")],
                 matched_text_index=meta.get("matched_text_index", []),
                 matched_sim=meta.get("matched_sim"),
+            )
+
+        stream = ShardStream(_shards(subdir), map_fn=to_sample,
+                             filters=[lambda s: "json" in s], **kw)
+        return IterableAsMapStyle(stream, size)
+
+    return factory
+
+
+def _instruct_interleaved_wds(subdir: str, size: int):
+    """SFT-format shards: interleaved doc + an ``instruction`` field
+    (reference conversation_it_interleaved_dataset.py)."""
+
+    def factory(**kw):
+        def to_sample(s):
+            meta = s["json"]
+            return InstructInterleavedImageText(
+                texts=meta.get("text_list", meta.get("texts", [])),
+                images=[s[k] for k in sorted(s) if k.startswith("image")],
+                matched_text_index=meta.get("matched_text_index", []),
+                matched_sim=meta.get("matched_sim"),
+                instruction=meta.get("instruction", ""),
             )
 
         stream = ShardStream(_shards(subdir), map_fn=to_sample,
@@ -114,9 +137,14 @@ for name, sub, size, kind in [
     ("journeydb", "journeydb", 4_000_000, "pair"),
     ("mmc4_core", "mmc4-core", 7_000_000, "interleaved"),
     ("obelics", "obelics", 141_000_000, "interleaved"),
-    ("mmc4_instruct", "mmc4-instruct", 500_000, "interleaved"),
+    ("mmc4_instruct", "mmc4-instruct", 500_000, "instruct_interleaved"),
 ]:
-    factory = _pair_wds(sub, size) if kind == "pair" else _interleaved_wds(sub, size)
+    if kind == "pair":
+        factory = _pair_wds(sub, size)
+    elif kind == "instruct_interleaved":
+        factory = _instruct_interleaved_wds(sub, size)
+    else:
+        factory = _interleaved_wds(sub, size)
     register_dataset(name, factory, dataset_type=kind, approx_size=size)
 
 register_dataset(

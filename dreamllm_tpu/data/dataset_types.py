@@ -42,6 +42,23 @@ class InterleavedImageText:
 
 
 @dataclasses.dataclass
+class InstructInterleavedImageText:
+    """Instruction-prefixed interleaved doc — the SFT-stage data format
+    (reference InstructInterleavedImageTextReturnType, dataset_type.py:60-62,
+    built by builder_dreamllm.py:290-356): a conversation prefix rendered
+    from ``instruction`` is fully label-masked, then the interleaved document
+    follows as the assistant's answer with standard interleaved label
+    semantics."""
+
+    texts: Sequence[str]
+    images: Sequence[Any]
+    matched_text_index: Sequence[int]
+    instruction: str = ""
+    matched_sim: Sequence[float] | None = None
+    dataset_type: DatasetType = DatasetType.INSTRUCT_INTERLEAVED
+
+
+@dataclasses.dataclass
 class ImageImagePair:
     """Source→target image pair (reference unified_ii_pair_webdataset —
     variation/edit training: comprehend the source, create the target)."""

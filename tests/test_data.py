@@ -270,6 +270,67 @@ class TestWebdataset:
         assert len(out) == 3
 
 
+class TestInstructInterleavedBuilder:
+    """Label semantics of the SFT data format (reference
+    builder_dreamllm.py:290-356): conversation prefix fully masked,
+    document text learnable, <dream_start> learnable, other special masked."""
+
+    def _build(self):
+        from dreamllm_tpu.data import InstructInterleavedImageText
+
+        b = make_builder()
+        s = b.build(InstructInterleavedImageText(
+            texts=["first chunk words", "closing words"],
+            images=[img(0.3)],
+            matched_text_index=[0],
+            instruction="write an illustrated story",
+        ))
+        return b, s
+
+    def test_prefix_masked_document_learnable(self):
+        from dreamllm_tpu.data.conversation import TEMPLATES, render_prompt
+        from dreamllm_tpu.data.dataset_types import Message as Msg
+
+        b, s = self._build()
+        ids, labels = s.input_ids, s.labels
+        prefix = render_prompt(TEMPLATES[CFG.conv_template],
+                               [Msg("user", "write an illustrated story")])
+        prefix_len = 1 + len(b.tok.encode(prefix))  # + bos
+        # ENTIRE instruction prefix masked (reference :355-356)
+        assert np.all(labels[:prefix_len] == IGNORE)
+        # document text learnable after the prefix
+        doc = labels[prefix_len:]
+        assert (doc != IGNORE).sum() > 0
+        # eos learnable
+        assert labels[-1] == ST.eos
+
+    def test_dream_start_learnable_other_special_masked(self):
+        _, s = self._build()
+        ids, labels = s.input_ids, s.labels
+        assert len(s.dream_positions) == 1 and len(s.image_positions) == 1
+        ds_pos = s.dream_positions[0] - 1
+        assert ids[ds_pos] == ST.dream_start
+        assert labels[ds_pos] == ST.dream_start  # learnable — model learns WHEN to emit
+        special = np.isin(ids, [ST.im_patch, ST.im_start, ST.im_end, ST.dream_end])
+        assert np.all(labels[special] == IGNORE)
+        # image used both as creation target and comprehension input
+        assert len(s.images) == 1 and len(s.images_dm) == 1
+
+    def test_creation_only_and_comprehension_only_toggles(self):
+        from dreamllm_tpu.data import InstructInterleavedImageText
+
+        sample = InstructInterleavedImageText(
+            texts=["chunk"], images=[img()], matched_text_index=[0],
+            instruction="do it",
+        )
+        cfg_c = BuilderConfig(**{**CFG.__dict__, "use_comprehension": False})
+        s = DreamLLMBuilder(ToyTokenizer(), cfg_c).build(sample)
+        assert len(s.images) == 0 and len(s.images_dm) == 1
+        cfg_k = BuilderConfig(**{**CFG.__dict__, "use_creation": False})
+        s = DreamLLMBuilder(ToyTokenizer(), cfg_k).build(sample)
+        assert len(s.images) == 1 and len(s.images_dm) == 0
+
+
 class TestIIPair:
     def test_image_image_pair(self):
         from dreamllm_tpu.data.dataset_types import ImageImagePair
