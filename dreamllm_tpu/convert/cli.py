@@ -66,8 +66,16 @@ class _Attr:
         raise AttributeError(k)
 
 
-def convert_llama_dir(path: str, dtype=None):
-    from dreamllm_tpu.convert.hf_llama import convert_llama_state_dict, llama_config_from_hf
+def convert_llama_dir(path: str, dtype=None, vocab_size: int | None = None):
+    """``vocab_size``: grow the embedding/lm_head to this size with
+    mean-of-existing-rows init (stock 32,000-vocab Vicuna → 32,064-vocab
+    DreamLLM configs; reference modeling_dreamllm.py:1310-1322 +
+    projects/dreamllm/train.py:142-147)."""
+    from dreamllm_tpu.convert.hf_llama import (
+        convert_llama_state_dict,
+        llama_config_from_hf,
+        resize_vocab_with_mean_init,
+    )
     import jax.numpy as jnp
 
     raw = _load_json(os.path.join(path, "config.json"))
@@ -78,7 +86,11 @@ def convert_llama_dir(path: str, dtype=None):
     raw.setdefault("rope_scaling", None)
     cfg = llama_config_from_hf(_Attr(raw), dtype=dtype or jnp.bfloat16)
     sd = load_state_dict_dir(path)
-    return cfg, convert_llama_state_dict(sd, cfg)
+    params = convert_llama_state_dict(sd, cfg)
+    if vocab_size is not None and vocab_size != cfg.vocab_size:
+        params, cfg = resize_vocab_with_mean_init(params, cfg, vocab_size)
+        logger.info("resized vocab to %d with mean-init rows", vocab_size)
+    return cfg, params
 
 
 def convert_clip_dir(path: str, dtype=None):
@@ -147,14 +159,14 @@ def convert_sd_dir(path: str, dtype=None):
 
 
 def assemble(out_dir: str, llm: str | None, clip: str | None, sd: str | None,
-             dtype=None) -> str:
+             dtype=None, vocab_size: int | None = None) -> str:
     """Convert + save as checkpoint-000000 under ``out_dir``."""
     from dreamllm_tpu.train.checkpoints import save_checkpoint
 
     params: dict = {}
     meta: dict = {}
     if llm:
-        cfg, p = convert_llama_dir(llm, dtype)
+        cfg, p = convert_llama_dir(llm, dtype, vocab_size=vocab_size)
         params["llm"] = p
         meta["llm_config"] = cfg.__dict__ | {"dtype": str(cfg.dtype)}
         logger.info("converted LLM from %s (%d tensors)", llm, len(list(_leaves(p))))
@@ -190,8 +202,11 @@ def main(argv=None):
     p.add_argument("--clip", default=None, help="HF CLIP(Vision)Model dir")
     p.add_argument("--sd", default=None, help="diffusers pipeline dir (unet/ vae/)")
     p.add_argument("--out", required=True)
+    p.add_argument("--vocab_size", type=int, default=None,
+                   help="grow LLM vocab to this size with mean-init rows "
+                        "(e.g. 32064 for the DreamLLM special tokens)")
     args = p.parse_args(argv)
-    assemble(args.out, args.llm, args.clip, args.sd)
+    assemble(args.out, args.llm, args.clip, args.sd, vocab_size=args.vocab_size)
 
 
 if __name__ == "__main__":

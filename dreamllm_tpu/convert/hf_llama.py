@@ -15,6 +15,7 @@ Layout notes:
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Mapping
 
 import jax.numpy as jnp
@@ -88,3 +89,46 @@ def convert_llama_state_dict(
     if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(t(sd["lm_head.weight"]), dtype)
     return params
+
+
+def resize_vocab_with_mean_init(
+    params: dict,
+    cfg: LlamaConfig,
+    new_vocab_size: int,
+    dtype=None,
+) -> tuple[dict, LlamaConfig]:
+    """Grow ``embed_tokens``/``lm_head`` to ``new_vocab_size``, initializing
+    every NEW token row to the mean of the existing embeddings.
+
+    The canonical cold start: a stock 32,000-vocab Vicuna checkpoint → the
+    framework's 32,064-vocab configs (7 multimodal special tokens + pad).
+    Mirrors the reference's tokenizer-aware ``resize_token_embeddings``
+    (modeling_dreamllm.py:1310-1322) followed by
+    ``average_init_token_embeddings`` (tokenizer_utils.py:70-80, called from
+    projects/dreamllm/train.py:142-147).
+    """
+    emb = np.asarray(params["embed_tokens"], np.float32)
+    old = emb.shape[0]
+    if new_vocab_size < old:
+        raise ValueError(
+            f"cannot shrink vocab {old} -> {new_vocab_size}; the reference "
+            "only warns on this, but silently dropping token rows loses "
+            "trained embeddings"
+        )
+    if new_vocab_size == old and cfg.vocab_size == old:
+        return params, cfg
+    dtype = dtype or params["embed_tokens"].dtype
+    n_new = new_vocab_size - old
+    out = dict(params)
+    if n_new > 0:
+        new_rows = np.tile(emb.mean(axis=0, keepdims=True), (n_new, 1))
+        out["embed_tokens"] = jnp.asarray(
+            np.concatenate([emb, new_rows], axis=0), dtype
+        )
+        if "lm_head" in params:  # ours is [H, V] (y = x @ W)
+            head = np.asarray(params["lm_head"], np.float32)
+            new_cols = np.tile(head.mean(axis=1, keepdims=True), (1, n_new))
+            out["lm_head"] = jnp.asarray(
+                np.concatenate([head, new_cols], axis=1), dtype
+            )
+    return out, dataclasses.replace(cfg, vocab_size=new_vocab_size)

@@ -158,3 +158,73 @@ class TestMisc:
             np.asarray(llama_forward(params, cfg, input_ids=ids, use_flash=False)["last_hidden_state"]),
             rtol=1e-5, atol=1e-5,
         )
+
+
+class TestVocabResize:
+    """Vanilla-checkpoint bootstrap: grow a stock-vocab HF Llama to the
+    framework vocab with mean-init rows (reference
+    modeling_dreamllm.py:1310-1322 + projects/dreamllm/train.py:142-147)."""
+
+    def test_mean_init_and_forward(self, hf_pair):
+        from dreamllm_tpu.convert import resize_vocab_with_mean_init
+
+        _, cfg, params = hf_pair
+        new_vocab = TINY["vocab_size"] + 8
+        p2, cfg2 = resize_vocab_with_mean_init(params, cfg, new_vocab)
+        assert cfg2.vocab_size == new_vocab
+        emb = np.asarray(p2["embed_tokens"], np.float32)
+        assert emb.shape[0] == new_vocab
+        old_mean = np.asarray(params["embed_tokens"], np.float32).mean(axis=0)
+        for r in range(TINY["vocab_size"], new_vocab):
+            np.testing.assert_allclose(emb[r], old_mean, rtol=1e-5, atol=1e-6)
+        head = np.asarray(p2["lm_head"], np.float32)
+        assert head.shape[1] == new_vocab
+        head_mean = np.asarray(params["lm_head"], np.float32).mean(axis=1)
+        np.testing.assert_allclose(head[:, -1], head_mean, rtol=1e-5, atol=1e-6)
+        # old rows untouched
+        np.testing.assert_array_equal(
+            emb[: TINY["vocab_size"]], np.asarray(params["embed_tokens"])
+        )
+        # forward over a NEW token id works and produces full-width logits
+        ids = jnp.asarray([[TINY["vocab_size"] + 3, 5, 7]])
+        h = llama_forward(p2, cfg2, input_ids=ids, use_flash=False)["last_hidden_state"]
+        logits = llama_logits(p2, cfg2, h)
+        assert logits.shape == (1, 3, new_vocab)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_shrink_rejected(self, hf_pair):
+        from dreamllm_tpu.convert import resize_vocab_with_mean_init
+
+        _, cfg, params = hf_pair
+        with pytest.raises(ValueError):
+            resize_vocab_with_mean_init(params, cfg, TINY["vocab_size"] - 1)
+
+    def test_train_smoke_step_after_resize(self, hf_pair):
+        from dreamllm_tpu.convert import resize_vocab_with_mean_init
+        from dreamllm_tpu.train import (
+            OptimizerConfig, init_train_state, make_optimizer,
+        )
+        import optax
+
+        _, cfg, params = hf_pair
+        p2, cfg2 = resize_vocab_with_mean_init(params, cfg, TINY["vocab_size"] + 8)
+
+        def loss_fn(p, ids):
+            h = llama_forward(p, cfg2, input_ids=ids, use_flash=False)["last_hidden_state"]
+            logits = llama_logits(p, cfg2, h)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits[:, :-1], ids[:, 1:]
+            ).mean()
+
+        tx = make_optimizer(OptimizerConfig(learning_rate=1e-3, warmup_steps=0, total_steps=10))
+        state = init_train_state(p2, tx)
+        ids = jnp.asarray([[1, 5, TINY["vocab_size"] + 2, 9, 3]])
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, ids)
+        assert np.isfinite(float(loss))
+        updates, _ = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # the new (mean-init) rows must be trainable: the row for the used
+        # new token moved
+        before = np.asarray(p2["embed_tokens"])[TINY["vocab_size"] + 2]
+        after = np.asarray(new_params["embed_tokens"])[TINY["vocab_size"] + 2]
+        assert np.abs(after - before).max() > 0
