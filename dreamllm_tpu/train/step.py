@@ -46,6 +46,7 @@ def make_train_step(
     remat: bool = True,
     use_flash: bool = True,
     donate: bool = True,
+    skip_nonfinite: bool = True,
 ):
     """Build the jitted train step.
 
@@ -56,6 +57,14 @@ def make_train_step(
 
     ``head_in_params``: the diffusion head lives in ``params["sd_head"]`` and
     trains jointly (pass False to run LM-only configs).
+
+    ``skip_nonfinite``: the reference's NaN/Inf loss filter (trainer.py:
+    768-777) moved INSIDE the jitted step — on a non-finite loss or grad
+    norm the params/opt-state update is dropped via ``jnp.where`` selects,
+    so the host never has to fetch the loss per step (a per-step ``float()``
+    blocks JAX async dispatch and serializes host↔device). ``aux
+    ["update_skipped"]`` reports 1.0 when the update was dropped; the step
+    counter still advances (the data stream consumed the batch).
     """
 
     def loss_fn(params, batch, rng):
@@ -100,8 +109,17 @@ def make_train_step(
         gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         aux = dict(aux, grad_norm=gnorm)
+        if skip_nonfinite:
+            ok = jnp.isfinite(aux["loss"]) & jnp.isfinite(gnorm)
+
+            def sel(n, o):
+                return jnp.where(ok, n, o)
+
+            params = jax.tree.map(sel, params, state.params)
+            opt_state = jax.tree.map(sel, opt_state, state.opt_state)
+            aux["update_skipped"] = (~ok).astype(jnp.float32)
+        new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
         return new_state, aux
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

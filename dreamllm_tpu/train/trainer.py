@@ -46,7 +46,6 @@ class TrainerConfig:
     val_steps: int = 0          # 0 disables mid-training validation
     output_dir: str = "./runs/train"
     resume: bool = True
-    skip_nan_loss: bool = True  # NaN/Inf loss filter (trainer.py:768-777)
     tokens_per_batch: int | None = None  # for tokens/sec reporting
 
 
@@ -114,32 +113,33 @@ class Trainer:
         for step in range(start_step, self.cfg.max_steps):
             batch = next(self.data_iter)
             self.rng, sub = jax.random.split(self.rng)
-            new_state, aux = self.step_fn(self.state, batch, sub)
-
-            if self.cfg.skip_nan_loss:
-                loss = float(aux["loss"])
-                if not np.isfinite(loss):
-                    logger.warning("step %d: non-finite loss %s — skipping update", step, loss)
-                    # keep old params; advance data only (reference filters the
-                    # loss rather than the update; with a jitted fused step we
-                    # drop the whole update instead)
-                    continue
-            self.state = new_state
-            self.log_buffer.append({k: float(v) for k, v in aux.items()})
+            # NaN/Inf filtering happens INSIDE the jitted step (make_train_step
+            # skip_nonfinite): the update is dropped on-device and
+            # aux["update_skipped"] reports it. No per-step host fetch — a
+            # float(aux["loss"]) here would block async dispatch every step.
+            self.state, aux = self.step_fn(self.state, batch, sub)
+            self.log_buffer.append(aux)  # device scalars; fetched at log time
             self._fire("on_step", step=step + 1, aux=aux)
 
             cur = step + 1
             if self.cfg.log_steps and cur % self.cfg.log_steps == 0:
+                buffered = jax.device_get(self.log_buffer)  # one host sync
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
                 logs = {
-                    k: float(np.mean([b[k] for b in self.log_buffer]))
-                    for k in self.log_buffer[0]
+                    k: float(np.mean([b[k] for b in buffered]))
+                    for k in buffered[0]
                 }
                 logs["steps_per_sec"] = self.cfg.log_steps / dt
                 if self.cfg.tokens_per_batch:
                     logs["tokens_per_sec"] = self.cfg.tokens_per_batch * self.cfg.log_steps / dt
                 self.log_buffer.clear()
+                skipped = logs.get("update_skipped", 0.0)
+                if skipped:
+                    logger.warning(
+                        "%d/%d updates skipped on non-finite loss in this window",
+                        int(round(skipped * len(buffered))), len(buffered),
+                    )
                 logger.info("step %d: %s", cur, {k: round(v, 5) for k, v in logs.items()})
                 self._fire("on_log", step=cur, logs=logs)
 

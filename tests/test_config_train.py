@@ -171,3 +171,52 @@ class TestTrainerLoop:
         tr2 = Trainer(cfg, step_fn, data(), state)
         final2 = tr2.train()
         assert int(final2.step) == 10
+
+    def test_nonfinite_update_skipped_inside_jit(self):
+        """The NaN filter lives INSIDE the jitted step (no per-step host
+        float()): a NaN batch drops the params/opt-state update on-device
+        and reports aux['update_skipped']=1."""
+        from dreamllm_tpu.models.clip import CLIPVisionConfig
+        from dreamllm_tpu.models.dreamllm import DreamLLMConfig
+        from dreamllm_tpu.models.llama import LlamaConfig
+        from dreamllm_tpu.models.projector import ProjectorConfig
+        from dreamllm_tpu.models.dreamllm import init_dreamllm_params
+        from dreamllm_tpu.train import (
+            OptimizerConfig, init_train_state, make_optimizer, make_train_step,
+        )
+
+        cfg = DreamLLMConfig(
+            llm=LlamaConfig(vocab_size=40000, hidden_size=32, intermediate_size=64,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            num_key_value_heads=2, max_position_embeddings=64),
+            vision=CLIPVisionConfig(hidden_size=16, intermediate_size=32,
+                                    num_hidden_layers=2, num_attention_heads=2,
+                                    image_size=8, patch_size=4),
+            vision_projector=ProjectorConfig(projector_type="linear", in_dim=16, out_dim=32),
+            n_dream_queries=4, image_embed_len=4,
+        )
+        params = init_dreamllm_params(jax.random.PRNGKey(0), cfg)
+        tx = make_optimizer(OptimizerConfig(learning_rate=1e-2, warmup_steps=0, total_steps=10))
+        state = init_train_state(params, tx)
+        step = make_train_step(cfg, tx, head_in_params=False, grad_accum=1,
+                               remat=False, use_flash=False, donate=False)
+
+        ids = np.ones((2, 16), np.int64)
+        batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(ids)}
+
+        # finite batch: update applied
+        s1, aux1 = step(state, batch, jax.random.PRNGKey(1))
+        assert float(aux1["update_skipped"]) == 0.0
+        assert float(jnp.abs(s1.params["llm"]["final_norm"]
+                             - state.params["llm"]["final_norm"]).max()) > 0
+
+        # poison params -> NaN loss -> update dropped, state bit-identical
+        bad_params = dict(state.params)
+        bad_params["llm"] = dict(bad_params["llm"])
+        bad_params["llm"]["final_norm"] = state.params["llm"]["final_norm"] * jnp.nan
+        bad_state = init_train_state(bad_params, tx)
+        s2, aux2 = step(bad_state, batch, jax.random.PRNGKey(1))
+        assert float(aux2["update_skipped"]) == 1.0
+        assert int(s2.step) == 1  # step still advances (data was consumed)
+        for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(bad_params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
