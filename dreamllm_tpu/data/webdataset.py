@@ -96,6 +96,8 @@ class ShardStream:
         self.filters = list(filters)
         self.map_fn = map_fn
         self.max_consecutive_failures = max_consecutive_failures
+        self._yielded = 0   # samples produced since stream start (resume)
+        self._skip = 0
 
     def _shard_iter(self, rng: random.Random) -> Iterator[str]:
         if self.resample:
@@ -129,8 +131,7 @@ class ShardStream:
                 if failures >= self.max_consecutive_failures:
                     raise
 
-    def __iter__(self) -> Iterator[Any]:
-        rng = random.Random(self.seed)
+    def _iterate(self, rng: random.Random) -> Iterator[Any]:
         buf: list[Any] = []
         for s in self._raw(rng):
             if self.map_fn is not None:
@@ -145,6 +146,29 @@ class ShardStream:
                 yield buf.pop()
         rng.shuffle(buf)
         yield from buf
+
+    def __iter__(self) -> Iterator[Any]:
+        n_skip, self._skip = self._skip, 0
+        self._yielded = 0
+        for s in self._iterate(random.Random(self.seed)):
+            self._yielded += 1
+            if n_skip > 0:
+                n_skip -= 1
+                continue
+            yield s
+
+    # ---- resumable-stream protocol (consumed by train.Trainer; the
+    # reference's skip_first_batches + RNG reload, trainer.py:698-757) ----
+    def state_dict(self) -> dict:
+        return {"yielded": self._yielded, "seed": self.seed}
+
+    def load_state_dict(self, state: dict) -> None:
+        """Fast-forward the next iteration past ``yielded`` samples — the
+        shard order and shuffle buffer are deterministic in ``seed``, so the
+        sequence continues instead of repeating. Assumes one live iterator."""
+        if state.get("seed", self.seed) != self.seed:
+            logger.warning("resume seed %s != stream seed %s", state.get("seed"), self.seed)
+        self._skip = int(state["yielded"])
 
 
 class IterableAsMapStyle:
@@ -164,3 +188,13 @@ class IterableAsMapStyle:
         if self._it is None:
             self._it = iter(self.stream)
         return next(self._it)
+
+    def state_dict(self) -> dict:
+        sd = getattr(self.stream, "state_dict", None)
+        return sd() if sd else {}
+
+    def load_state_dict(self, state: dict) -> None:
+        ld = getattr(self.stream, "load_state_dict", None)
+        if ld:
+            ld(state)
+            self._it = None  # next access re-enters the fast-forwarded stream

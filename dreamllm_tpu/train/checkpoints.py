@@ -39,8 +39,14 @@ def save_checkpoint(
     params: dict,
     opt_state: Any = None,
     extra_meta: dict | None = None,
+    host_state: dict | None = None,
 ) -> str:
-    """Write checkpoint-{step}/ with one orbax item per param subtree."""
+    """Write checkpoint-{step}/ with one orbax item per param subtree.
+
+    ``host_state``: JSON-serializable host-side training state (host RNG key,
+    data-stream position/state) — the equivalent of the reference's RNG-state
+    + ``skip_first_batches`` resume data (trainer.py:698-757).
+    """
     path = _ckpt_dir(root, step)
     ckpt = ocp.PyTreeCheckpointer()
     for name, subtree in params.items():
@@ -52,7 +58,20 @@ def save_checkpoint(
         meta.update(extra_meta)
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
+    if host_state is not None:
+        with open(os.path.join(path, "host_state.json"), "w") as f:
+            json.dump(host_state, f)
     return path
+
+
+def load_host_state(path: str) -> dict | None:
+    """Host-side resume state saved alongside the checkpoint (or None for
+    checkpoints written without it)."""
+    p = os.path.join(path, "host_state.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def latest_checkpoint(root: str) -> str | None:

@@ -27,6 +27,7 @@ import numpy as np
 
 from dreamllm_tpu.train.checkpoints import (
     latest_checkpoint,
+    load_host_state,
     load_opt_state,
     load_params,
     checkpoint_step,
@@ -63,6 +64,7 @@ class Trainer:
     ):
         self.cfg = cfg
         self.step_fn = step_fn
+        self.data_source = data_iter   # kept for resumable-stream protocol
         self.data_iter = iter(data_iter)
         self.state = state
         self.rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -93,14 +95,43 @@ class Trainer:
             params=params,
             opt_state=opt_state,
         )
+        # host-side state: RNG + data-stream position (reference
+        # trainer.py:698-757 — RNG reload + skip_first_batches). Without this
+        # a resumed run replays data from the stream start with a fresh RNG:
+        # silent sample repetition on every preemption.
+        hs = load_host_state(path)
+        if hs is None:
+            logger.warning(
+                "checkpoint has no host_state.json — resuming params only "
+                "(data stream restarts; samples may repeat)"
+            )
+            return
+        if "rng" in hs:
+            self.rng = jnp.asarray(np.asarray(hs["rng"], np.uint32))
+        if "data_state" in hs and hasattr(self.data_source, "load_state_dict"):
+            self.data_source.load_state_dict(hs["data_state"])
+            self.data_iter = iter(self.data_source)
+            logger.info("restored data stream state")
+        elif hs.get("data_position"):
+            n = int(hs["data_position"])
+            logger.info("skipping %d consumed batches to restore data position", n)
+            for _ in range(n):
+                next(self.data_iter)
 
     _last_saved: int = -1
 
     def save(self, step: int):
         if jax.process_index() != 0 or step == self._last_saved:
             return
+        host_state: dict = {
+            "rng": np.asarray(jax.device_get(self.rng)).tolist(),
+            "data_position": step,
+        }
+        if hasattr(self.data_source, "state_dict"):
+            host_state["data_state"] = self.data_source.state_dict()
         path = save_checkpoint(
-            self.cfg.output_dir, step, self.state.params, self.state.opt_state
+            self.cfg.output_dir, step, self.state.params, self.state.opt_state,
+            host_state=host_state,
         )
         self._last_saved = step
         logger.info("saved %s", path)

@@ -172,6 +172,117 @@ class TestTrainerLoop:
         final2 = tr2.train()
         assert int(final2.step) == 10
 
+    def test_resume_continues_data_and_rng(self, tmp_path):
+        """Train 5 steps, 'kill', resume: the sample sequence CONTINUES
+        (batches 5..9) instead of repeating from the stream start, and the
+        host RNG continues too (reference trainer.py:698-757)."""
+        from dreamllm_tpu.train.step import TrainState
+        from dreamllm_tpu.train.trainer import Trainer, TrainerConfig
+        import optax
+
+        def make_state():
+            params = {"llm": {"w": jnp.ones((4,)) * 5.0}}
+            tx = optax.sgd(0.01)
+            return tx, TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                                  opt_state=tx.init(params))
+
+        consumed: list[int] = []
+        rngs_seen: list[tuple] = []
+
+        def make_step(tx):
+            def step_fn(state, batch, rng):
+                rngs_seen.append(tuple(np.asarray(jax.device_get(rng)).tolist()))
+
+                def loss_fn(p):
+                    return jnp.sum((p["llm"]["w"] - batch["target"]) ** 2)
+
+                loss, g = jax.value_and_grad(loss_fn)(state.params)
+                updates, opt_state = tx.update(g, state.opt_state, state.params)
+                new_params = optax.apply_updates(state.params, updates)
+                return TrainState(state.step + 1, new_params, opt_state), {"loss": loss}
+            return step_fn
+
+        def data():
+            i = 0
+            while True:
+                consumed.append(i)
+                yield {"target": jnp.full((4,), float(i % 3))}
+                i += 1
+
+        out = str(tmp_path / "run")
+        # ---- run 1: 5 steps, save at 5 ----
+        tx, state = make_state()
+        cfg = TrainerConfig(max_steps=5, log_steps=0, save_steps=5, output_dir=out)
+        Trainer(cfg, make_step(tx), data(), state, rng=jax.random.PRNGKey(7)).train()
+        run1_consumed = list(consumed)
+        run1_rngs = list(rngs_seen)
+        assert run1_consumed == [0, 1, 2, 3, 4]
+
+        # ---- run 2: fresh process state, resume to 10 ----
+        consumed.clear()
+        rngs_seen.clear()
+        tx, state = make_state()
+        cfg = TrainerConfig(max_steps=10, log_steps=0, save_steps=10, output_dir=out)
+        Trainer(cfg, make_step(tx), data(), state, rng=jax.random.PRNGKey(7)).train()
+        # data skipped forward: steps 5..9 consume batches 5..9 (the first 5
+        # are drained during resume, not trained on)
+        assert consumed == list(range(10))
+        assert rngs_seen[:1] != run1_rngs[:1] or len(rngs_seen) == 5
+        # RNG continuity: run 2's first step key equals what a continuous
+        # 10-step run would use at its 6th step (index 5)
+        key = jax.random.PRNGKey(7)
+        for _ in range(6):
+            key, sub = jax.random.split(key)
+        expected = tuple(np.asarray(jax.device_get(sub)).tolist())
+        assert rngs_seen[0] == expected
+
+        # ---- uninterrupted 10-step reference produces the same final params
+        consumed.clear(); rngs_seen.clear()
+        tx, state = make_state()
+        out2 = str(tmp_path / "run_cont")
+        cfg = TrainerConfig(max_steps=10, log_steps=0, save_steps=100, output_dir=out2)
+        final_cont = Trainer(cfg, make_step(tx), data(), state,
+                             rng=jax.random.PRNGKey(7)).train()
+        from dreamllm_tpu.train.checkpoints import load_params
+        final_resumed = load_params(latest_checkpoint(out) or "", )
+        np.testing.assert_allclose(
+            np.asarray(final_cont.params["llm"]["w"]),
+            np.asarray(final_resumed["llm"]["w"]), rtol=1e-6,
+        )
+
+    def test_shardstream_state_roundtrip(self, tmp_path):
+        """ShardStream fast-forwards to the saved position: sequence
+        continues instead of repeating."""
+        import io
+        import json
+        import tarfile
+
+        from dreamllm_tpu.data.webdataset import ShardStream
+
+        shard = str(tmp_path / "00000.tar")
+        with tarfile.open(shard, "w") as tf:
+            for i in range(20):
+                d = json.dumps({"v": i}).encode()
+                ti = tarfile.TarInfo(f"{i:05d}.json")
+                ti.size = len(d)
+                tf.addfile(ti, io.BytesIO(d))
+
+        def make():
+            return ShardStream([shard], shuffle_buffer=4, seed=3, resample=False,
+                               map_fn=lambda s: s["json"]["v"])
+
+        ref = list(make())  # the full deterministic sequence
+        s1 = make()
+        it = iter(s1)
+        first = [next(it) for _ in range(7)]
+        state = s1.state_dict()
+        assert first == ref[:7]
+
+        s2 = make()
+        s2.load_state_dict(state)
+        rest = list(s2)
+        assert rest == ref[7:]
+
     def test_nonfinite_update_skipped_inside_jit(self):
         """The NaN filter lives INSIDE the jitted step (no per-step host
         float()): a NaN batch drops the params/opt-state update on-device
