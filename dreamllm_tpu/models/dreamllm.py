@@ -99,6 +99,10 @@ class DreamLLMConfig:
     log_hidden_states: bool = False
     # plugin freeze flags (metadata consumed by train/optim.py + sharding)
     frozen: tuple[str, ...] = ()  # e.g. ("clip_vision_embedding", "llm")
+    # Sequence parallelism: mesh axis to ring the sequence over during
+    # training (long-context; pass the mesh to dreamllm_forward /
+    # make_train_step). None = standard data/tensor parallel attention.
+    sequence_parallel_axis: str | None = None
 
     def projector_cfg(self) -> ProjectorConfig:
         if self.vision_projector is not None:
@@ -289,6 +293,7 @@ def dreamllm_forward(
     rng: jax.Array | None = None,
     use_flash: bool = True,
     remat: bool = False,
+    mesh=None,
 ) -> tuple[jnp.ndarray, dict]:
     """Joint training forward (reference DreamLLMForCausalMLM.forward :1353).
 
@@ -311,15 +316,31 @@ def dreamllm_forward(
         image_positions=batch.get("image_positions"),
         dream_positions=batch.get("dream_positions"),
     )
-    out = llama_forward(
-        params["llm"], cfg.llm,
-        inputs_embeds=embeds,
-        segment_ids=batch.get("segment_ids"),
-        positions=batch.get("positions"),
-        use_flash=use_flash,
-        remat=remat,
-        output_stats=cfg.log_hidden_states,
-    )
+    if cfg.sequence_parallel_axis is not None and mesh is not None:
+        # Long-context path: ring attention over the ICI, sequence sharded
+        # on cfg.sequence_parallel_axis (multimodal splicing above ran on the
+        # full sequence; XLA keeps it sharded on S by propagation).
+        from dreamllm_tpu.parallel.ring import ring_llama_forward
+
+        hidden = ring_llama_forward(
+            params["llm"], cfg.llm, mesh,
+            inputs_embeds=embeds,
+            segment_ids=batch.get("segment_ids"),
+            positions=batch.get("positions"),
+            axis=cfg.sequence_parallel_axis,
+            remat=remat,
+        )
+        out = {"last_hidden_state": hidden}
+    else:
+        out = llama_forward(
+            params["llm"], cfg.llm,
+            inputs_embeds=embeds,
+            segment_ids=batch.get("segment_ids"),
+            positions=batch.get("positions"),
+            use_flash=use_flash,
+            remat=remat,
+            output_stats=cfg.log_hidden_states,
+        )
     hidden = out["last_hidden_state"]
 
     aux: dict = {}

@@ -164,6 +164,7 @@ def _attention(
     cache_kv: tuple[jnp.ndarray, jnp.ndarray] | None,
     cache_meta: dict | None,
     use_flash: bool,
+    ring_axis: str | None = None,
 ):
     """One attention block. Returns (out, (new_k, new_v) or None)."""
     b, s, h = x.shape
@@ -202,6 +203,18 @@ def _attention(
             -1e30,
         )[:, None, None]  # [B,1,1,S,max_len]
         out = dot_product_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), bias=bias)
+    elif ring_axis is not None:
+        # Sequence parallelism: q/k/v here are this device's sequence shard
+        # (we are inside shard_map with S sharded over ``ring_axis``);
+        # K/V chunks rotate around the ICI ring. Positions are absolute, so
+        # causal masking is exact across shards. See parallel/ring.py.
+        from dreamllm_tpu.parallel.ring import ring_attention_inner
+
+        out = ring_attention_inner(
+            q, k, v, positions, positions,
+            axis_name=ring_axis, causal=True,
+            q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+        )
     elif use_flash:
         out = flash_attention(q, k, v, causal=True, segment_ids=segment_ids)
     else:
@@ -222,6 +235,7 @@ def _decoder_layer(
     cache_kv,
     cache_meta,
     use_flash,
+    ring_axis=None,
 ):
     """Pre-norm attn + MLP residual block (reference :586-654)."""
     attn_out, new_cache = _attention(
@@ -235,6 +249,7 @@ def _decoder_layer(
         cache_kv,
         cache_meta,
         use_flash,
+        ring_axis,
     )
     x = x + attn_out
     y = rms_norm(x, layer["post_attn_norm"], cfg.rms_norm_eps)
@@ -260,6 +275,7 @@ def llama_forward(
     remat: bool = False,
     output_hidden_states: bool = False,
     output_stats: bool = False,
+    ring_axis: str | None = None,
 ):
     """Run the decoder stack.
 
@@ -272,6 +288,11 @@ def llama_forward(
         Defaults to ``arange(S)`` (+ cache index when decoding).
       kv_cache: cache pytree from :func:`init_kv_cache` — when given, k/v are
         appended at ``cache['index']`` and attention runs over the full cache.
+      ring_axis: when set, this call must run INSIDE ``shard_map`` with the
+        sequence dim sharded over that mesh axis and ``positions`` carrying
+        absolute positions; attention runs as a ring over the axis
+        (sequence parallelism — use :func:`parallel.ring.ring_llama_forward`
+        for the wrapped entry point).
 
     Returns:
       dict with ``last_hidden_state`` ``[B, S, H]``, ``kv_cache`` (updated or
@@ -308,7 +329,8 @@ def llama_forward(
             return y, (nk, nv, x if output_hidden_states else None)
         layer = scanned
         y, _ = _decoder_layer(
-            layer, x, cos, sin, cfg, segment_ids, positions, None, None, use_flash
+            layer, x, cos, sin, cfg, segment_ids, positions, None, None, use_flash,
+            ring_axis,
         )
         ys = x if output_hidden_states else None
         if output_stats:

@@ -122,3 +122,60 @@ def ring_self_attention(
         )
 
     return run(q, k, v, positions, segment_ids)
+
+
+def ring_llama_forward(
+    params,
+    cfg,
+    mesh: Mesh,
+    *,
+    input_ids: jnp.ndarray | None = None,
+    inputs_embeds: jnp.ndarray | None = None,
+    segment_ids: jnp.ndarray | None = None,
+    positions: jnp.ndarray | None = None,
+    axis: str = "fsdp",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Full decoder forward with the SEQUENCE sharded over ``axis``.
+
+    The whole scan-over-layers stack runs inside one ``shard_map``: norms and
+    MLPs are token-local, attention is the ring. Params are replicated inside
+    the shard_map region (XLA still shards them at rest via their
+    NamedShardings; they are all-gathered into the region). Max context per
+    step scales linearly with ``mesh.shape[axis]`` — the capability the
+    reference lacks entirely (SURVEY §5.7: hard 2048 cap,
+    modeling_dreamllm.py:1368-1371).
+
+    Returns the final ``last_hidden_state`` [B, S, H], sharded on S.
+    """
+    from dreamllm_tpu.models.llama import llama_forward
+
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    b, s, _ = inputs_embeds.shape
+    n = mesh.shape[axis]
+    assert s % n == 0, f"sequence {s} not divisible by {axis}={n}"
+    if segment_ids is None:
+        segment_ids = jnp.ones((b, s), jnp.int32)
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s))
+
+    emb = P(None, axis, None)
+    seq = P(None, axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), emb, seq, seq),
+        out_specs=emb,
+        check_vma=False,
+    )
+    def run(p, x, seg, pos):
+        out = llama_forward(
+            p, cfg,
+            inputs_embeds=x, segment_ids=seg, positions=pos,
+            use_flash=False, remat=remat, ring_axis=axis,
+        )
+        return out["last_hidden_state"]
+
+    return run(params, inputs_embeds, segment_ids, positions)

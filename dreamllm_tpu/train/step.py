@@ -47,6 +47,7 @@ def make_train_step(
     use_flash: bool = True,
     donate: bool = True,
     skip_nonfinite: bool = True,
+    mesh=None,
 ):
     """Build the jitted train step.
 
@@ -57,6 +58,10 @@ def make_train_step(
 
     ``head_in_params``: the diffusion head lives in ``params["sd_head"]`` and
     trains jointly (pass False to run LM-only configs).
+
+    ``mesh``: required when ``cfg.sequence_parallel_axis`` is set — the loss
+    forward then rings the sequence over that mesh axis (long-context
+    training; parallel/ring.py).
 
     ``skip_nonfinite``: the reference's NaN/Inf loss filter (trainer.py:
     768-777) moved INSIDE the jitted step — on a non-finite loss or grad
@@ -76,6 +81,7 @@ def make_train_step(
             rng=rng,
             use_flash=use_flash,
             remat=remat,
+            mesh=mesh,
         )
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -174,6 +174,7 @@ def main(argv=None):
         grad_accum=config.get("grad_accum", 1),
         remat=True,
         use_flash=jax.default_backend() == "tpu",
+        mesh=mesh if cfg.sequence_parallel_axis else None,
     )
 
     # ---- data ----
