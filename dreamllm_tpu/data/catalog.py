@@ -28,23 +28,62 @@ DATA_ROOT_ENV = "DREAMLLM_DATA_ROOT"
 
 
 def _shards(subdir: str) -> list[str]:
+    """Resolve a corpus subdir to a shard URL list. Three layouts:
+
+      * ``{root}/{subdir}/*.tar`` — local tar shards
+      * ``{root}/{subdir}/*.pkl`` — pickle shard indexes (OBELICS-style:
+        records of {"url", "nsamples"}; urls may be remote — reference
+        omni/data/constants.py:23-36)
+      * ``{root}/{subdir}.shards`` — text file, one shard URL per line
+        (file:// http:// pipe: s3:// gs:// all stream via
+        webdataset.open_stream — replaces megfile/gopen object-store access)
+    """
     root = os.environ.get(DATA_ROOT_ENV)
     if not root:
         raise RuntimeError(
             f"set ${DATA_ROOT_ENV} to the dataset root to use real datasets"
         )
     shards = sorted(glob.glob(os.path.join(root, subdir, "*.tar")))
-    if not shards:
-        raise RuntimeError(f"no shards under {root}/{subdir}")
-    return shards
+    if shards:
+        return shards
+    indexes = sorted(glob.glob(os.path.join(root, subdir, "*.pkl")))
+    if indexes:
+        from dreamllm_tpu.data.filters import expand_pickle_index
+
+        shards, _ = expand_pickle_index(indexes)
+        return shards
+    listing = os.path.join(root, f"{subdir}.shards")
+    if os.path.exists(listing):
+        with open(listing) as f:
+            shards = [l.strip() for l in f if l.strip() and not l.startswith("#")]
+        if shards:
+            return shards
+    raise RuntimeError(f"no shards under {root}/{subdir}")
 
 
 def _pair_wds(subdir: str, size: int):
-    def factory(**kw):
+    def factory(quality: bool = True, min_side: int = 0,
+                json_caption_key: str | None = None, **kw):
+        from dreamllm_tpu.data.filters import has_caption_and_image, quality_filters
+        from dreamllm_tpu.data.webdataset import default_decoder
+
+        filters = (
+            quality_filters(min_side=min_side) if quality else [has_caption_and_image]
+        )
+
+        def decoder(raw):
+            s = default_decoder(raw)
+            # caption stored in a json sidecar under a configurable key
+            # (reference json_caption_key, unified_it_pair_webdataset.py:89-92)
+            if json_caption_key and not s.get("txt") and isinstance(s.get("json"), dict):
+                s["txt"] = s["json"].get(json_caption_key, "")
+            return s
+
         stream = ShardStream(
             _shards(subdir),
+            decoder=decoder,
             map_fn=lambda s: ImageTextPair(image=s["image"], text=s.get("txt", "")),
-            filters=[lambda s: "image" in s and s.get("txt")],
+            filters=filters,
             **kw,
         )
         return IterableAsMapStyle(stream, size)

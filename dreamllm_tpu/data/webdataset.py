@@ -18,32 +18,79 @@ from typing import Any, Callable, Iterable, Iterator, Sequence
 
 logger = logging.getLogger("dreamllm_tpu.data")
 
+# bound at import: the except clause below must not look up module globals
+# (they are already None when a live stream generator is finalized at
+# interpreter shutdown)
+_SHARD_ERRORS = (tarfile.TarError, OSError)
+
+
+def open_stream(url: str, timeout: float = 120.0):
+    """gopen equivalent (reference third_party/webdataset gopen + megfile
+    smart_open): open a shard URL as a streaming binary file object.
+
+    Schemes:
+      * plain path / ``file://`` — local file
+      * ``http://`` / ``https://`` — streamed over urllib (no full download)
+      * ``pipe:CMD`` — stdout of a shell command (the wds convention; covers
+        any object store with a CLI, e.g. ``pipe:aws s3 cp s3://b/k -`` or
+        ``pipe:gsutil cat gs://b/k``)
+      * ``s3://`` / ``gs://`` — convenience rewrite onto the pipe form
+    """
+    if url.startswith("file://"):
+        return open(url[len("file://"):], "rb")
+    if url.startswith(("http://", "https://")):
+        import urllib.request
+
+        return urllib.request.urlopen(url, timeout=timeout)
+    if url.startswith("pipe:"):
+        import subprocess
+
+        proc = subprocess.Popen(
+            url[len("pipe:"):], shell=True, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+        return proc.stdout
+    if url.startswith("s3://"):
+        return open_stream(f"pipe:aws s3 cp {url} -", timeout)
+    if url.startswith("gs://"):
+        return open_stream(f"pipe:gsutil cat {url}", timeout)
+    return open(url, "rb")
+
 
 def group_tar_entries(path: str) -> Iterator[dict[str, bytes]]:
     """Yield {"__key__": str, "<ext>": bytes, ...} groups from one tar shard
-    (entries grouped by basename before the first dot, wds convention)."""
-    with tarfile.open(path, mode="r|*") as tf:  # streaming mode
-        current_key = None
-        sample: dict[str, Any] = {}
-        for member in tf:
-            if not member.isfile():
-                continue
-            name = member.name
-            if "/" in name:
-                name = name.rsplit("/", 1)[1]
-            if "." not in name:
-                continue
-            key, ext = name.split(".", 1)
-            if key != current_key:
-                if sample:
-                    yield sample
-                current_key = key
-                sample = {"__key__": key}
-            f = tf.extractfile(member)
-            if f is not None:
-                sample[ext.lower()] = f.read()
-        if sample:
-            yield sample
+    (entries grouped by basename before the first dot, wds convention).
+    ``path`` may be any :func:`open_stream` URL — tar reading is fully
+    streaming (``r|*``), so remote shards never hit local disk."""
+    stream = open_stream(path)
+    try:
+        with tarfile.open(fileobj=stream, mode="r|*") as tf:  # streaming mode
+            current_key = None
+            sample: dict[str, Any] = {}
+            for member in tf:
+                if not member.isfile():
+                    continue
+                name = member.name
+                if "/" in name:
+                    name = name.rsplit("/", 1)[1]
+                if "." not in name:
+                    continue
+                key, ext = name.split(".", 1)
+                if key != current_key:
+                    if sample:
+                        yield sample
+                    current_key = key
+                    sample = {"__key__": key}
+                f = tf.extractfile(member)
+                if f is not None:
+                    sample[ext.lower()] = f.read()
+            if sample:
+                yield sample
+    finally:
+        try:
+            stream.close()
+        except Exception:
+            pass
 
 
 def default_decoder(sample: dict[str, Any]) -> dict[str, Any]:
@@ -125,7 +172,7 @@ class ShardStream:
                             raise RuntimeError(
                                 f"{failures} consecutive sample failures"
                             ) from e
-            except (tarfile.TarError, OSError) as e:
+            except _SHARD_ERRORS as e:
                 failures += 1
                 logger.warning("shard %s failed: %s", shard, e)
                 if failures >= self.max_consecutive_failures:
