@@ -119,8 +119,15 @@ def attn_block(p: Params, x: jnp.ndarray, num_heads: int = 1, groups: int = 32):
 # ---------------------------------------------------------------------------
 
 
-def downsample(p: Params, x: jnp.ndarray):
-    """stride-2 conv with asymmetric (0,1) padding (diffusers VAE/UNet)."""
+def downsample(p: Params, x: jnp.ndarray, *, symmetric: bool = False):
+    """stride-2 conv. diffusers uses two padding conventions and they are NOT
+    numerically equivalent: the VAE encoder pads asymmetrically (0,1) per
+    spatial dim (Downsample2D(padding=0) + F.pad), while the UNet pads
+    symmetrically 1 (Downsample2D(padding=1) → Conv2d(stride=2, padding=1)).
+    Round-1 shipped asymmetric for both; the torch-parity suite
+    (tests/test_sd_torch_parity.py) caught the UNet deviation."""
+    if symmetric:
+        return conv2d(x, p, stride=2, padding=((1, 1), (1, 1)))
     x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
     return conv2d(x, p, stride=2, padding="VALID")
 

@@ -194,6 +194,8 @@ def sd_head_pipeline(
                                   # shallow cached steps between (see
                                   # unet_forward_shallow; quality/speed dial)
     return_latents: bool = False,
+    latents: jnp.ndarray | None = None,  # initial noise override (diffusers
+                                         # pipeline `latents=` convention)
 ) -> jnp.ndarray:
     """Generate images from LLM dream-query hidden states
     (reference pipeline :671-850). Returns [B, H, W, 3] in [0, 1]."""
@@ -211,7 +213,8 @@ def sd_head_pipeline(
         uncond = jnp.broadcast_to(uncond, (b,) + uncond.shape[1:])
     ctx = jnp.concatenate([uncond, cond], axis=0)  # [2B, S, D]
 
-    latents = jax.random.normal(rng, (b, h, w, lat_ch), jnp.float32)
+    if latents is None:
+        latents = jax.random.normal(rng, (b, h, w, lat_ch), jnp.float32)
 
     if sampler == "ddim":
         ts = ddim_timesteps(sched.num_train_timesteps, num_inference_steps)

@@ -297,7 +297,7 @@ def unet_forward(
                 h = _transformer2d(blk["attentions"][j], h, ctx, heads[i], g)
             skips.append(h)
         if "downsample" in blk:
-            h = downsample(blk["downsample"], h)
+            h = downsample(blk["downsample"], h, symmetric=True)
             skips.append(h)
 
     m = params["mid"]
