@@ -89,6 +89,36 @@ def anls(prediction: str, gt_answers: list[str], threshold: float = 0.5) -> floa
     return best if best >= threshold else 0.0
 
 
+# --- Exact match (TallyQA / OCR-VQA / AI2D: "EM" in eval_utils.py:75-124) ---
+
+
+def exact_match(prediction: str, gt_answers: list[str]) -> float:
+    pred = prediction.strip().lower()
+    return float(any(pred == g.strip().lower() for g in gt_answers))
+
+
+# --- Relaxed accuracy (ChartQA: "RA") ---
+
+
+def relaxed_accuracy(prediction: str, gt_answers: list[str], tolerance: float = 0.05) -> float:
+    """ChartQA protocol: numeric answers match within ±5% relative tolerance,
+    non-numeric answers require exact (case-insensitive) match."""
+    pred = prediction.strip().rstrip("%").strip()
+    for gt in gt_answers:
+        g = gt.strip().rstrip("%").strip()
+        try:
+            p_val, g_val = float(pred), float(g)
+            if g_val == 0.0:
+                if p_val == 0.0:
+                    return 1.0
+            elif abs(p_val - g_val) / abs(g_val) <= tolerance:
+                return 1.0
+        except ValueError:
+            if pred.lower() == g.lower():
+                return 1.0
+    return 0.0
+
+
 # --- POPE (hallucination yes/no) ---
 
 
@@ -128,45 +158,61 @@ def _ngrams(tokens: list[str], n: int) -> Counter:
     return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
 
 
+_PTB_PUNCT = re.compile(r"[\"'`.,;:?!()\[\]{}]")
+
+
+def caption_tokenize(s: str) -> list[str]:
+    """Lowercase + strip punctuation — a host-side approximation of the
+    PTBTokenizer the COCO caption pipeline applies before CIDEr-D."""
+    return _PTB_PUNCT.sub("", s.lower()).split()
+
+
 def cider_d(
     candidates: dict[str, str],
     references: dict[str, list[str]],
     n_max: int = 4,
     sigma: float = 6.0,
 ) -> float:
-    """CIDEr-D over {id: caption} vs {id: [refs]} (pycocoevalcap semantics:
-    tf-idf n-gram cosine with gaussian length penalty, scaled by 10)."""
+    """CIDEr-D over {id: caption} vs {id: [refs]}.
+
+    Exact pycocoevalcap ``ciderD_scorer.py`` semantics (the scorer behind the
+    reference's caption_eval.py:5 ``COCOEvalCap``): tf = RAW n-gram count
+    (not length-normalized), idf = log(N_images) - log(max(df, 1)) with df
+    counted over each image's reference set, count-clipped "cosine"
+    min(h_g, r_g)·r_g / (|h||r|), gaussian length penalty
+    exp(-(len_h - len_r)^2 / 2σ²), averaged over refs and n, scaled ×10.
+    Tokenization approximates PTBTokenizer (lowercase, strip punctuation).
+    """
     ids = list(candidates)
-    # document frequency over reference sets
+    # document frequency: #images whose reference set contains the ngram
     df = [defaultdict(int) for _ in range(n_max)]
     for rid in ids:
         for n in range(n_max):
             seen = set()
             for ref in references[rid]:
-                seen |= set(_ngrams(ref.lower().split(), n + 1).keys())
+                seen |= set(_ngrams(caption_tokenize(ref), n + 1).keys())
             for g in seen:
                 df[n][g] += 1
     log_docs = math.log(max(len(ids), 1))
 
     def tfidf_vec(counts: Counter, n: int):
         vec, norm = {}, 0.0
-        length = sum(counts.values())
         for g, c in counts.items():
             idf = log_docs - math.log(max(df[n][g], 1))
-            w = (c / length if length else 0.0) * idf
+            w = float(c) * idf  # raw count — pycocoevalcap counts2vec
             vec[g] = w
             norm += w * w
         return vec, math.sqrt(norm)
 
     scores = []
     for rid in ids:
-        cand_toks = candidates[rid].lower().split()
+        cand_toks = caption_tokenize(candidates[rid])
         per_n = []
         for n in range(n_max):
             cvec, cnorm = tfidf_vec(_ngrams(cand_toks, n + 1), n)
             sims = []
             for ref in references[rid]:
-                ref_toks = ref.lower().split()
+                ref_toks = caption_tokenize(ref)
                 rvec, rnorm = tfidf_vec(_ngrams(ref_toks, n + 1), n)
                 num = sum(min(cvec.get(g, 0.0), v) * v for g, v in rvec.items())
                 denom = cnorm * rnorm

@@ -36,6 +36,43 @@ class T2IProtocol:
     batch_size: int = 4
 
 
+def lncoco_protocol(**kw) -> T2IProtocol:
+    """LN-COCO defaults (ddp_sample_lncoco.py:29-42 launch recipe: 100 steps,
+    guidance 3.0; single seed per caption — the reference LN-COCO driver has
+    no CLIP re-rank phase)."""
+    defaults = dict(num_seeds=1, num_inference_steps=100, guidance_scale=3.0)
+    defaults.update(kw)
+    return T2IProtocol(**defaults)
+
+
+def load_lncoco_captions(jsonl_path: str, seed: int = 0, max_images: int | None = None) -> list[str]:
+    """LN-COCO (Localized Narratives) caption loader — one caption per image.
+
+    Mirrors ddp_sample_lncoco.py:46-68 + :173-183: the jsonl carries
+    ``{"image_id": ..., "caption": ...}`` rows; captions group by image and
+    one is drawn per image at random (``random.choice(captions)``).
+    """
+    import json
+    import random
+
+    per_image: dict[int, list[str]] = {}
+    order: list[int] = []
+    with open(jsonl_path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            obj = json.loads(line)
+            iid = int(obj["image_id"])
+            if iid not in per_image:
+                per_image[iid] = []
+                order.append(iid)
+            per_image[iid].append(str(obj["caption"]))
+    rng = random.Random(seed)
+    caps = [rng.choice(per_image[i]) for i in order]
+    return caps[:max_images] if max_images else caps
+
+
 def sample_candidates(
     pipeline_fn: Callable[[Sequence[str], jax.Array], jnp.ndarray],
     captions: Sequence[str],

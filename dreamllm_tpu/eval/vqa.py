@@ -31,21 +31,45 @@ from dreamllm_tpu.models.dreamllm import DreamLLMConfig, multimodal_embed
 @dataclasses.dataclass
 class VQATask:
     name: str
-    metric: str           # "vqa_acc" | "anls" | "pope" | "cider" | "exact"
+    metric: str           # "vqa_acc" | "anls" | "em" | "relaxed" | "pope" | "cider" | "exact"
     prompt_suffix: str = ""   # e.g. "\nAnswer the question using a single word or phrase."
+    fixed_question: str | None = None  # tasks with a constant prompt (OCR)
 
 
-# task table (reference utils/eval_utils.py:75-124)
+# task table — full map of the reference's task/metric dispatch
+# (utils/eval_utils.py:75-124: task_mapping + metric_mapping + OCR_prompt)
+_WORD = "\nAnswer the question using a single word or phrase."
 TASKS = {
-    "vqav2": VQATask("vqav2", "vqa_acc", "\nAnswer the question using a single word or phrase."),
-    "okvqa": VQATask("okvqa", "vqa_acc", "\nAnswer the question using a single word or phrase."),
+    # VQA consensus accuracy
+    "vqav2": VQATask("vqav2", "vqa_acc", _WORD),
+    "okvqa": VQATask("okvqa", "vqa_acc", _WORD),
     "vizwiz": VQATask("vizwiz", "vqa_acc", "\nWhen the provided information is insufficient, respond with 'Unanswerable'.\nAnswer the question using a single word or phrase."),
-    "textvqa": VQATask("textvqa", "vqa_acc", "\nAnswer the question using a single word or phrase."),
-    "docvqa": VQATask("docvqa", "anls", "\nAnswer the question using a single word or phrase."),
-    "infovqa": VQATask("infovqa", "anls", "\nAnswer the question using a single word or phrase."),
-    "pope": VQATask("pope", "pope", "\nAnswer the question using a single word or phrase."),
+    "textvqa": VQATask("textvqa", "vqa_acc", _WORD),
+    # ANLS
+    "docvqa": VQATask("docvqa", "anls", _WORD),
+    "infovqa": VQATask("infovqa", "anls", _WORD),
+    "stvqa": VQATask("stvqa", "anls", _WORD),
+    # exact match ("EM")
+    "tallyqa": VQATask("tallyqa", "em", _WORD),
+    "ocrvqa": VQATask("ocrvqa", "em", _WORD),
+    "ai2d": VQATask("ai2d", "em", _WORD),
+    # relaxed accuracy ("RA", ±5% numeric tolerance)
+    "chartqa": VQATask("chartqa", "relaxed", _WORD),
+    # OCR transcription (fixed prompt, exact-match scoring; OCR_prompt)
+    "ocr": VQATask("ocr", "em", "", fixed_question="what is written in the image?"),
+    # POPE hallucination splits (eval_utils.py POPE_random/popular/adversarial)
+    "pope": VQATask("pope", "pope", _WORD),
+    "pope_random": VQATask("pope_random", "pope", _WORD),
+    "pope_popular": VQATask("pope_popular", "pope", _WORD),
+    "pope_adversarial": VQATask("pope_adversarial", "pope", _WORD),
+    # captioning (CIDEr-D)
     "coco_caption": VQATask("coco_caption", "cider", ""),
     "nocaps": VQATask("nocaps", "cider", ""),
+    "textcaps": VQATask("textcaps", "cider", ""),
+    "vizwiz_caption": VQATask("vizwiz_caption", "cider", ""),
+    "screen2words": VQATask("screen2words", "cider", ""),
+    "image_paragraph": VQATask("image_paragraph", "cider", ""),
+    # multiple-choice letters
     "mmbench": VQATask("mmbench", "exact", "\nAnswer with the option's letter from the given choices directly."),
     "mmvet": VQATask("mmvet", "exact", ""),
 }
@@ -112,7 +136,10 @@ def run_vqa(
     for i in range(0, len(samples), batch_size):
         chunk = samples[i : i + batch_size]
         encoded = [
-            encode_vqa_prompt(tokenizer, cfg, s["question"] + t.prompt_suffix, template)
+            encode_vqa_prompt(
+                tokenizer, cfg,
+                (t.fixed_question or s["question"]) + t.prompt_suffix, template,
+            )
             for s in chunk
         ]
         maxlen = max(len(e[0]) for e in encoded)
@@ -175,6 +202,14 @@ def score_predictions(preds: list[dict], metric: str) -> float:
         cands = {str(p["id"]): p["prediction"] for p in preds}
         refs = {str(p["id"]): p["references"] for p in preds}
         return cider_d(cands, refs)
+    if metric == "em":
+        from dreamllm_tpu.eval.metrics import exact_match
+
+        return float(np.mean([exact_match(p["prediction"], p["answers"]) for p in preds]))
+    if metric == "relaxed":
+        from dreamllm_tpu.eval.metrics import relaxed_accuracy
+
+        return float(np.mean([relaxed_accuracy(p["prediction"], p["answers"]) for p in preds]))
     if metric == "exact":
         return float(np.mean([
             p["prediction"].strip().lower() == str(p.get("label", "")).strip().lower()

@@ -391,4 +391,10 @@ def llama_logits(params: Params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.n
         w = params["embed_tokens"].T
     if isinstance(w, QTensor):
         return qmm(hidden.astype(jnp.float32), w)
-    return hidden.astype(jnp.float32) @ w.astype(jnp.float32)
+    # bf16 operands + fp32 accumulation: casting the [H, V] head to fp32
+    # would double its HBM read (and can materialize a 1 GB copy) on every
+    # decode step; preferred_element_type keeps logits fp32 without that.
+    return jax.lax.dot_general(
+        hidden, w, (((hidden.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )

@@ -68,13 +68,16 @@ def dot_product_attention(
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
 
-    qf = q.astype(jnp.float32) * sm_scale
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    # bf16 inputs feed the MXU directly with fp32 accumulation
+    # (preferred_element_type); materializing fp32 copies of K/V would add
+    # HBM round-trips on the decode hot path. fp32 inputs are unchanged.
+    vf = v
 
     # [B, Hkv, G, Sq, Skv]
-    qg = qf.reshape(b, sq, hkv, groups, d)
-    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, kf)
+    qg = q.reshape(b, sq, hkv, groups, d)
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32
+    ) * sm_scale
 
     mask = None
     if causal:
@@ -94,7 +97,10 @@ def dot_product_attention(
 
     if not return_lse:
         probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhgqk,bkhd->bqhgd", probs, vf)
+        out = jnp.einsum(
+            "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), vf,
+            preferred_element_type=jnp.float32,
+        )
         return out.reshape(b, sq, hq, d).astype(q.dtype)
 
     # numerically-safe unnormalized form + log-sum-exp, for partial-attention
@@ -103,7 +109,10 @@ def dot_product_attention(
     m = jnp.maximum(m, NEG_INF)  # fully-masked rows stay finite
     p = jnp.exp(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    out = jnp.einsum("bhgqk,bkhd->bqhgd", p / jnp.maximum(denom, 1e-30), vf)
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", (p / jnp.maximum(denom, 1e-30)).astype(v.dtype), vf,
+        preferred_element_type=jnp.float32,
+    )
     lse = (m + jnp.log(jnp.maximum(denom, 1e-30)))[..., 0]  # [B,Hkv,G,Sq]
     lse = lse.reshape(b, hq, sq).transpose(0, 2, 1)          # -> [B,Sq,Hq]
     return out.reshape(b, sq, hq, d).astype(q.dtype), lse

@@ -9,8 +9,10 @@ stdlib ``http.server`` — same JSON contract:
     POST /logprob   {"context": str, "continuations": [str]}    → {"logprobs": [...]}
     GET  /health                                                → {"ok": true}
 
-The server owns one model and serializes requests (the TPU is a single
-in-process resource; batching across requests is a later optimization).
+The server owns one model. Concurrent /generate requests can be micro-batched
+into one fixed-shape decode (``generate_batch_fn`` + serve/batching.py) —
+batch-1 decode is HBM-bound on weight reads a batch amortizes; without a
+batch fn, requests serialize under a lock (the online-eval mode).
 """
 
 from __future__ import annotations
@@ -28,10 +30,14 @@ logger = get_logger("dreamllm_tpu.serve")
 class ModelServer:
     def __init__(
         self,
-        generate_fn: Callable[[str, dict], str],
+        generate_fn: Callable[[str, dict], str] | None = None,
         logprob_fn: Callable[[str, list[str]], list[float]] | None = None,
         host: str = "127.0.0.1",
         port: int = 8300,
+        *,
+        generate_batch_fn: Callable[[list[str]], list[str]] | None = None,
+        max_batch: int = 8,
+        batch_window_ms: float = 10.0,
     ):
         self.generate_fn = generate_fn
         self.logprob_fn = logprob_fn
@@ -39,6 +45,13 @@ class ModelServer:
         self._lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        self._batcher = None
+        if generate_batch_fn is not None:
+            from dreamllm_tpu.serve.batching import DynamicBatcher
+
+            self._batcher = DynamicBatcher(
+                generate_batch_fn, max_batch=max_batch, window_ms=batch_window_ms
+            )
 
     def _handler(self):
         server = self
@@ -69,8 +82,14 @@ class ModelServer:
                     self._send(400, {"error": f"bad request: {e}"})
                     return
                 try:
+                    if self.path == "/generate" and server._batcher is not None:
+                        # micro-batched path: no lock — the batcher serializes
+                        # model access itself and merges concurrent requests
+                        text = server._batcher.submit(req.pop("prompt", ""))
+                        self._send(200, {"text": text})
+                        return
                     with server._lock:  # model is a single resource
-                        if self.path == "/generate":
+                        if self.path == "/generate" and server.generate_fn:
                             text = server.generate_fn(req.pop("prompt", ""), req)
                             self._send(200, {"text": text})
                         elif self.path == "/logprob" and server.logprob_fn:
@@ -87,6 +106,8 @@ class ModelServer:
         return Handler
 
     def start(self, background: bool = True):
+        if self._batcher is not None:
+            self._batcher.start()
         self._httpd = ThreadingHTTPServer((self.host, self.port), self._handler())
         self.port = self._httpd.server_address[1]
         if background:
@@ -101,6 +122,8 @@ class ModelServer:
         if self._httpd:
             self._httpd.shutdown()
             self._httpd = None
+        if self._batcher is not None:
+            self._batcher.stop()
 
 
 class OnlineClient:

@@ -4,3 +4,10 @@ from dreamllm_tpu.train.optim import (
     make_lr_schedule,
 )
 from dreamllm_tpu.train.step import TrainState, make_train_step, init_train_state
+from dreamllm_tpu.train.hp_search import (
+    BestRun,
+    HPDim,
+    default_compute_objective,
+    default_hp_space,
+    hyperparameter_search,
+)

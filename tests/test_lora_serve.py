@@ -85,6 +85,73 @@ class TestServe:
         finally:
             server.stop()
 
+    def test_micro_batching_merges_concurrent_requests(self):
+        import threading
+
+        calls = []
+
+        def batch_gen(prompts):
+            calls.append(len(prompts))
+            return [p.upper() for p in prompts]
+
+        server = ModelServer(
+            generate_batch_fn=batch_gen, max_batch=4, batch_window_ms=150, port=0
+        ).start()
+        try:
+            client = OnlineClient(f"http://127.0.0.1:{server.port}")
+            results = {}
+
+            def call(i):
+                results[i] = client.generate(f"req{i}")
+
+            threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+            assert results == {i: f"REQ{i}" for i in range(6)}
+            # 6 requests within the window must dispatch in < 6 batches
+            assert sum(calls) == 6 and len(calls) < 6
+            assert max(calls) >= 2  # at least one real merge happened
+        finally:
+            server.stop()
+
+    def test_batched_generate_fn_fixed_shapes(self):
+        from dreamllm_tpu.data.tokenization import ToyTokenizer
+        from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params
+        from dreamllm_tpu.serve.batching import make_batched_generate_fn
+
+        cfg = LlamaConfig(
+            vocab_size=256, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=64,
+        )
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        tok = ToyTokenizer(vocab_size=256)
+        fn = make_batched_generate_fn(
+            params, cfg, tok, batch_size=3, max_prompt_len=16,
+            max_new_tokens=4, eos_token_id=-1, bos_token_id=1,
+        )
+        out2 = fn(["hello world", "bye"])
+        assert len(out2) == 2
+        out3 = fn(["a", "b", "c"])  # full batch, same compiled shape
+        assert len(out3) == 3
+
+    def test_batcher_error_propagates_to_all_waiters(self):
+        from dreamllm_tpu.serve.batching import DynamicBatcher
+
+        def bad(items):
+            raise ValueError("kaput")
+
+        b = DynamicBatcher(bad, max_batch=4, window_ms=5).start()
+        try:
+            import pytest
+
+            with pytest.raises(ValueError, match="kaput"):
+                b.submit("x", timeout=10)
+        finally:
+            b.stop()
+
     def test_error_handling(self):
         def gen(prompt, kw):
             raise RuntimeError("boom")
