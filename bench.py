@@ -74,12 +74,22 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False
     lens = jnp.full((batch,), PREFILL, jnp.int32)
     scfg = SamplingConfig(greedy=True, max_new_tokens=DECODE, eos_token_id=-1)
 
+    # ONE compiled program per run: un-jitted generate_text dispatches its
+    # prefill + glue ops eagerly, and every eager dispatch through the axon
+    # tunnel costs ~24 ms — that measured as a fake ~6 ms/step floor
+    from functools import partial as _partial
+
+    @_partial(jax.jit, static_argnames=("c",))
+    def gen(params, ids, lens, rng, c):
+        return generate_text(params, llm_cfg=cfg, input_ids=ids,
+                             prompt_lengths=lens, cfg=c, rng=rng)
+
     def run(seed):
         # a DIFFERENT prompt every run: identical (program, args) pairs can be
         # served from an execution cache in this tunnelled environment,
         # producing impossible >roofline readings
         ids = jax.random.randint(jax.random.PRNGKey(seed), (batch, PREFILL), 10, 31000)
-        out = generate_text(params, cfg, ids, lens, scfg)
+        out = gen(params, ids, lens, jax.random.PRNGKey(seed), scfg)
         # fetch VALUES to host: through the axon relay, block_until_ready can
         # ack before compute completes, under-reporting times ~10x
         import numpy as np
@@ -118,7 +128,12 @@ def bench_prefill(hidden, inter, layers, heads, kv_heads, seq=2048, batch=1):
 
     @jax.jit
     def fwd(p, ids):
-        return llama_forward(p, cfg, input_ids=ids, use_flash=True)["last_hidden_state"]
+        h = llama_forward(p, cfg, input_ids=ids, use_flash=True)["last_hidden_state"]
+        # scalar reduction forces full compute but keeps the fetch tiny:
+        # pulling the [B,S,H] hidden state (16 MB) through the axon tunnel
+        # costs ~540 ms — pure measurement artifact (prefill output stays on
+        # device for decode in any serving stack)
+        return jnp.sum(h.astype(jnp.float32))
 
     def run(seed):
         ids = jax.random.randint(jax.random.PRNGKey(seed), (batch, seq), 10, 31000)
@@ -126,7 +141,7 @@ def bench_prefill(hidden, inter, layers, heads, kv_heads, seq=2048, batch=1):
 
     run(0)
     times = []
-    for i in range(3):
+    for i in range(5):
         t0 = time.perf_counter()
         run(i + 1)
         times.append(time.perf_counter() - t0)

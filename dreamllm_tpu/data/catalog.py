@@ -16,10 +16,12 @@ import numpy as np
 
 from dreamllm_tpu.data.dataset_types import (
     ConversationSample,
+    ImageImagePair,
     ImageTextPair,
     InstructInterleavedImageText,
     InterleavedImageText,
     Message,
+    VideoTextPair,
 )
 from dreamllm_tpu.data.registry import register_dataset
 from dreamllm_tpu.data.webdataset import IterableAsMapStyle, ShardStream
@@ -131,6 +133,59 @@ def _instruct_interleaved_wds(subdir: str, size: int):
     return factory
 
 
+def _ii_pair_wds(subdir: str, size: int):
+    """Image→image shards (reference unified_ii_pair_webdataset: the same
+    image serves as comprehension source and creation target unless the
+    sample carries an explicit second image under a ``target`` key)."""
+
+    def factory(**kw):
+        def to_sample(s):
+            imgs = [s[k] for k in sorted(s) if k.startswith(("image", "source", "target"))]
+            src = imgs[0]
+            tgt = imgs[1] if len(imgs) > 1 else imgs[0]
+            return ImageImagePair(source=src, target=tgt, text=s.get("txt", ""))
+
+        stream = ShardStream(
+            _shards(subdir), map_fn=to_sample,
+            filters=[lambda s: any(k.startswith(("image", "source")) for k in s)], **kw,
+        )
+        return IterableAsMapStyle(stream, size)
+
+    return factory
+
+
+def _webvid_json(subdir: str, size: int, num_frames: int = 8):
+    """WebVid-style video-text pairs (reference WebVidDatasetInfo +
+    webvid_vt_pair_dataset: json shard files listing {videoid, name/caption},
+    videos under a sibling directory; frames sampled at load)."""
+
+    def factory(**kw):
+        import json
+
+        root = os.environ.get(DATA_ROOT_ENV, "")
+        meta = []
+        for p in sorted(glob.glob(os.path.join(root, subdir, "*.json"))):
+            with open(p) as f:
+                meta += json.load(f)
+        video_dir = os.path.join(root, subdir, "videos")
+
+        class WebVid:
+            def __len__(self):
+                return size if meta == [] else len(meta)
+
+            def __getitem__(self, i):
+                from dreamllm_tpu.utils.video import sample_video_frames
+
+                row = meta[int(i) % len(meta)]
+                path = os.path.join(video_dir, f"{row['videoid']}.mp4")
+                frames = sample_video_frames(path, num_frames=num_frames)
+                return VideoTextPair(frames=frames, text=row.get("name", row.get("caption", "")))
+
+        return WebVid()
+
+    return factory
+
+
 def _conversation_json(subdir: str, size: int):
     def factory(**kw):
         import json
@@ -168,31 +223,64 @@ def _conversation_json(subdir: str, size: int):
     return factory
 
 
-# --- real corpora (names mirror the reference's registry) ---
+# --- real corpora (full mirror of the reference registry,
+#     omni/data/constants.py:43-232 DATASETS_INFO_TABLE) ---
 for name, sub, size, kind in [
-    ("laion400m", "laion400m", 400_000_000, "pair"),
-    ("laion_coco", "laion-coco", 600_000_000, "pair"),
-    ("blip_laion", "blip-laion", 115_000_000, "pair"),
-    ("journeydb", "journeydb", 4_000_000, "pair"),
+    # image-text pair webdatasets
+    ("laion400m", "laion400m", 270_000_000, "pair"),
+    ("laion400m_orig", "laion400m-orig", 20_000_000, "pair"),
+    ("laion2b_en", "laion2b-en", 2_000_000_000, "pair"),
+    ("laion_coco", "laion-coco", 104_900_000, "pair"),
+    ("blip_laion", "blip-laion", 65_000_000, "pair"),
+    ("journeydb", "journeydb", 2_370_000, "pair"),
+    # image-image pair webdatasets (variation/edit training)
+    ("laion_coco_ii", "laion-coco", 100_000_000, "ii_pair"),
+    ("blip_laion_ii", "blip-laion", 65_000_000, "ii_pair"),
+    # interleaved documents
     ("mmc4_core", "mmc4-core", 7_000_000, "interleaved"),
-    ("obelics", "obelics", 141_000_000, "interleaved"),
-    ("mmc4_instruct", "mmc4-instruct", 500_000, "instruct_interleaved"),
+    ("obelics", "obelics", 113_000_000, "interleaved"),
+    # SFT-format interleaved (ChatGPT-constructed; filtered224 variant)
+    ("mmc4_instruct", "mmc4-instruct", 20_321, "instruct_interleaved"),
+    ("mmc4_instruct_filtered224", "mmc4-instruct", 20_321, "instruct_interleaved"),
+    # video-text
+    ("webvid", "webvid", 10_700_000, "video"),
 ]:
     if kind == "pair":
         factory = _pair_wds(sub, size)
+    elif kind == "ii_pair":
+        factory = _ii_pair_wds(sub, size)
     elif kind == "instruct_interleaved":
         factory = _instruct_interleaved_wds(sub, size)
+    elif kind == "video":
+        factory = _webvid_json(sub, size)
     else:
         factory = _interleaved_wds(sub, size)
     register_dataset(name, factory, dataset_type=kind, approx_size=size)
 
+# conversation-format instruction sets (reference JsonDatasetInfo entries)
+for name, path, size in [
+    ("llava_instruct", "llava_instruct_150k.json", 158_000),
+    ("llava_instruct_filter", "llava_instruct_80k.json", 80_000),
+    ("llavav1.5_instruct", "llava_v1_5_mix665k.json", 665_298),
+    ("llava_pretrain", "blip_laion_cc_sbu_558k.json", 558_000),
+    ("llava_pretrain_cc3m", "ccs_synthetic_filtered_large.json", 558_000),
+    ("gqa", "gqa_sft_train_short_filtered.json", 13_532_530),
+    ("instruct_blip_laion", "instruct_pair_blip_laion_22k.json", 22_000),
+]:
+    register_dataset(name, _conversation_json(path, size),
+                     dataset_type="conversation", approx_size=size)
+
+# HF-datasets pairs (reference HFITDatasetInfo entries)
 register_dataset(
-    "llava_instruct", _conversation_json("llava_instruct_150k.json", 150_000),
-    dataset_type="conversation", approx_size=150_000,
+    "pokemon-gpt4-captions",
+    lambda **kw: hf_it_pair_dataset("lambdalabs/pokemon-blip-captions", **kw),
+    dataset_type="pair", approx_size=833,
 )
 register_dataset(
-    "llava_pretrain_cc3m", _conversation_json("ccs_synthetic_filtered_large.json", 558_000),
-    dataset_type="conversation", approx_size=558_000,
+    "dalle3-by-laion",
+    lambda **kw: hf_it_pair_dataset("laion/dalle-3-dataset", image_key="image",
+                                    text_key="caption", **kw),
+    dataset_type="pair", approx_size=13_020,
 )
 
 

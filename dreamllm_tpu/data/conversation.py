@@ -40,7 +40,7 @@ LLAMA2 = ConvTemplate(
     system="",
     roles=("[INST]", "[/INST]"),
     sep_style="llama2",
-    seps=(" ", " </s><s>"),
+    seps=(" ", " </s>"),
 )
 
 TEMPLATES = {t.name: t for t in (VICUNA_V11, LLAMA2)}
@@ -75,16 +75,24 @@ def render_conversation(
                 segs.append(Segment(f"{template.roles[1]}: ", False))
                 segs.append(Segment(m.content + template.seps[1], True))
     elif template.sep_style == "llama2":
+        # Exact string parity with the reference's default_chat_template
+        # (tokenization_dreamllm.py:400-448): each exchange renders as
+        # ``<s>[INST] Q [/INST] A </s>`` with the system prompt embedded in
+        # the first user turn. The leading <s> of the FIRST turn is omitted
+        # here — the builder prepends the bos token id itself.
         first = True
         for m in messages:
             if m.role == "system":
                 continue
             if m.role == "user":
                 prefix = f"<<SYS>>\n{sys_text}\n<</SYS>>\n\n" if (first and sys_text) else ""
-                segs.append(Segment(f"{template.roles[0]} {prefix}{m.content} {template.roles[1]}", False))
+                bos = "" if first else "<s>"
+                segs.append(
+                    Segment(f"{bos}{template.roles[0]} {prefix}{m.content.strip()} {template.roles[1]}", False)
+                )
                 first = False
             else:
-                segs.append(Segment(f" {m.content}{template.seps[1]}", True))
+                segs.append(Segment(f" {m.content.strip()} </s>", True))
     else:
         raise ValueError(template.sep_style)
     return segs

@@ -191,18 +191,12 @@ def _attention(
         ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, idx, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, idx, 0, 0))
         new_cache = (ck, cv)
-        # positional causal mask over the whole cache: kv_pos <= q_pos,
-        # same nonzero segment. Empty slots have seg 0 -> masked.
-        q_pos = positions  # [B, S]
-        kv_pos = cache_meta["pos"]  # [B, max_len]
-        bias = jnp.where(
-            (kv_pos[:, None, :] <= q_pos[:, :, None])
-            & (cache_meta["seg"][:, None, :] == segment_ids[:, :, None])
-            & (segment_ids[:, :, None] != 0),
-            0.0,
-            -1e30,
-        )[:, None, None]  # [B,1,1,S,max_len]
-        out = dot_product_attention(q, ck.astype(q.dtype), cv.astype(q.dtype), bias=bias)
+        # positional-causal mask over the whole cache — layer-invariant, so
+        # llama_forward builds it ONCE per step and the scan body reuses it
+        # (32 rebuilds/step were measurable overhead in b1 decode)
+        out = dot_product_attention(
+            q, ck.astype(q.dtype), cv.astype(q.dtype), bias=cache_meta["bias"]
+        )
     elif ring_axis is not None:
         # Sequence parallelism: q/k/v here are this device's sequence shard
         # (we are inside shard_map with S sharded over ``ring_axis``);
@@ -317,7 +311,16 @@ def llama_forward(
         idx = kv_cache["index"]
         seg = jax.lax.dynamic_update_slice(kv_cache["seg"], segment_ids, (0, idx))
         pos = jax.lax.dynamic_update_slice(kv_cache["pos"], positions, (0, idx))
-        cache_meta = {"seg": seg, "pos": pos, "index": idx}
+        # attention mask over the cache: kv_pos <= q_pos, same nonzero
+        # segment; empty slots carry seg 0 -> masked
+        bias = jnp.where(
+            (pos[:, None, :] <= positions[:, :, None])
+            & (seg[:, None, :] == segment_ids[:, :, None])
+            & (segment_ids[:, :, None] != 0),
+            0.0,
+            -1e30,
+        )[:, None, None]  # [B,1,1,S,max_len]
+        cache_meta = {"seg": seg, "pos": pos, "index": idx, "bias": bias}
 
     def step(carry, scanned):
         x = carry

@@ -37,7 +37,7 @@ from dreamllm_tpu.models.sd.blocks import (
     upsample,
 )
 from dreamllm_tpu.ops.activations import geglu
-from dreamllm_tpu.ops.attention import dot_product_attention
+from dreamllm_tpu.ops.attention import flash_attention
 from dreamllm_tpu.ops.norms import group_norm, layer_norm
 
 Params = dict[str, Any]
@@ -138,7 +138,13 @@ def _mha(p, x, ctx, num_heads):
     q = dense(x, p["q"]).reshape(b, s, num_heads, hd)
     k = dense(ctx, p["k"]).reshape(b, ctx.shape[1], num_heads, hd)
     v = dense(ctx, p["v"]).reshape(b, ctx.shape[1], num_heads, hd)
-    o = dot_product_attention(q, k, v, causal=False).reshape(b, s, c)
+    # Pallas flash path (replaces the reference's xformers
+    # memory_efficient_attention, modeling_plugins.py:397-398): the spatial
+    # self-attention at 64x64 latents is seq 4096, where XLA's unfused
+    # attention materializes the [B,H,S,S] scores in HBM. head_dim 64
+    # lane-pads inside flash_attention; unsupported shapes (short cross-attn
+    # kv) fall back to the fused-XLA path automatically.
+    o = flash_attention(q, k, v, causal=False).reshape(b, s, c)
     return dense(o, p["out"])
 
 

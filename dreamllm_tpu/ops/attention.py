@@ -173,8 +173,8 @@ def _flash_kernel(
             cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask = cols <= rows
         if use_segments:
-            qs = qseg_ref[0, :]  # [bq]
-            ks = kseg_ref[0, :]  # [bk]
+            qs = qseg_ref[0, 0, :]  # [bq]
+            ks = kseg_ref[0, 0, :]  # [bk]
             seg = (qs[:, None] == ks[None, :]) & (qs[:, None] != 0)
             mask = seg if mask is None else (mask & seg)
         if mask is not None:
@@ -253,6 +253,9 @@ def _flash_attention_tpu(
     kT = k.transpose(0, 2, 1, 3)
     vT = v.transpose(0, 2, 1, 3)
 
+    qseg = qseg[:, None, :]
+    kseg = kseg[:, None, :]
+
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -260,8 +263,12 @@ def _flash_attention_tpu(
             pl.BlockSpec((1, 1, block_q, d), lambda b_, h, iq, ik: (b_, h, iq, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h, iq, ik: (b_, h // groups, ik, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda b_, h, iq, ik: (b_, h // groups, ik, 0)),
-            pl.BlockSpec((1, block_q), lambda b_, h, iq, ik: (b_, iq)),
-            pl.BlockSpec((1, block_k), lambda b_, h, iq, ik: (b_, ik)),
+            # segments carry a singleton middle axis so the block's last two
+            # dims are (1 == array dim, block): Mosaic requires the last two
+            # block dims be (8,128)-aligned OR equal to the array's — a
+            # (1, block) spec over [B, S] fails once B > 1
+            pl.BlockSpec((1, 1, block_q), lambda b_, h, iq, ik: (b_, 0, iq)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, h, iq, ik: (b_, 0, ik)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h, iq, ik: (b_, h, iq, 0)),
         out_shape=jax.ShapeDtypeStruct(qT.shape, q.dtype),
@@ -351,10 +358,18 @@ def flash_attention(
     sq, skv = q.shape[1], k.shape[1]
     # Pallas path needs block-divisible lengths and a lane-aligned head dim;
     # everything else (short decode queries, odd shapes) goes through XLA.
+    # head_dim 64 (UNet spatial transformers) zero-pads to the 128-wide lane
+    # tile: QK^T and the softmax stats are unchanged (zero columns contribute
+    # nothing) and the padded output columns slice off — still a large win,
+    # since XLA materializes the [*, S, S] score tensor in HBM.
     ok = (
         (on_tpu or interpret)
-        and d % 128 == 0
+        and (d % 128 == 0 or d == 64)
         and sq >= 128
+        # d=64 lane-padding only pays off once the score tensor is large;
+        # at seq 256 XLA's fused small-attention is faster (measured)
+        and (d % 128 == 0 or sq >= 512)
+        and skv >= 128  # short cross-attention KV: XLA (not tile-aligned)
         and sq % min(block_q, sq) == 0
         and skv % min(block_k, skv) == 0
         # the kernel's causal mask assumes q and kv start at the same
@@ -380,7 +395,12 @@ def flash_attention(
     else:
         qseg = jnp.ones((b, sq), jnp.int32)
         kseg = jnp.ones((b, skv), jnp.int32)
-    return _flash_core(
+    pad = d % 128 != 0
+    if pad:
+        zeros = [(0, 0)] * 3 + [(0, 128 - d)]
+        q, k, v = (jnp.pad(t, zeros) for t in (q, k, v))
+    out = _flash_core(
         q, k, v, qseg, kseg, causal, sm_scale,
         min(block_q, sq), min(block_k, skv), interpret,
     )
+    return out[..., :d] if pad else out

@@ -33,6 +33,9 @@ class OptimizerConfig:
     weight_decay: float = 0.0
     max_grad_norm: float = 1.0       # 0 disables clipping
     scale_lr_by: float = 1.0         # linear LR scaling factor (scale_lr)
+    # int8 blockwise-quantized Adam moments (bitsandbytes Adam8bit
+    # equivalent, train/optim8bit.py): ~4x optimizer-state memory reduction
+    optimizer_8bit: bool = False
 
 
 def make_lr_schedule(cfg: OptimizerConfig):
@@ -105,16 +108,30 @@ def make_optimizer(
         chain.append(scale_grads_by_tree(grad_multipliers))
     if cfg.max_grad_norm and cfg.max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
-    chain.append(
-        optax.adamw(
-            learning_rate=schedule,
-            b1=cfg.b1,
-            b2=cfg.b2,
-            eps=cfg.eps,
-            weight_decay=cfg.weight_decay,
-            mask=_decay_mask if cfg.weight_decay > 0 else None,
+    if cfg.optimizer_8bit:
+        from dreamllm_tpu.train.optim8bit import adamw_8bit
+
+        chain.append(
+            adamw_8bit(
+                learning_rate=schedule,
+                b1=cfg.b1,
+                b2=cfg.b2,
+                eps=cfg.eps,
+                weight_decay=cfg.weight_decay,
+                mask=_decay_mask if cfg.weight_decay > 0 else None,
+            )
         )
-    )
+    else:
+        chain.append(
+            optax.adamw(
+                learning_rate=schedule,
+                b1=cfg.b1,
+                b2=cfg.b2,
+                eps=cfg.eps,
+                weight_decay=cfg.weight_decay,
+                mask=_decay_mask if cfg.weight_decay > 0 else None,
+            )
+        )
     tx = optax.chain(*chain)
     if trainable_mask is not None:
         tx = optax.multi_transform(

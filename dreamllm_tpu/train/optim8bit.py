@@ -1,0 +1,127 @@
+"""8-bit AdamW — optimizer-state memory compression.
+
+TPU-native equivalent of the reference's bitsandbytes ``Adam8bit`` dependency
+(SURVEY §2.9; the reference's Trainer can swap torch AdamW for bnb's 8-bit
+variant to fit 7B fine-tunes). Adam's m/v moments are stored as int8 codes
+with per-block fp32 absmax scales (block 256, bnb's blockwise scheme with a
+linear code instead of bnb's dynamic-tree codebook — the blockwise absmax
+does the heavy lifting; max relative error per element is 1/254 of the block
+max). Memory per param: 2 bytes + 2/256 scales ≈ 2.03 B vs 8 B for fp32
+moments — ~4× optimizer-state reduction, the difference between fitting and
+not fitting a 7B AdamW fine-tune in one v5e-8's HBM.
+
+Pure optax GradientTransformation: jit-safe, shards like any pytree (codes
+inherit the param's partitioning), composes with the freeze-mask and
+grad-multiplier machinery in train/optim.py.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+BLOCK = 256
+
+
+def quantize_blockwise(x: jnp.ndarray, block: int = BLOCK):
+    """[*] fp array → (int8 codes [*], fp32 scales [ceil(n/block)])."""
+    flat = x.reshape(-1).astype(jnp.float32)
+    n = flat.size
+    pad = (-n) % block
+    flat = jnp.pad(flat, (0, pad))
+    blocks = flat.reshape(-1, block)
+    scale = jnp.max(jnp.abs(blocks), axis=1, keepdims=True)
+    safe = jnp.where(scale == 0.0, 1.0, scale)
+    codes = jnp.round(blocks / safe * 127.0).astype(jnp.int8)
+    return codes.reshape(-1)[: n + pad].reshape(x.shape[:0] + (-1,)), scale[:, 0]
+
+
+def dequantize_blockwise(codes: jnp.ndarray, scale: jnp.ndarray, shape, block: int = BLOCK):
+    blocks = codes.reshape(-1, block).astype(jnp.float32)
+    flat = blocks * (scale[:, None] / 127.0)
+    n = 1
+    for s in shape:
+        n *= s
+    return flat.reshape(-1)[:n].reshape(shape)
+
+
+class _Moment(NamedTuple):
+    codes: jnp.ndarray   # int8 [padded_n]
+    scale: jnp.ndarray   # fp32 [n_blocks]
+
+
+class Adam8bitState(NamedTuple):
+    count: jnp.ndarray
+    m: Any   # pytree of _Moment
+    v: Any
+
+
+def adamw_8bit(
+    learning_rate,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    mask: Any | None = None,
+) -> optax.GradientTransformation:
+    """Drop-in for ``optax.adamw`` with int8 blockwise-quantized moments.
+
+    ``mask``: same convention as optax.adamw's weight-decay mask (callable or
+    pytree of bools; True = decay applies).
+    """
+
+    def _quant(x):
+        codes, scale = quantize_blockwise(x)
+        return _Moment(codes, scale)
+
+    def init(params):
+        zeros = jax.tree.map(lambda p: _quant(jnp.zeros(p.shape, jnp.float32)), params)
+        return Adam8bitState(
+            count=jnp.zeros((), jnp.int32),
+            m=zeros,
+            v=jax.tree.map(lambda p: _quant(jnp.zeros(p.shape, jnp.float32)), params),
+        )
+
+    def update(updates, state, params=None):
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        decay_tree = None
+        if weight_decay > 0.0 and params is not None:
+            decay_tree = mask(params) if callable(mask) else mask
+
+        is_moment = lambda x: isinstance(x, _Moment)
+
+        def step(g, mq, vq, p, do_decay):
+            g = g.astype(jnp.float32)
+            m = dequantize_blockwise(mq.codes, mq.scale, g.shape)
+            v = dequantize_blockwise(vq.codes, vq.scale, g.shape)
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+            if do_decay and p is not None:
+                upd = upd + weight_decay * p.astype(jnp.float32)
+            return (-lr * upd).astype(g.dtype), _quant(m), _quant(v)
+
+        leaves_g, treedef = jax.tree.flatten(updates)
+        leaves_m = treedef.flatten_up_to(state.m)
+        leaves_v = treedef.flatten_up_to(state.v)
+        leaves_p = treedef.flatten_up_to(params) if params is not None else [None] * len(leaves_g)
+        leaves_d = (
+            treedef.flatten_up_to(decay_tree) if decay_tree is not None
+            else [weight_decay > 0.0 and params is not None] * len(leaves_g)
+        )
+        out = [step(g, m, v, p, bool(d))
+               for g, m, v, p, d in zip(leaves_g, leaves_m, leaves_v, leaves_p, leaves_d)]
+        new_updates = treedef.unflatten([o[0] for o in out])
+        new_m = treedef.unflatten([o[1] for o in out])
+        new_v = treedef.unflatten([o[2] for o in out])
+        del is_moment
+        return new_updates, Adam8bitState(count=count, m=new_m, v=new_v)
+
+    return optax.GradientTransformation(init, update)

@@ -375,3 +375,121 @@ class TestCatalogWds:
         ds = DATASETS["laion400m"].build(shuffle_buffer=1, resample=False)
         s = ds[0]
         assert s.text.startswith("cap") and s.image.shape == (8, 8, 3)
+
+
+class TestLlama2ChatTemplate:
+    """String parity of the llama2 template vs the reference's jinja
+    default_chat_template (tokenization_dreamllm.py:400-448)."""
+
+    # the documented output shape: <bos>[INST] Sys+Q [/INST] A <eos> per turn
+    _JINJA = (
+        "{% if messages[0]['role'] == 'system' %}"
+        "{% set loop_messages = messages[1:] %}"
+        "{% set system_message = messages[0]['content'] %}"
+        "{% else %}"
+        "{% set loop_messages = messages %}"
+        "{% set system_message = false %}"
+        "{% endif %}"
+        "{% for message in loop_messages %}"
+        "{% if loop.index0 == 0 and system_message != false %}"
+        "{% set content = '<<SYS>>\n' + system_message + '\n<</SYS>>\n\n' + message['content'] %}"
+        "{% else %}"
+        "{% set content = message['content'] %}"
+        "{% endif %}"
+        "{% if message['role'] == 'user' %}"
+        "{{ bos_token + '[INST] ' + content.strip() + ' [/INST]' }}"
+        "{% elif message['role'] == 'assistant' %}"
+        "{{ ' '  + content.strip() + ' ' + eos_token }}"
+        "{% endif %}"
+        "{% endfor %}"
+    )
+
+    def _golden(self, messages):
+        import jinja2
+
+        t = jinja2.Environment().from_string(self._JINJA)
+        return t.render(messages=messages, bos_token="<s>", eos_token="</s>")
+
+    def _ours(self, messages, system=None):
+        from dreamllm_tpu.data.conversation import TEMPLATES, render_conversation
+
+        segs = render_conversation(TEMPLATES["llama2"], messages, system=system)
+        # builder prepends the bos token id; the jinja string carries it inline
+        return "<s>" + "".join(s.text for s in segs)
+
+    def test_multi_turn_with_system(self):
+        msgs = [
+            {"role": "system", "content": "Be helpful."},
+            {"role": "user", "content": "hello there"},
+            {"role": "assistant", "content": "hi!"},
+            {"role": "user", "content": "and now?"},
+            {"role": "assistant", "content": "done."},
+        ]
+        ours = self._ours(
+            [Message(m["role"], m["content"]) for m in msgs[1:]], system="Be helpful."
+        )
+        assert ours == self._golden(msgs)
+
+    def test_no_system(self):
+        msgs = [
+            {"role": "user", "content": "q1"},
+            {"role": "assistant", "content": "a1"},
+        ]
+        ours = self._ours([Message(m["role"], m["content"]) for m in msgs], system="")
+        assert ours == self._golden(msgs)
+
+    def test_assistant_segments_learnable_only(self):
+        from dreamllm_tpu.data.conversation import TEMPLATES, render_conversation
+
+        segs = render_conversation(
+            TEMPLATES["llama2"],
+            [Message("user", "q"), Message("assistant", "a")],
+            system="s",
+        )
+        assert [s.learnable for s in segs] == [False, True]
+        assert segs[1].text == " a </s>"
+
+
+class TestCatalogCoverage:
+    def test_all_reference_corpora_registered(self):
+        """Every name in the reference's DATASETS_INFO_TABLE
+        (omni/data/constants.py:43-232) resolves in our catalog."""
+        import dreamllm_tpu.data.catalog  # noqa: F401
+
+        reference_names = [
+            "laion_coco", "laion2b_en", "laion400m", "blip_laion",
+            "laion400m_orig", "journeydb", "pokemon-gpt4-captions",
+            "dalle3-by-laion", "laion_coco_ii", "blip_laion_ii", "mmc4_core",
+            "obelics", "mmc4_instruct_filtered224", "webvid", "llava_pretrain",
+            "gqa", "llava_instruct", "llavav1.5_instruct",
+            "llava_instruct_filter", "instruct_blip_laion",
+        ]
+        missing = [n for n in reference_names if n not in DATASETS]
+        assert not missing, missing
+
+    def test_ii_pair_factory(self, tmp_path, monkeypatch):
+        import io, tarfile
+        from PIL import Image
+        from dreamllm_tpu.data.dataset_types import ImageImagePair
+
+        root = tmp_path / "laion-coco"
+        root.mkdir()
+        with tarfile.open(str(root / "00000.tar"), "w") as tf:
+            for i in range(2):
+                buf = io.BytesIO()
+                Image.fromarray(np.full((8, 8, 3), 40 + i * 60, np.uint8)).save(buf, "JPEG")
+                d = buf.getvalue()
+                ti = tarfile.TarInfo(f"{i:05d}.jpg"); ti.size = len(d)
+                tf.addfile(ti, io.BytesIO(d))
+                t = f"cap {i}".encode()
+                ti = tarfile.TarInfo(f"{i:05d}.txt"); ti.size = len(t)
+                tf.addfile(ti, io.BytesIO(t))
+        monkeypatch.setenv("DREAMLLM_DATA_ROOT", str(tmp_path))
+        import dreamllm_tpu.data.catalog  # noqa: F401
+
+        ds = DATASETS["laion_coco_ii"].factory()
+        s = ds[0]
+        assert isinstance(s, ImageImagePair)
+        # single-image shard: source doubles as target
+        np.testing.assert_array_equal(np.asarray(s.source), np.asarray(s.target))
+        assert s.text.startswith("cap")

@@ -1,0 +1,100 @@
+"""8-bit AdamW: quantization round-trip, trajectory parity vs optax.adamw,
+state memory layout, jit + freeze-mask composition (reference dependency:
+bitsandbytes Adam8bit, SURVEY §2.9)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dreamllm_tpu.train.optim import OptimizerConfig, make_optimizer
+from dreamllm_tpu.train.optim8bit import (
+    adamw_8bit,
+    dequantize_blockwise,
+    quantize_blockwise,
+)
+
+
+def test_blockwise_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 517)).astype(np.float32) * 10)
+    codes, scale = quantize_blockwise(x)
+    assert codes.dtype == jnp.int8
+    y = dequantize_blockwise(codes, scale, x.shape)
+    # per-block absmax linear code: error <= absmax/254 per element
+    err = np.abs(np.asarray(y - x))
+    bound = np.max(np.abs(np.asarray(x))) / 254 + 1e-7
+    assert err.max() <= bound * 1.01
+
+
+def test_zero_blocks_stay_zero():
+    x = jnp.zeros((512,), jnp.float32)
+    codes, scale = quantize_blockwise(x)
+    np.testing.assert_array_equal(np.asarray(dequantize_blockwise(codes, scale, x.shape)), 0.0)
+
+
+def test_trajectory_matches_fp32_adamw():
+    # quadratic bowl; 40 steps of 8-bit vs exact adamw stay close
+    def loss(p):
+        return jnp.sum((p["w"] - 3.0) ** 2) + jnp.sum((p["b"] + 1.0) ** 2)
+
+    p8 = {"w": jnp.zeros((300,)), "b": jnp.zeros((7,))}
+    pf = jax.tree.map(jnp.copy, p8)
+    tx8 = adamw_8bit(0.05)
+    txf = optax.adamw(0.05)
+    s8, sf = tx8.init(p8), txf.init(pf)
+
+    @jax.jit
+    def step8(p, s):
+        u, s = tx8.update(jax.grad(loss)(p), s, p)
+        return optax.apply_updates(p, u), s
+
+    @jax.jit
+    def stepf(p, s):
+        u, s = txf.update(jax.grad(loss)(p), s, p)
+        return optax.apply_updates(p, u), s
+
+    for _ in range(40):
+        p8, s8 = step8(p8, s8)
+        pf, sf = stepf(pf, sf)
+    for k in ("w", "b"):
+        np.testing.assert_allclose(np.asarray(p8[k]), np.asarray(pf[k]), atol=0.02)
+    # both made real progress toward the optimum
+    assert float(loss(p8)) < 0.3 * float(loss({"w": jnp.zeros((300,)), "b": jnp.zeros((7,))}))
+
+
+def test_state_is_int8():
+    tx = adamw_8bit(1e-3)
+    s = tx.init({"w": jnp.zeros((1000,))})
+    assert s.m["w"].codes.dtype == jnp.int8
+    assert s.v["w"].codes.dtype == jnp.int8
+    # 1000 elems -> padded 1024 codes + 4 scales per moment
+    assert s.m["w"].codes.size == 1024 and s.m["w"].scale.size == 4
+
+
+def test_weight_decay_applied():
+    tx = adamw_8bit(0.1, weight_decay=0.5)
+    p = {"w": jnp.ones((256,))}
+    s = tx.init(p)
+    u, s = tx.update({"w": jnp.zeros((256,))}, s, p)
+    # zero grad, pure decay: update = -lr * wd * w
+    np.testing.assert_allclose(np.asarray(u["w"]), -0.1 * 0.5, rtol=1e-5)
+
+
+def test_make_optimizer_8bit_with_freeze_mask():
+    cfg = OptimizerConfig(learning_rate=1e-2, warmup_steps=0, total_steps=10,
+                          optimizer_8bit=True, max_grad_norm=1.0)
+    params = {"a": jnp.ones((300,)), "frozen": jnp.ones((4,))}
+    tx = make_optimizer(cfg, trainable_mask={"a": True, "frozen": False})
+    state = tx.init(params)
+
+    @jax.jit
+    def step(p, s):
+        g = {"a": jnp.ones((300,)), "frozen": jnp.ones((4,))}
+        u, s = tx.update(g, s, p)
+        return optax.apply_updates(p, u), s
+
+    p2, _ = step(params, state)
+    assert not np.allclose(np.asarray(p2["a"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(p2["frozen"]), 1.0)

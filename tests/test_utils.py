@@ -118,3 +118,32 @@ class TestLogging:
         warning_once("unique-warning-abc")
         warning_once("unique-warning-abc")
         assert records.count("unique-warning-abc") == 1
+
+
+class TestLaunch:
+    """Multi-host launcher env resolution (utils/launch.py; reference
+    scripts/tool/smartrun rank derivation)."""
+
+    def test_explicit_env(self):
+        from dreamllm_tpu.utils.launch import resolve_launch_env
+
+        kw = resolve_launch_env({
+            "DREAMLLM_COORDINATOR": "10.0.0.1:8476",
+            "DREAMLLM_NUM_PROCESSES": "4",
+            "DREAMLLM_PROCESS_ID": "2",
+        })
+        assert kw == {"coordinator_address": "10.0.0.1:8476",
+                      "num_processes": 4, "process_id": 2}
+
+    def test_torchrun_compat(self):
+        from dreamllm_tpu.utils.launch import resolve_launch_env
+
+        kw = resolve_launch_env({"MASTER_ADDR": "h0", "MASTER_PORT": "1234",
+                                 "WORLD_SIZE": "8", "RANK": "5"})
+        assert kw == {"coordinator_address": "h0:1234",
+                      "num_processes": 8, "process_id": 5}
+
+    def test_empty_is_autodetect(self):
+        from dreamllm_tpu.utils.launch import resolve_launch_env
+
+        assert resolve_launch_env({}) == {}
