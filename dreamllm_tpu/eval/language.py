@@ -155,6 +155,130 @@ def answers_match(pred: str, target: str) -> bool:
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# Base MC task zoo — BoolQ / PIQA / SIQA / HellaSwag / WinoGrande / ARC /
+# OBQA / SciQ / RACE (reference BASE_TASKS, llama_evaluation task_utils.py:
+# 428-433, + submission_scripts/submission_dev_*.py prompt formats). Each
+# renderer maps one public-format json(l) row to
+# (context, continuations, answer_idx) for logprob-argmax scoring.
+# ---------------------------------------------------------------------------
+
+
+def load_jsonl(path: str) -> list[dict]:
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def _render_boolq(r):
+    # submission_dev_boolq.py:49-50 prompt
+    q = r["question"][0].upper() + r["question"][1:]
+    ctx = f"Choose yes or no to answer the question.\n\n{r['passage']}\n\n{q}?\nAnswer:"
+    ans = r["answer"]
+    ans = {True: 1, False: 0, "true": 1, "false": 0}.get(ans, ans)
+    return ctx, [" no", " yes"], int(ans)
+
+
+def _render_piqa(r):
+    return (f"Question: {r['goal']}\nAnswer:",
+            [" " + r["sol1"], " " + r["sol2"]], int(r["label"]))
+
+
+def _render_siqa(r):
+    conts = [" " + r["answerA"], " " + r["answerB"], " " + r["answerC"]]
+    return (f"{r['context']}\nQuestion: {r['question']}\nAnswer:",
+            conts, int(r["label"]) - 1)
+
+
+def _render_hellaswag(r):
+    ctx = r.get("ctx") or (r.get("ctx_a", "") + " " + r.get("ctx_b", "")).strip()
+    return ctx, [" " + e for e in r["endings"]], int(r["label"])
+
+
+def _render_winogrande(r):
+    # fill the blank with each option; score the completed suffix after the
+    # shared prefix (standard partial-evaluation protocol)
+    pre, _, post = r["sentence"].partition("_")
+    conts = [f"{opt}{post}" for opt in (r["option1"], r["option2"])]
+    return pre, conts, int(r["answer"]) - 1
+
+
+def _letters_to_idx(key: str) -> int:
+    key = key.strip().upper()
+    return ord(key) - ord("A") if key.isalpha() else int(key) - 1
+
+
+def _render_arc(r):
+    ch = r["choices"]
+    texts, labels = list(ch["text"]), [str(x) for x in ch["label"]]
+    ctx = f"Question: {r['question']}\nAnswer:"
+    try:
+        ans = labels.index(str(r["answerKey"]).strip())
+    except ValueError:
+        ans = _letters_to_idx(r["answerKey"])
+    return ctx, [" " + t for t in texts], ans
+
+
+def _render_obqa(r):
+    return _render_arc({**r, "question": r.get("question_stem", r.get("question"))})
+
+
+def _render_sciq(r):
+    # fixed order: distractors then correct, so the answer index is stable
+    conts = [r["distractor1"], r["distractor2"], r["distractor3"], r["correct_answer"]]
+    ctx = f"Question: {r['question']}\nAnswer:"
+    return ctx, [" " + c for c in conts], 3
+
+
+def _render_race(r):
+    opts = r["options"]
+    ctx = (f"Article: {r['article']}\n\nQuestion: {r['question']}\nAnswer:")
+    return ctx, [" " + o for o in opts], _letters_to_idx(r["answer"])
+
+
+MC_TASK_RENDERERS: dict[str, Callable[[dict], tuple[str, list[str], int]]] = {
+    "boolq": _render_boolq,
+    "piqa": _render_piqa,
+    "siqa": _render_siqa,
+    "hellaswag": _render_hellaswag,
+    "winogrande": _render_winogrande,
+    "arc_e": _render_arc,
+    "arc_c": _render_arc,
+    "obqa": _render_obqa,
+    "sciq": _render_sciq,
+    "race_m": _render_race,
+    "race_h": _render_race,
+}
+
+
+def run_mc_task(
+    choose_fn: ChooseFn,
+    task: str,
+    rows: Sequence[dict],
+    *,
+    max_samples: int | None = None,
+    out_path: str | None = None,
+) -> dict:
+    """Zero/few-shot logprob-MC driver over a base task's raw json rows."""
+    render = MC_TASK_RENDERERS[task]
+    rows = list(rows)[:max_samples] if max_samples else list(rows)
+    results, n_correct = [], 0
+    for r in rows:
+        ctx, conts, ans = render(r)
+        pred = int(choose_fn(ctx, conts))
+        n_correct += pred == ans
+        results.append({"pred": pred, "answer": ans})
+    out = {"task": task, "accuracy": n_correct / max(len(rows), 1), "n": len(rows)}
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({**out, "results": results}, f, indent=1)
+    return out
+
+
 def run_mmlu(
     choose_fn: ChooseFn,
     test: dict[str, list[MCSample]],

@@ -133,6 +133,15 @@ def run_vqa(
         eos_token_id=cfg.special_tokens.eos, pad_token_id=cfg.special_tokens.pad,
     )
 
+    # one compiled embed+decode program per (batch, bucketed-seq) shape:
+    # eager dispatch per op is the throughput killer on remote-attached TPUs,
+    # and bucketing prompt lengths to 64 keeps recompiles rare
+    @jax.jit
+    def embed_and_generate(params, ids, lens, img_pos, imgs, rng):
+        embeds = multimodal_embed(params, cfg, ids, images=imgs, image_positions=img_pos)
+        return generate_text(params["llm"], cfg.llm, ids, lens, scfg,
+                             rng=rng, inputs_embeds=embeds)
+
     for i in range(0, len(samples), batch_size):
         chunk = samples[i : i + batch_size]
         encoded = [
@@ -142,7 +151,7 @@ def run_vqa(
             )
             for s in chunk
         ]
-        maxlen = max(len(e[0]) for e in encoded)
+        maxlen = -(-max(len(e[0]) for e in encoded) // 64) * 64  # bucket to 64
         b = len(chunk)
         ids = np.zeros((b, maxlen), np.int32)
         lens = np.zeros((b,), np.int32)
@@ -155,13 +164,13 @@ def run_vqa(
             raw = jnp.asarray(chunk[j]["image"], jnp.float32)[None]
             imgs[j, 0] = np.asarray(clip_preprocess(raw, cfg.vision.image_size)[0])
 
-        embeds = multimodal_embed(
-            params, cfg, jnp.asarray(ids),
-            images=jnp.asarray(imgs), image_positions=jnp.asarray(img_pos),
-        )
         if num_beams > 1:
             from dreamllm_tpu.generation.sampler import beam_search
 
+            embeds = multimodal_embed(
+                params, cfg, jnp.asarray(ids),
+                images=jnp.asarray(imgs), image_positions=jnp.asarray(img_pos),
+            )
             out = beam_search(
                 params["llm"], cfg.llm, jnp.asarray(ids), jnp.asarray(lens),
                 num_beams=num_beams, max_new_tokens=max_new_tokens,
@@ -171,9 +180,9 @@ def run_vqa(
             )
             out["lengths"] = jnp.sum(out["tokens"] != cfg.special_tokens.pad, axis=-1)
         else:
-            out = generate_text(
-                params["llm"], cfg.llm, jnp.asarray(ids), jnp.asarray(lens), scfg,
-                inputs_embeds=embeds,
+            out = embed_and_generate(
+                params, jnp.asarray(ids), jnp.asarray(lens),
+                jnp.asarray(img_pos), jnp.asarray(imgs), jax.random.PRNGKey(i),
             )
         for j, s in enumerate(chunk):
             n = int(out["lengths"][j])

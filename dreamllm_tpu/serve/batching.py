@@ -151,6 +151,14 @@ def make_batched_generate_fn(
     )
     counter = [0]
 
+    # one compiled program per call (shapes are fixed by construction);
+    # un-jitted generate_text dispatches its prefill ops eagerly
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("c",))
+    def gen(params, ids, lens, rng, c):
+        return generate_text(params, llm_cfg, ids, lens, c, rng=rng)
+
     def fn(prompts: Sequence[str]) -> list[str]:
         n = len(prompts)
         assert n <= batch_size, (n, batch_size)
@@ -164,10 +172,8 @@ def make_batched_generate_fn(
             ids[i, : len(t)] = t
             lens[i] = len(t)
         counter[0] += 1
-        out = generate_text(
-            params, llm_cfg, jnp.asarray(ids), jnp.asarray(lens), scfg,
-            rng=jax.random.PRNGKey(counter[0]),
-        )
+        out = gen(params, jnp.asarray(ids), jnp.asarray(lens),
+                  jax.random.PRNGKey(counter[0]), scfg)
         toks = np.asarray(out["tokens"])
         lengths = np.asarray(out["lengths"])
         return [

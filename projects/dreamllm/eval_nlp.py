@@ -27,11 +27,14 @@ import jax
 
 from dreamllm_tpu.config import LazyArgumentParser, default_setup
 from dreamllm_tpu.eval.language import (
+    MC_TASK_RENDERERS,
     load_bbh_tasks,
+    load_jsonl,
     load_mmlu_csv,
     local_scorers,
     online_scorers,
     run_bbh,
+    run_mc_task,
     run_mmlu,
     smoke_bbh,
     smoke_mmlu,
@@ -99,6 +102,13 @@ def main(argv=None):
             prompts_dir=config.get("prompts_dir"),
             max_samples_per_task=max_n, out_path=out_path,
         )
+    elif task in MC_TASK_RENDERERS:
+        # base MC tasks (boolq/piqa/siqa/hellaswag/winogrande/arc/obqa/sciq/
+        # race) from their standard jsonl layouts: data_dir/<task>.jsonl or an
+        # explicit +data_file=
+        path = config.get("data_file") or os.path.join(config["data_dir"], f"{task}.jsonl")
+        result = run_mc_task(choose, task, load_jsonl(path),
+                             max_samples=max_n, out_path=out_path)
     else:
         raise ValueError(f"unknown task {task!r}")
 

@@ -210,3 +210,85 @@ class TestCLI:
         assert result["n"] == 3
         files = [f for r, _, fs in os.walk(tmp_path) for f in fs]
         assert "mmlu_smoke.json" in files
+
+
+class TestBaseMCTasks:
+    """Base MC task renderers (BoolQ/PIQA/.../RACE — reference BASE_TASKS,
+    llama_evaluation task_utils.py:428-433)."""
+
+    def test_renderers_shapes_and_answers(self):
+        from dreamllm_tpu.eval.language import MC_TASK_RENDERERS
+
+        rows = {
+            "boolq": {"question": "is water wet", "passage": "Water is wet.",
+                      "answer": True},
+            "piqa": {"goal": "dry hands", "sol1": "use a towel",
+                     "sol2": "use a fork", "label": 0},
+            "siqa": {"context": "Alex helped.", "question": "Why?",
+                     "answerA": "kindness", "answerB": "anger", "answerC": "fear",
+                     "label": "1"},
+            "hellaswag": {"ctx": "A man sits down", "endings": ["a", "b", "c", "d"],
+                          "label": 2},
+            "winogrande": {"sentence": "The cup fell because _ was fragile.",
+                           "option1": "the cup", "option2": "the table",
+                           "answer": "1"},
+            "arc_e": {"question": "2+2?", "answerKey": "B",
+                      "choices": {"text": ["3", "4"], "label": ["A", "B"]}},
+            "obqa": {"question_stem": "the sun is a", "answerKey": "A",
+                     "choices": {"text": ["star", "planet"], "label": ["A", "B"]}},
+            "sciq": {"question": "H2O is?", "correct_answer": "water",
+                     "distractor1": "fire", "distractor2": "air",
+                     "distractor3": "rock"},
+            "race_m": {"article": "Tom ran.", "question": "Who ran?",
+                       "options": ["Tom", "Ann", "Sam", "Joe"], "answer": "A"},
+        }
+        expect_answer = {"boolq": 1, "piqa": 0, "siqa": 0, "hellaswag": 2,
+                         "winogrande": 0, "arc_e": 1, "obqa": 0, "sciq": 3,
+                         "race_m": 0}
+        for task, row in rows.items():
+            ctx, conts, ans = MC_TASK_RENDERERS[task](row)
+            assert isinstance(ctx, str) and len(conts) >= 2
+            assert ans == expect_answer[task], task
+            assert 0 <= ans < len(conts)
+
+    def test_boolq_prompt_matches_reference_format(self):
+        from dreamllm_tpu.eval.language import MC_TASK_RENDERERS
+
+        ctx, conts, ans = MC_TASK_RENDERERS["boolq"](
+            {"question": "did it rain", "passage": "It rained all day.",
+             "answer": False})
+        # submission_dev_boolq.py:49-50 make_test_prompt
+        assert ctx == ("Choose yes or no to answer the question.\n\n"
+                       "It rained all day.\n\nDid it rain?\nAnswer:")
+        assert conts == [" no", " yes"] and ans == 0
+
+    def test_winogrande_partial_eval(self):
+        from dreamllm_tpu.eval.language import MC_TASK_RENDERERS
+
+        ctx, conts, ans = MC_TASK_RENDERERS["winogrande"](
+            {"sentence": "Ann thanked Sue because _ helped her.",
+             "option1": "Sue", "option2": "Ann", "answer": "1"})
+        assert ctx == "Ann thanked Sue because "
+        assert conts == ["Sue helped her.", "Ann helped her."]
+
+    def test_run_mc_task_and_jsonl(self, tmp_path):
+        import json
+
+        from dreamllm_tpu.eval.language import load_jsonl, run_mc_task
+
+        rows = [
+            {"goal": f"g{i}", "sol1": "short", "sol2": "the much longer one",
+             "label": 1} for i in range(4)
+        ]
+        p = tmp_path / "piqa.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+        loaded = load_jsonl(str(p))
+        assert len(loaded) == 4
+
+        def choose_longest(ctx, conts):
+            return max(range(len(conts)), key=lambda i: len(conts[i]))
+
+        out = run_mc_task(choose_longest, "piqa", loaded,
+                          out_path=str(tmp_path / "out.json"))
+        assert out["accuracy"] == 1.0 and out["n"] == 4
+        assert (tmp_path / "out.json").exists()
