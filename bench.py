@@ -37,7 +37,7 @@ DECODE = 128
 
 
 def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False,
-                 fuse=False):
+                 fuse=False, spec_extras: dict | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -105,6 +105,38 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]  # median: tunnel timing has outliers BOTH ways
+
+    if spec_extras is not None and batch == 1:
+        # prompt-lookup speculative decode (exact greedy; serving latency
+        # feature). Repetitive-context prompt = the doc-QA/summarization
+        # regime where prompt lookup shines.
+        from functools import partial as _p
+
+        from dreamllm_tpu.generation.sampler import generate_text_speculative
+
+        @_p(jax.jit, static_argnames=("c", "k"))
+        def sgen(params, ids, lens, c, k):
+            return generate_text_speculative(params, cfg, ids, lens, c, draft_len=k)
+
+        def spec_run(seed):
+            import numpy as np
+
+            chunk = jax.random.randint(jax.random.PRNGKey(seed), (1, PREFILL // 2), 10, 31000)
+            ids = jnp.concatenate([chunk, chunk], axis=1)  # repeated context
+            out = sgen(params, ids, lens, scfg, 8)
+            np.asarray(out["tokens"])
+            return out
+
+        out = spec_run(0)
+        ts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            out = spec_run(i + 1)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        sdt = ts[len(ts) // 2]
+        spec_extras["decode_spec_lookup_tok_s"] = round(DECODE / sdt, 1)
+        spec_extras["spec_verify_steps_per_128"] = int(out["steps"])
     return batch * DECODE / dt, dt
 
 
@@ -150,8 +182,8 @@ def bench_prefill(hidden, inter, layers, heads, kv_heads, seq=2048, batch=1):
     return batch * seq / dt
 
 
-def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
-    """SD-2.1 UNet denoise step time.
+def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True, sdxl=False):
+    """SD-2.1 (512px) or SDXL (1024px) UNet denoise step time.
 
     ``piecewise=True`` jits each down/mid/up block separately: the monolithic
     UNet graph overloads this environment's remote-compile service (40+ min,
@@ -165,15 +197,26 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
     from dreamllm_tpu.models.sd.blocks import (
         conv2d, dense, downsample, resnet_block, timestep_embedding, upsample,
     )
-    from dreamllm_tpu.models.sd.unet import _transformer2d
+    from dreamllm_tpu.models.sd.unet import _transformer2d, sdxl_unet_config
     from dreamllm_tpu.ops.norms import group_norm
 
-    cfg = UNetConfig(dtype=jnp.bfloat16)  # SD 2.1 base architecture
+    if sdxl:
+        cfg = sdxl_unet_config(dtype=jnp.bfloat16)  # SDXL-base at 1024px
+    else:
+        cfg = UNetConfig(dtype=jnp.bfloat16)  # SD 2.1 base architecture
     params = jax.jit(lambda r: init_unet_params(r, cfg))(jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
-    lat = jnp.zeros((2, 64, 64, 4), jnp.bfloat16)  # CFG-duplicated batch 1
-    ctx = jnp.zeros((2, 64, 1024), jnp.bfloat16)
+    latent = 128 if sdxl else 64
+    lat = jnp.zeros((2, latent, latent, 4), jnp.bfloat16)  # CFG-duplicated b1
+    ctx = jnp.zeros((2, 64, cfg.cross_attention_dim), jnp.bfloat16)
+    added = None
+    if sdxl:
+        added = {
+            "time_ids": jnp.tile(jnp.asarray([[1024, 1024, 0, 0, 1024, 1024]],
+                                             jnp.bfloat16), (2, 1)),
+            "text_embeds": jnp.zeros((2, 1280), jnp.bfloat16),
+        }
     g = cfg.norm_num_groups
     heads = cfg.num_attention_heads
 
@@ -183,7 +226,7 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
     if not piecewise:
         @jax.jit
         def step_full(params, lat, t, ctx):
-            return unet_forward(params, cfg, lat, t, ctx)
+            return unet_forward(params, cfg, lat, t, ctx, added_cond=added)
 
         def step(lat, t):
             return step_full(params, lat, t, ctx)
@@ -193,6 +236,14 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
             temb = timestep_embedding(t, cfg.block_out_channels[0])
             te = p["time_embedding"]
             temb = dense(jax.nn.silu(dense(temb.astype(sample.dtype), te["linear_1"])), te["linear_2"])
+            if cfg.addition_embed_type == "text_time":  # SDXL micro-conditioning
+                tids = added["time_ids"]
+                tid_emb = timestep_embedding(tids.reshape(-1), cfg.addition_time_embed_dim)
+                tid_emb = tid_emb.reshape(tids.shape[0], -1)
+                add = jnp.concatenate(
+                    [added["text_embeds"], tid_emb.astype(sample.dtype)], axis=-1)
+                ae = p["add_embedding"]
+                temb = temb + dense(jax.nn.silu(dense(add, ae["linear_1"])), ae["linear_2"])
             h = conv2d(sample, p["conv_in"])
             return h, temb
 
@@ -317,11 +368,11 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True):
 
         @jax.jit
         def full_step(p, lat, t, ctx):
-            return unet_forward(p, cfg, lat, t, ctx, return_deep=True)
+            return unet_forward(p, cfg, lat, t, ctx, added_cond=added, return_deep=True)
 
         @jax.jit
         def shallow_step(p, lat, t, ctx, deep):
-            return unet_forward_shallow(p, cfg, lat, t, ctx, deep)
+            return unet_forward_shallow(p, cfg, lat, t, ctx, deep, added_cond=added)
 
         o, deep = full_step(params, lat, jnp.asarray([500, 500]), ctx)
         o2 = shallow_step(params, o, jnp.asarray([499, 499]), ctx, deep)
@@ -370,10 +421,23 @@ def main():
         extra["unet_error"] = str(e)[:200]
     gc.collect()
 
+    # SDXL-base UNet at 1024px (BASELINE.json config #5); ~5.2 GB bf16, so it
+    # runs before the 7B decode fills HBM
+    if backend == "tpu" and os.environ.get("BENCH_SDXL", "1") == "1":
+        try:
+            res = bench_unet(sdxl=True)
+            extra["images_per_min_sdxl1024"] = round(res[0], 3)
+            extra["sdxl_step_s"] = round(res[1], 4)
+            if len(res) > 2:
+                extra["images_per_min_sdxl1024_deepcache2"] = round(res[2], 3)
+        except Exception as e:
+            extra["sdxl_error"] = str(e)[:200]
+        gc.collect()
+
     tok_s = None
     for name, kw in ladder:
         try:
-            tok_s, dt = bench_decode(**kw)
+            tok_s, dt = bench_decode(**kw, spec_extras=extra)
             extra["decode_model"] = name
             extra["decode_iter_s"] = round(dt, 3)
             break

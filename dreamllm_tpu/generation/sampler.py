@@ -266,3 +266,130 @@ def beam_search(
     # strip eos
     toks = jnp.where(toks == eos_token_id, pad_token_id, toks)
     return {"tokens": toks, "scores": norm[jnp.arange(b), best]}
+
+
+def generate_text_speculative(
+    params,
+    llm_cfg: LlamaConfig,
+    input_ids: jnp.ndarray,          # [1, S] right-padded
+    prompt_lengths: jnp.ndarray,     # [1]
+    cfg: SamplingConfig,
+    *,
+    draft_len: int = 8,
+    inputs_embeds: jnp.ndarray | None = None,
+    cache_dtype=jnp.bfloat16,
+) -> dict:
+    """Prompt-lookup speculative greedy decode (batch 1).
+
+    Beyond-parity serving feature: b1 decode is HBM-bandwidth-bound on the
+    weight read, so verifying ``draft_len`` drafted tokens in ONE forward
+    costs the same wall clock as decoding one token — every accepted draft is
+    nearly free. Drafts come from the sequence itself (latest bigram match in
+    prompt+generated, "prompt lookup decoding"): no draft model, exactness
+    preserved — the output equals greedy :func:`generate_text` token-for-token.
+
+    Each iteration feeds ``[cur, d_1..d_K]`` against the KV cache, takes
+    greedy argmax g_0..g_K, accepts the longest prefix with d_i == g_{i-1},
+    emits ``a+1`` tokens (a matches + 1 free correction), and REWINDS the
+    cache write index to ``idx + a + 1`` — rejected slots are overwritten by
+    the next window, and positional masking (pos/seg metadata) keeps them
+    invisible meanwhile.
+    """
+    assert cfg.greedy, "speculative decoding preserves exactness only for greedy"
+    b, s = input_ids.shape
+    assert b == 1, "prompt-lookup speculation is a batch-1 latency feature"
+    K = draft_len
+    max_new = cfg.max_new_tokens
+    # dense worst case: every iteration writes K+1 slots but advances 1
+    max_len = s + max_new + K + 1
+
+    pos = jnp.arange(s, dtype=jnp.int32)[None]
+    seg = (pos < prompt_lengths[:, None]).astype(jnp.int32)
+    positions = jnp.where(seg == 1, pos, 0)
+
+    cache = init_kv_cache(llm_cfg, b, max_len, dtype=cache_dtype)
+    out = llama_forward(
+        params, llm_cfg,
+        input_ids=None if inputs_embeds is not None else input_ids,
+        inputs_embeds=inputs_embeds,
+        segment_ids=seg, positions=positions, kv_cache=cache,
+    )
+    cache = out["kv_cache"]
+    last_idx = jnp.maximum(prompt_lengths - 1, 0)
+    last_hidden = jnp.take_along_axis(out["last_hidden_state"], last_idx[:, None, None], axis=1)
+    first_tok = jnp.argmax(llama_logits(params, llm_cfg, last_hidden)[:, 0], axis=-1).astype(jnp.int32)
+
+    L = s + max_new + K + 2  # slack: the last window write must not clamp
+    # working sequence: prompt + generated (draft source)
+    buf0 = jnp.zeros((L,), jnp.int32)
+    buf0 = jax.lax.dynamic_update_slice(buf0, input_ids[0], (0,))
+    plen = prompt_lengths[0]
+    buf0 = jax.lax.dynamic_update_slice(buf0, first_tok, (plen,))
+
+    toks0 = jnp.full((max_new + K + 1,), cfg.pad_token_id, jnp.int32)
+    toks0 = toks0.at[0].set(first_tok[0])
+    done0 = first_tok[0] == cfg.eos_token_id
+    arangeL = jnp.arange(L - 1, dtype=jnp.int32)
+
+    def lookup_draft(buf, cur_len):
+        """Latest bigram match in buf[:cur_len] -> next K tokens."""
+        x = buf[jnp.maximum(cur_len - 2, 0)]
+        y = buf[jnp.maximum(cur_len - 1, 0)]
+        m = (buf[:-1] == x) & (jnp.roll(buf, -1)[:-1] == y) & (arangeL < cur_len - 2)
+        j = jnp.max(jnp.where(m, arangeL, -1))
+        start = jnp.clip(j + 2, 0, L - K)
+        draft = jax.lax.dynamic_slice(buf, (start,), (K,))
+        # no match -> draft stays, acceptance simply fails (a == 0)
+        return jnp.where(j >= 0, draft, jnp.full((K,), cfg.pad_token_id, jnp.int32))
+
+    def step_fn(state):
+        cnt, cur, buf, toks, done, cache, accepted_total, iters = state
+        cur_len = plen + cnt                       # tokens in buf
+        draft = lookup_draft(buf, cur_len)
+        window = jnp.concatenate([cur, draft])[None]            # [1, K+1]
+        positions = (cur_len - 1 + jnp.arange(K + 1, dtype=jnp.int32))[None]
+        out = llama_forward(
+            params, llm_cfg, input_ids=window,
+            segment_ids=jnp.ones((1, K + 1), jnp.int32),
+            positions=positions, kv_cache=cache,
+        )
+        g = jnp.argmax(
+            llama_logits(params, llm_cfg, out["last_hidden_state"])[0], axis=-1
+        ).astype(jnp.int32)                                      # [K+1]
+        match = draft == g[:-1]                                  # [K]
+        a = jnp.argmin(jnp.concatenate([match, jnp.zeros((1,), bool)]))  # first False
+        emitted = g                                              # g[0..a] are real
+        valid = jnp.arange(K + 1) <= a
+        # EOS truncation: emit nothing at/after the first EOS
+        is_eos = (emitted == cfg.eos_token_id) & valid
+        eos_at = jnp.argmax(jnp.concatenate([is_eos, jnp.ones((1,), bool)]))
+        n_emit = jnp.minimum(a + 1, eos_at).astype(jnp.int32)
+        # never exceed the requested budget
+        n_emit = jnp.minimum(n_emit, max_new - cnt)
+        hit_eos = jnp.any(is_eos) | (n_emit < a + 1)
+
+        store = jnp.where(jnp.arange(K + 1) < n_emit, emitted, cfg.pad_token_id)
+        toks = jax.lax.dynamic_update_slice(toks, store, (cnt,))
+        buf = jax.lax.dynamic_update_slice(buf, store, (cur_len,))
+        # rewind the cache write index: only cur + a accepted drafts stay
+        new_cache = dict(out["kv_cache"])
+        new_cache["index"] = cache["index"] + a + 1
+        # the next 'cur' is the LAST emitted token
+        cur_new = jnp.where(n_emit > 0, emitted[jnp.maximum(n_emit - 1, 0)], cur[0])[None]
+        return (cnt + n_emit, cur_new, buf, toks,
+                done | hit_eos | (n_emit == 0), new_cache,
+                accepted_total + a, iters + 1)
+
+    def cond_fn(state):
+        cnt, _, _, _, done, _, _, _ = state
+        return (cnt < max_new) & ~done
+
+    state = (jnp.int32(1), first_tok, buf0, toks0, done0, cache,
+             jnp.int32(0), jnp.int32(0))
+    cnt, _, _, toks, done, cache, accepted, iters = jax.lax.while_loop(
+        cond_fn, step_fn, state
+    )
+    toks = toks[:max_new][None]
+    lengths = jnp.sum(toks != cfg.pad_token_id, axis=-1)
+    return {"tokens": toks, "lengths": lengths, "kv_cache": cache,
+            "steps": iters, "accepted": accepted, "emitted": cnt}
