@@ -107,6 +107,7 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False
     dt = times[len(times) // 2]  # median: tunnel timing has outliers BOTH ways
 
     if spec_extras is not None and batch == 1:
+      try:  # never let a spec-graph compile failure kill the main rung
         # prompt-lookup speculative decode (exact greedy; serving latency
         # feature). Repetitive-context prompt = the doc-QA/summarization
         # regime where prompt lookup shines.
@@ -137,6 +138,8 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False
         sdt = ts[len(ts) // 2]
         spec_extras["decode_spec_lookup_tok_s"] = round(DECODE / sdt, 1)
         spec_extras["spec_verify_steps_per_128"] = int(out["steps"])
+      except Exception as e:
+        spec_extras["spec_error"] = str(e)[:200]
     return batch * DECODE / dt, dt
 
 
@@ -437,7 +440,7 @@ def main():
     tok_s = None
     for name, kw in ladder:
         try:
-            tok_s, dt = bench_decode(**kw, spec_extras=extra)
+            tok_s, dt = bench_decode(**kw)
             extra["decode_model"] = name
             extra["decode_iter_s"] = round(dt, 3)
             break
@@ -452,7 +455,11 @@ def main():
     if tok_s is not None and backend == "tpu":
         gc.collect()
         try:
-            tok_si8, _ = bench_decode(**kw, quantize=True, fuse=True)
+            # speculative decode measures on the int8 config: the 7B bf16
+            # spec graph crashes this env's remote compiler (like bf16 b4),
+            # the int8 one compiles — 229 tok/s b1 on repetitive context
+            tok_si8, _ = bench_decode(**kw, quantize=True, fuse=True,
+                                      spec_extras=extra)
             extra["decode_int8_fused_tok_s"] = round(tok_si8, 1)
             if tok_si8 > tok_s:
                 extra["decode_bf16_tok_s"] = round(tok_s, 1)

@@ -196,6 +196,8 @@ def beam_search(
     cache = {
         "k": jnp.repeat(cache["k"], k, axis=1),
         "v": jnp.repeat(cache["v"], k, axis=1),
+        **{n: jnp.repeat(cache[n], k, axis=1)
+           for n in ("k_scale", "v_scale") if n in cache},
         "seg": jnp.repeat(cache["seg"], k, axis=0),
         "pos": jnp.repeat(cache["pos"], k, axis=0),
         "index": cache["index"],
@@ -238,6 +240,8 @@ def beam_search(
         new_cache = {
             "k": o["kv_cache"]["k"][:, gather_rows],
             "v": o["kv_cache"]["v"][:, gather_rows],
+            **{n: o["kv_cache"][n][:, gather_rows]
+               for n in ("k_scale", "v_scale") if n in o["kv_cache"]},
             "seg": o["kv_cache"]["seg"][gather_rows],
             "pos": o["kv_cache"]["pos"][gather_rows],
             "index": o["kv_cache"]["index"],
@@ -294,6 +298,13 @@ def generate_text_speculative(
     cache write index to ``idx + a + 1`` — rejected slots are overwritten by
     the next window, and positional masking (pos/seg metadata) keeps them
     invisible meanwhile.
+
+    Near the token budget, draft positions can exceed
+    ``max_position_embeddings`` by up to ``draft_len``: such drafts are
+    budget-rejected (never emitted) and their cache slots overwritten, and
+    the RoPE table gather clips, so correctness is unaffected — but size
+    ``max_position_embeddings >= prompt + max_new_tokens + draft_len`` to
+    keep every verify window's rope exact.
     """
     assert cfg.greedy, "speculative decoding preserves exactness only for greedy"
     b, s = input_ids.shape

@@ -137,15 +137,36 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
     ``seg`` carries the segment id of each filled slot (0 = empty), ``pos``
     its absolute position; ``index`` is the next write offset. Masking during
     decode is derived from these, so no recompile per step.
+
+    ``dtype=jnp.int8`` stores k/v as int8 codes with per-(slot, head) fp32
+    absmax scales — halves the cache's HBM footprint and read traffic, the
+    long-context serving lever (at 4k context the bf16 cache read is ~2 GB
+    per decoded token on 7B). Dequantization fuses into the attention dots.
     """
     L, hkv, hd = cfg.num_hidden_layers, cfg.kv_heads, cfg.head_dim
-    return {
+    cache = {
         "k": jnp.zeros((L, batch, max_len, hkv, hd), dtype),
         "v": jnp.zeros((L, batch, max_len, hkv, hd), dtype),
         "seg": jnp.zeros((batch, max_len), jnp.int32),
         "pos": jnp.zeros((batch, max_len), jnp.int32),
         "index": jnp.zeros((), jnp.int32),
     }
+    if dtype == jnp.int8:
+        cache["k_scale"] = jnp.zeros((L, batch, max_len, hkv), jnp.float32)
+        cache["v_scale"] = jnp.zeros((L, batch, max_len, hkv), jnp.float32)
+    return cache
+
+
+def _kv_quantize(x: jnp.ndarray):
+    """[B,S,H,D] -> (int8 codes, [B,S,H] fp32 scales): per-(slot, head) absmax."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    codes = jnp.round(x.astype(jnp.float32) / scale[..., None]).astype(jnp.int8)
+    return codes, scale
+
+
+def _kv_dequantize(codes: jnp.ndarray, scale: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (codes.astype(jnp.float32) * scale[..., None]).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -186,17 +207,29 @@ def _attention(
 
     new_cache = None
     if cache_kv is not None:
-        ck, cv = cache_kv  # [B, max_len, Hkv, D]
         idx = cache_meta["index"]
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, idx, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, idx, 0, 0))
-        new_cache = (ck, cv)
+        if len(cache_kv) == 4:  # int8 cache: (codes_k, codes_v, scale_k, scale_v)
+            ck, cv, sk, sv = cache_kv
+            kq, ks_new = _kv_quantize(k)
+            vq, vs_new = _kv_quantize(v)
+            ck = jax.lax.dynamic_update_slice(ck, kq, (0, idx, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, vq, (0, idx, 0, 0))
+            sk = jax.lax.dynamic_update_slice(sk, ks_new, (0, idx, 0))
+            sv = jax.lax.dynamic_update_slice(sv, vs_new, (0, idx, 0))
+            new_cache = (ck, cv, sk, sv)
+            kd = _kv_dequantize(ck, sk, q.dtype)
+            vd = _kv_dequantize(cv, sv, q.dtype)
+        else:
+            ck, cv = cache_kv  # [B, max_len, Hkv, D]
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, idx, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, idx, 0, 0))
+            new_cache = (ck, cv)
+            kd = ck.astype(q.dtype)
+            vd = cv.astype(q.dtype)
         # positional-causal mask over the whole cache — layer-invariant, so
         # llama_forward builds it ONCE per step and the scan body reuses it
         # (32 rebuilds/step were measurable overhead in b1 decode)
-        out = dot_product_attention(
-            q, ck.astype(q.dtype), cv.astype(q.dtype), bias=cache_meta["bias"]
-        )
+        out = dot_product_attention(q, kd, vd, bias=cache_meta["bias"])
     elif ring_axis is not None:
         # Sequence parallelism: q/k/v here are this device's sequence shard
         # (we are inside shard_map with S sharded over ``ring_axis``);
@@ -322,14 +355,17 @@ def llama_forward(
         )[:, None, None]  # [B,1,1,S,max_len]
         cache_meta = {"seg": seg, "pos": pos, "index": idx, "bias": bias}
 
+    quantized_cache = kv_cache is not None and "k_scale" in kv_cache
+
     def step(carry, scanned):
         x = carry
         if kv_cache is not None:
-            layer, ck, cv = scanned
-            y, (nk, nv) = _decoder_layer(
-                layer, x, cos, sin, cfg, segment_ids, positions, (ck, cv), cache_meta, use_flash
+            layer, *ckv = scanned  # (k, v) or (k, v, k_scale, v_scale)
+            y, new_ckv = _decoder_layer(
+                layer, x, cos, sin, cfg, segment_ids, positions, tuple(ckv),
+                cache_meta, use_flash
             )
-            return y, (nk, nv, x if output_hidden_states else None)
+            return y, (new_ckv, x if output_hidden_states else None)
         layer = scanned
         y, _ = _decoder_layer(
             layer, x, cos, sin, cfg, segment_ids, positions, None, None, use_flash,
@@ -346,15 +382,22 @@ def llama_forward(
         step = jax.checkpoint(step, prevent_cse=False)
 
     if kv_cache is not None:
-        xs = (params["layers"], kv_cache["k"], kv_cache["v"])
-        x, (new_k, new_v, hs) = jax.lax.scan(step, x, xs)
+        if quantized_cache:
+            xs = (params["layers"], kv_cache["k"], kv_cache["v"],
+                  kv_cache["k_scale"], kv_cache["v_scale"])
+        else:
+            xs = (params["layers"], kv_cache["k"], kv_cache["v"])
+        x, (new_ckv, hs) = jax.lax.scan(step, x, xs)
         new_cache = {
-            "k": new_k,
-            "v": new_v,
+            "k": new_ckv[0],
+            "v": new_ckv[1],
             "seg": cache_meta["seg"],
             "pos": cache_meta["pos"],
             "index": kv_cache["index"] + s,
         }
+        if quantized_cache:
+            new_cache["k_scale"] = new_ckv[2]
+            new_cache["v_scale"] = new_ckv[3]
     else:
         x, hs = jax.lax.scan(step, x, params["layers"])
         new_cache = None

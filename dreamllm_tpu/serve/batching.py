@@ -130,6 +130,7 @@ def make_batched_generate_fn(
     eos_token_id: int = 2,
     pad_token_id: int = 0,
     bos_token_id: int | None = 1,
+    kv_cache_int8: bool = False,   # halve KV-cache HBM (long-context serving)
 ) -> Callable[[list[str]], list[str]]:
     """One fixed-shape compiled decode serving many requests.
 
@@ -155,9 +156,12 @@ def make_batched_generate_fn(
     # un-jitted generate_text dispatches its prefill ops eagerly
     from functools import partial
 
+    cache_dtype = jnp.int8 if kv_cache_int8 else jnp.bfloat16
+
     @partial(jax.jit, static_argnames=("c",))
     def gen(params, ids, lens, rng, c):
-        return generate_text(params, llm_cfg, ids, lens, c, rng=rng)
+        return generate_text(params, llm_cfg, ids, lens, c, rng=rng,
+                             cache_dtype=cache_dtype)
 
     def fn(prompts: Sequence[str]) -> list[str]:
         n = len(prompts)

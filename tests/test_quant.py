@@ -130,3 +130,57 @@ class TestQuantCheckpoint:
         assert isinstance(w1, QTensor) and w1.q.dtype == jnp.int8
         np.testing.assert_array_equal(np.asarray(w0.q), np.asarray(w1.q))
         np.testing.assert_allclose(np.asarray(w0.scale), np.asarray(w1.scale))
+
+
+class TestInt8KVCache:
+    """int8 KV cache (per-slot-per-head absmax scales): halves cache HBM
+    footprint/traffic for long-context serving; greedy decode should match
+    the bf16 cache closely on a tiny model."""
+
+    def _model(self):
+        from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig(vocab_size=173, hidden_size=64, intermediate_size=128,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          max_position_embeddings=128)
+        return cfg, init_llama_params(jax.random.PRNGKey(3), cfg)
+
+    def test_greedy_decode_matches_bf16_cache(self):
+        from dreamllm_tpu.generation import SamplingConfig, generate_text
+
+        cfg, params = self._model()
+        ids = jax.random.randint(jax.random.PRNGKey(0), (2, 12), 10, 170)
+        lens = jnp.array([12, 9], jnp.int32)
+        scfg = SamplingConfig(greedy=True, max_new_tokens=16, eos_token_id=-1)
+        ref = generate_text(params, cfg, ids, lens, scfg, cache_dtype=jnp.float32)
+        out = generate_text(params, cfg, ids, lens, scfg, cache_dtype=jnp.int8)
+        a, b = np.asarray(ref["tokens"]), np.asarray(out["tokens"])
+        # int8 cache is lossy; on a tiny random model the greedy stream should
+        # still agree for a long prefix
+        agree = (a == b).mean()
+        assert agree >= 0.75, (agree, a, b)
+
+    def test_cache_layout_and_memory(self):
+        from dreamllm_tpu.models.llama import init_kv_cache, llama_forward
+
+        cfg, params = self._model()
+        cache = init_kv_cache(cfg, 2, 32, dtype=jnp.int8)
+        assert cache["k"].dtype == jnp.int8
+        assert cache["k_scale"].shape == (2, 2, 32, 4)
+        out = llama_forward(params, cfg,
+                            input_ids=jax.random.randint(jax.random.PRNGKey(1), (2, 8), 10, 170),
+                            kv_cache=cache)
+        nc = out["kv_cache"]
+        assert nc["k"].dtype == jnp.int8 and int(nc["index"]) == 8
+        # written slots carry nonzero scales, untouched slots zero
+        assert float(jnp.max(nc["k_scale"][:, :, :8])) > 0
+        assert float(jnp.max(nc["k_scale"][:, :, 8:])) == 0.0
+
+    def test_quantize_roundtrip_error(self):
+        from dreamllm_tpu.models.llama import _kv_dequantize, _kv_quantize
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 4, 16), jnp.float32)
+        codes, scale = _kv_quantize(x)
+        y = _kv_dequantize(codes, scale, jnp.float32)
+        err = jnp.max(jnp.abs(x - y) / (jnp.max(jnp.abs(x)) + 1e-9))
+        assert float(err) < 1.0 / 127
