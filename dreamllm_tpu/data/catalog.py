@@ -167,11 +167,13 @@ def _webvid_json(subdir: str, size: int, num_frames: int = 8):
         for p in sorted(glob.glob(os.path.join(root, subdir, "*.json"))):
             with open(p) as f:
                 meta += json.load(f)
+        if not meta:  # fail fast like the shard factories (_shards)
+            raise RuntimeError(f"no webvid json metadata under {root}/{subdir}")
         video_dir = os.path.join(root, subdir, "videos")
 
         class WebVid:
             def __len__(self):
-                return size if meta == [] else len(meta)
+                return len(meta)
 
             def __getitem__(self, i):
                 from dreamllm_tpu.utils.video import sample_video_frames

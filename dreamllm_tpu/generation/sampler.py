@@ -307,6 +307,10 @@ def generate_text_speculative(
     keep every verify window's rope exact.
     """
     assert cfg.greedy, "speculative decoding preserves exactness only for greedy"
+    assert not cfg.stop_tokens, (
+        "stop_tokens (interleaved mode) are not supported by the speculative "
+        "path yet — use generate_text"
+    )
     b, s = input_ids.shape
     assert b == 1, "prompt-lookup speculation is a batch-1 latency feature"
     K = draft_len
@@ -338,8 +342,9 @@ def generate_text_speculative(
     buf0 = jax.lax.dynamic_update_slice(buf0, first_tok, (plen,))
 
     toks0 = jnp.full((max_new + K + 1,), cfg.pad_token_id, jnp.int32)
-    toks0 = toks0.at[0].set(first_tok[0])
     done0 = first_tok[0] == cfg.eos_token_id
+    # EOS as the very first token is never stored (generate_text parity)
+    toks0 = toks0.at[0].set(jnp.where(done0, cfg.pad_token_id, first_tok[0]))
     arangeL = jnp.arange(L - 1, dtype=jnp.int32)
 
     def lookup_draft(buf, cur_len):

@@ -440,6 +440,10 @@ def llama_logits(params: Params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.n
     # bf16 operands + fp32 accumulation: casting the [H, V] head to fp32
     # would double its HBM read (and can materialize a 1 GB copy) on every
     # decode step; preferred_element_type keeps logits fp32 without that.
+    # dot_general requires matching operand dtypes — mixed callers (fp32
+    # embeds over bf16 params) upcast the head, matching the old behavior.
+    if w.dtype != hidden.dtype:
+        w = w.astype(hidden.dtype)
     return jax.lax.dot_general(
         hidden, w, (((hidden.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,

@@ -164,8 +164,14 @@ def make_batched_generate_fn(
                              cache_dtype=cache_dtype)
 
     def fn(prompts: Sequence[str]) -> list[str]:
+        # a DynamicBatcher window may collect more than one compiled batch
+        # (its max_batch is independent of ours): chunk, never assert
+        if len(prompts) > batch_size:
+            out: list[str] = []
+            for i in range(0, len(prompts), batch_size):
+                out += fn(prompts[i : i + batch_size])
+            return out
         n = len(prompts)
-        assert n <= batch_size, (n, batch_size)
         ids = np.zeros((batch_size, max_prompt_len), np.int32)
         lens = np.ones((batch_size,), np.int32)  # dummy rows: 1 pad token
         for i, prompt in enumerate(prompts):

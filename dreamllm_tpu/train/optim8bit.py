@@ -87,15 +87,16 @@ def adamw_8bit(
 
     def update(updates, state, params=None):
         count = state.count + 1
-        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        # schedule indexed at the PRE-increment count — optax's
+        # scale_by_schedule applies schedule(0) on the first update, and the
+        # drop-in contract must reproduce that (warmups start at lr(0))
+        lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
 
         decay_tree = None
         if weight_decay > 0.0 and params is not None:
             decay_tree = mask(params) if callable(mask) else mask
-
-        is_moment = lambda x: isinstance(x, _Moment)
 
         def step(g, mq, vq, p, do_decay):
             g = g.astype(jnp.float32)
@@ -121,7 +122,6 @@ def adamw_8bit(
         new_updates = treedef.unflatten([o[0] for o in out])
         new_m = treedef.unflatten([o[1] for o in out])
         new_v = treedef.unflatten([o[2] for o in out])
-        del is_moment
         return new_updates, Adam8bitState(count=count, m=new_m, v=new_v)
 
     return optax.GradientTransformation(init, update)

@@ -22,7 +22,7 @@ import numpy as np
 
 from dreamllm_tpu.config import LazyArgumentParser, default_setup
 from dreamllm_tpu.eval.fid import init_inception_params
-from dreamllm_tpu.eval.text2img import T2IProtocol, run_protocol
+from dreamllm_tpu.eval.text2img import T2IProtocol, lncoco_protocol, run_protocol
 from dreamllm_tpu.models.clip import clip_pooled_output, clip_preprocess, clip_vision_forward
 from dreamllm_tpu.models.clip_text import (
     CLIPTextConfig,
@@ -77,10 +77,11 @@ def main(argv=None):
 
     # protocol=lncoco → 100 steps / guidance 3.0 / 1 seed (ddp_sample_lncoco.py)
     lncoco = config.get("protocol", "coco") == "lncoco"
+    base = lncoco_protocol() if lncoco else T2IProtocol()
     protocol = T2IProtocol(
-        num_seeds=config.get("num_seeds", 1 if lncoco else 8),
-        num_inference_steps=config.get("num_inference_steps", 100 if lncoco else 150),
-        guidance_scale=config.get("guidance_scale", 3.0 if lncoco else 2.0),
+        num_seeds=config.get("num_seeds", base.num_seeds),
+        num_inference_steps=config.get("num_inference_steps", base.num_inference_steps),
+        guidance_scale=config.get("guidance_scale", base.guidance_scale),
         image_size=config.get("fid_image_size", 256),
         batch_size=config.get("sample_batch_size", 4),
     )

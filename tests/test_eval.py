@@ -350,8 +350,8 @@ class TestT2IProtocol:
         assert caps[0].endswith("image 42")
         assert caps[1] == "only narrative of image 7"
         assert caps[2] == "narrative of image 9"
-        assert load_lncoco_captions(str(p), max_images=2) == caps[:2] or True  # seeded draw
-        assert len(load_lncoco_captions(str(p), max_images=2)) == 2
+        trimmed = load_lncoco_captions(str(p), seed=0, max_images=2)
+        assert trimmed == caps[:2]  # same seed -> same draw, truncated
 
         proto = lncoco_protocol()
         assert (proto.num_seeds, proto.num_inference_steps, proto.guidance_scale) == (1, 100, 3.0)

@@ -175,3 +175,20 @@ class TestServe:
                 assert "boom" in json.loads(e.read())["error"]
         finally:
             server.stop()
+
+    def test_batched_fn_chunks_oversized_windows(self):
+        from dreamllm_tpu.data.tokenization import ToyTokenizer
+        from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params
+        from dreamllm_tpu.serve.batching import make_batched_generate_fn
+
+        cfg = LlamaConfig(vocab_size=256, hidden_size=32, intermediate_size=64,
+                          num_hidden_layers=2, num_attention_heads=4,
+                          max_position_embeddings=64)
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        fn = make_batched_generate_fn(
+            params, cfg, ToyTokenizer(vocab_size=256), batch_size=2,
+            max_prompt_len=16, max_new_tokens=4, eos_token_id=-1,
+        )
+        # 5 prompts through a batch-2 compiled fn: chunked, no assert
+        out = fn([f"p {i}" for i in range(5)])
+        assert len(out) == 5

@@ -184,3 +184,17 @@ class TestInt8KVCache:
         y = _kv_dequantize(codes, scale, jnp.float32)
         err = jnp.max(jnp.abs(x - y) / (jnp.max(jnp.abs(x)) + 1e-9))
         assert float(err) < 1.0 / 127
+
+    def test_beam_search_int8_cache_gather(self):
+        from dreamllm_tpu.generation.sampler import beam_search
+
+        cfg, params = self._model()
+        ids = jax.random.randint(jax.random.PRNGKey(4), (2, 10), 10, 170)
+        lens = jnp.array([10, 7], jnp.int32)
+        out = beam_search(params, cfg, ids, lens, num_beams=3,
+                          max_new_tokens=6, eos_token_id=-1, cache_dtype=jnp.int8)
+        ref = beam_search(params, cfg, ids, lens, num_beams=3,
+                          max_new_tokens=6, eos_token_id=-1, cache_dtype=jnp.float32)
+        a, b = np.asarray(out["tokens"]), np.asarray(ref["tokens"])
+        assert a.shape == (2, 6)
+        assert (a == b).mean() >= 0.5  # lossy cache, tiny random model

@@ -77,3 +77,32 @@ class TestSpeculative:
         scfg = SamplingConfig(greedy=False, max_new_tokens=4)
         with pytest.raises(AssertionError):
             generate_text_speculative(params, cfg, ids, jnp.array([8]), scfg)
+
+
+def test_first_token_eos_matches_greedy(model=None):
+    cfg = LlamaConfig(vocab_size=199, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      max_position_embeddings=512)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(9), (1, 10), 10, 190)
+    lens = jnp.array([10], jnp.int32)
+    # discover the greedy first token, then make IT the EOS id
+    free = generate_text(params, cfg, ids, lens,
+                         SamplingConfig(greedy=True, max_new_tokens=4, eos_token_id=-1))
+    eos = int(np.asarray(free["tokens"])[0, 0])
+    scfg = SamplingConfig(greedy=True, max_new_tokens=4, eos_token_id=eos)
+    ref = generate_text(params, cfg, ids, lens, scfg)
+    out = generate_text_speculative(params, cfg, ids, lens, scfg, draft_len=3)
+    np.testing.assert_array_equal(np.asarray(out["tokens"]), np.asarray(ref["tokens"]))
+    assert int(out["lengths"][0]) == int(ref["lengths"][0]) == 0
+
+
+def test_stop_tokens_rejected():
+    cfg = LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      max_position_embeddings=64)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    scfg = SamplingConfig(greedy=True, max_new_tokens=4, stop_tokens=(5,))
+    with pytest.raises(AssertionError, match="stop_tokens"):
+        generate_text_speculative(params, cfg, jnp.ones((1, 4), jnp.int32),
+                                  jnp.array([4]), scfg)
