@@ -351,17 +351,23 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True, sdxl=False):
 
     # warm up with a FULL loop, not one step: the first burst of rapid-fire
     # dispatches through the tunnel runs ~2.7x slower (cold connection);
-    # measured bistable 67 ms vs 24.7 ms per step with a 1-step warmup
+    # measured bistable 67 ms vs 24.7 ms per step with a 1-step warmup.
+    # Then take the MEDIAN of 3 timed loops — single-loop readings still
+    # vary ±25% through the tunnel.
     out = step(lat, jnp.asarray([500, 500]))
     np.asarray(out)
     for i in range(steps_timed):
         out = step(out * 0.99, jnp.asarray([500 - i, 500 - i]))
     np.asarray(out)
-    t0 = time.perf_counter()
-    for i in range(steps_timed):
-        out = step(out * 0.99, jnp.asarray([400 - i, 400 - i]))
-    np.asarray(out)
-    per_step = (time.perf_counter() - t0) / steps_timed
+    loop_times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for i in range(steps_timed):
+            out = step(out * 0.99, jnp.asarray([400 - 10 * rep - i] * 2))
+        np.asarray(out)
+        loop_times.append(time.perf_counter() - t0)
+    loop_times.sort()
+    per_step = loop_times[1] / steps_timed
     image_time = per_step * equivalent_steps
     result = (60.0 / image_time, per_step)
 

@@ -279,6 +279,91 @@ def run_mc_task(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Generation-scored QA tasks — TriviaQA / NaturalQuestions / DROP
+# (reference BASE_TASKS tail, task_utils.py:431-432). SQuAD-style EM/F1 over
+# the normalized answer against all gold aliases.
+# ---------------------------------------------------------------------------
+
+
+def squad_em_f1(prediction: str, golds: Sequence[str]) -> tuple[float, float]:
+    pred = normalize_answer(prediction)
+    em, f1 = 0.0, 0.0
+    for gold in golds:
+        g = normalize_answer(str(gold))
+        em = max(em, float(pred == g))
+        pt, gt = pred.split(), g.split()
+        common = 0
+        gt_pool = list(gt)
+        for t in pt:
+            if t in gt_pool:
+                gt_pool.remove(t)
+                common += 1
+        if common:
+            p = common / len(pt)
+            r = common / len(gt)
+            f1 = max(f1, 2 * p * r / (p + r))
+    return em, f1
+
+
+def _qa_triviaqa(r):
+    ans = r.get("answer", {})
+    if isinstance(ans, dict):
+        golds = list(ans.get("aliases", [])) or [ans.get("value", "")]
+    else:
+        golds = [str(ans)]
+    return f"Question: {r['question']}\nAnswer:", golds
+
+
+def _qa_naturalqa(r):
+    golds = r.get("answer", r.get("answers", []))
+    if isinstance(golds, str):
+        golds = [golds]
+    return f"Question: {r['question']}\nAnswer:", list(golds)
+
+
+def _qa_drop(r):
+    spans = r.get("answers_spans", {}).get("spans") or r.get("answers", [])
+    return (f"Passage: {r['passage']}\nQuestion: {r['question']}\nAnswer:",
+            list(spans))
+
+
+GEN_QA_RENDERERS: dict[str, Callable[[dict], tuple[str, list[str]]]] = {
+    "triviaqa": _qa_triviaqa,
+    "naturalqa": _qa_naturalqa,
+    "drop_gen": _qa_drop,
+}
+
+
+def run_gen_qa(
+    generate_fn: GenerateFn,
+    task: str,
+    rows: Sequence[dict],
+    *,
+    max_samples: int | None = None,
+    out_path: str | None = None,
+) -> dict:
+    """Generation-scored QA: render prompt, generate, take the first line,
+    score EM + token-F1 against all golds."""
+    render = GEN_QA_RENDERERS[task]
+    rows = list(rows)[:max_samples] if max_samples else list(rows)
+    results, em_sum, f1_sum = [], 0.0, 0.0
+    for r in rows:
+        prompt, golds = render(r)
+        gen = generate_fn(prompt).strip().split("\n")[0]
+        em, f1 = squad_em_f1(gen, golds)
+        em_sum += em
+        f1_sum += f1
+        results.append({"pred": gen, "em": em, "f1": f1})
+    n = max(len(rows), 1)
+    out = {"task": task, "accuracy": em_sum / n, "em": em_sum / n,
+           "f1": f1_sum / n, "n": len(rows)}
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({**out, "results": results}, f, indent=1)
+    return out
+
+
 def run_mmlu(
     choose_fn: ChooseFn,
     test: dict[str, list[MCSample]],

@@ -307,10 +307,6 @@ def generate_text_speculative(
     keep every verify window's rope exact.
     """
     assert cfg.greedy, "speculative decoding preserves exactness only for greedy"
-    assert not cfg.stop_tokens, (
-        "stop_tokens (interleaved mode) are not supported by the speculative "
-        "path yet — use generate_text"
-    )
     b, s = input_ids.shape
     assert b == 1, "prompt-lookup speculation is a batch-1 latency feature"
     K = draft_len
@@ -341,10 +337,19 @@ def generate_text_speculative(
     plen = prompt_lengths[0]
     buf0 = jax.lax.dynamic_update_slice(buf0, first_tok, (plen,))
 
+    def _is_stop(t):
+        """stop_tokens (interleaved <dream_start> mode): stored, then halt."""
+        hit = jnp.zeros(t.shape, bool)
+        for st in cfg.stop_tokens:
+            hit = hit | (t == st)
+        return hit
+
     toks0 = jnp.full((max_new + K + 1,), cfg.pad_token_id, jnp.int32)
-    done0 = first_tok[0] == cfg.eos_token_id
-    # EOS as the very first token is never stored (generate_text parity)
-    toks0 = toks0.at[0].set(jnp.where(done0, cfg.pad_token_id, first_tok[0]))
+    first_eos = first_tok[0] == cfg.eos_token_id
+    # EOS as the very first token is never stored (generate_text parity);
+    # a stop token IS stored and then halts
+    toks0 = toks0.at[0].set(jnp.where(first_eos, cfg.pad_token_id, first_tok[0]))
+    done0 = first_eos | _is_stop(first_tok)[0]
     arangeL = jnp.arange(L - 1, dtype=jnp.int32)
 
     def lookup_draft(buf, cur_len):
@@ -376,13 +381,16 @@ def generate_text_speculative(
         a = jnp.argmin(jnp.concatenate([match, jnp.zeros((1,), bool)]))  # first False
         emitted = g                                              # g[0..a] are real
         valid = jnp.arange(K + 1) <= a
-        # EOS truncation: emit nothing at/after the first EOS
+        # EOS truncation: emit nothing at/after the first EOS (exclusive);
+        # a stop token is emitted and THEN halts (inclusive)
         is_eos = (emitted == cfg.eos_token_id) & valid
         eos_at = jnp.argmax(jnp.concatenate([is_eos, jnp.ones((1,), bool)]))
-        n_emit = jnp.minimum(a + 1, eos_at).astype(jnp.int32)
+        is_stop = _is_stop(emitted) & valid
+        stop_at = jnp.argmax(jnp.concatenate([is_stop, jnp.ones((1,), bool)]))
+        n_emit = jnp.minimum(jnp.minimum(a + 1, eos_at), stop_at + 1).astype(jnp.int32)
         # never exceed the requested budget
         n_emit = jnp.minimum(n_emit, max_new - cnt)
-        hit_eos = jnp.any(is_eos) | (n_emit < a + 1)
+        hit_eos = jnp.any(is_eos) | jnp.any(is_stop) | (n_emit < a + 1)
 
         store = jnp.where(jnp.arange(K + 1) < n_emit, emitted, cfg.pad_token_id)
         toks = jax.lax.dynamic_update_slice(toks, store, (cnt,))

@@ -27,6 +27,7 @@ import jax
 
 from dreamllm_tpu.config import LazyArgumentParser, default_setup
 from dreamllm_tpu.eval.language import (
+    GEN_QA_RENDERERS,
     MC_TASK_RENDERERS,
     load_bbh_tasks,
     load_jsonl,
@@ -34,6 +35,7 @@ from dreamllm_tpu.eval.language import (
     local_scorers,
     online_scorers,
     run_bbh,
+    run_gen_qa,
     run_mc_task,
     run_mmlu,
     smoke_bbh,
@@ -102,6 +104,11 @@ def main(argv=None):
             prompts_dir=config.get("prompts_dir"),
             max_samples_per_task=max_n, out_path=out_path,
         )
+    elif task in GEN_QA_RENDERERS:
+        # generation-scored QA (triviaqa/naturalqa/drop_gen): EM + token-F1
+        path = config.get("data_file") or os.path.join(config["data_dir"], f"{task}.jsonl")
+        result = run_gen_qa(generate, task, load_jsonl(path),
+                            max_samples=max_n, out_path=out_path)
     elif task in MC_TASK_RENDERERS:
         # base MC tasks (boolq/piqa/siqa/hellaswag/winogrande/arc/obqa/sciq/
         # race) from their standard jsonl layouts: data_dir/<task>.jsonl or an

@@ -292,3 +292,48 @@ class TestBaseMCTasks:
                           out_path=str(tmp_path / "out.json"))
         assert out["accuracy"] == 1.0 and out["n"] == 4
         assert (tmp_path / "out.json").exists()
+
+
+class TestGenQATasks:
+    """Generation-scored QA (TriviaQA/NaturalQA/DROP, reference BASE_TASKS)."""
+
+    def test_squad_em_f1(self):
+        from dreamllm_tpu.eval.language import squad_em_f1
+
+        assert squad_em_f1("The Eiffel Tower", ["eiffel tower"]) == (1.0, 1.0)
+        em, f1 = squad_em_f1("tower of eiffel", ["eiffel tower"])
+        assert em == 0.0 and 0.7 < f1 <= 1.0
+        assert squad_em_f1("paris", ["london", "paris"]) == (1.0, 1.0)
+        assert squad_em_f1("nothing", ["relevant answer"])[1] == 0.0
+
+    def test_renderers(self):
+        from dreamllm_tpu.eval.language import GEN_QA_RENDERERS
+
+        p, golds = GEN_QA_RENDERERS["triviaqa"](
+            {"question": "capital of France?",
+             "answer": {"aliases": ["Paris", "paris"], "value": "Paris"}})
+        assert p.endswith("Answer:") and golds == ["Paris", "paris"]
+        p, golds = GEN_QA_RENDERERS["naturalqa"](
+            {"question": "who wrote hamlet", "answer": ["Shakespeare"]})
+        assert golds == ["Shakespeare"]
+        p, golds = GEN_QA_RENDERERS["drop_gen"](
+            {"passage": "There were 3 cats and 2 dogs.",
+             "question": "How many cats?",
+             "answers_spans": {"spans": ["3"]}})
+        assert "Passage:" in p and golds == ["3"]
+
+    def test_run_gen_qa(self, tmp_path):
+        from dreamllm_tpu.eval.language import run_gen_qa
+
+        rows = [
+            {"question": "q1", "answer": {"aliases": ["alpha"], "value": "alpha"}},
+            {"question": "q2", "answer": {"aliases": ["beta"], "value": "beta"}},
+        ]
+
+        def fake_generate(prompt):
+            return " alpha\nextra line" if "q1" in prompt else " gamma"
+
+        out = run_gen_qa(fake_generate, "triviaqa", rows,
+                         out_path=str(tmp_path / "o.json"))
+        assert out["em"] == 0.5 and out["n"] == 2
+        assert (tmp_path / "o.json").exists()

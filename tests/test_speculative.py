@@ -97,12 +97,20 @@ def test_first_token_eos_matches_greedy(model=None):
     assert int(out["lengths"][0]) == int(ref["lengths"][0]) == 0
 
 
-def test_stop_tokens_rejected():
-    cfg = LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
-                      num_hidden_layers=1, num_attention_heads=2,
-                      max_position_embeddings=64)
+def test_stop_tokens_match_greedy():
+    # stop tokens (interleaved <dream_start> mode): stored, then halt —
+    # speculative must reproduce generate_text exactly
+    cfg = LlamaConfig(vocab_size=199, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      max_position_embeddings=512)
     params = init_llama_params(jax.random.PRNGKey(0), cfg)
-    scfg = SamplingConfig(greedy=True, max_new_tokens=4, stop_tokens=(5,))
-    with pytest.raises(AssertionError, match="stop_tokens"):
-        generate_text_speculative(params, cfg, jnp.ones((1, 4), jnp.int32),
-                                  jnp.array([4]), scfg)
+    ids = jax.random.randint(jax.random.PRNGKey(11), (1, 14), 10, 190)
+    lens = jnp.array([14], jnp.int32)
+    free = generate_text(params, cfg, ids, lens,
+                         SamplingConfig(greedy=True, max_new_tokens=12, eos_token_id=-1))
+    stop = int(np.asarray(free["tokens"])[0, 5])  # 6th greedy token becomes a stop
+    scfg = SamplingConfig(greedy=True, max_new_tokens=12, eos_token_id=-1,
+                          stop_tokens=(stop,))
+    ref = generate_text(params, cfg, ids, lens, scfg)
+    out = generate_text_speculative(params, cfg, ids, lens, scfg, draft_len=4)
+    np.testing.assert_array_equal(np.asarray(out["tokens"]), np.asarray(ref["tokens"]))
