@@ -14,8 +14,11 @@ few-shot prompt files). Design differences, deliberate:
     (MMLU csv subject files; BBH task json + few-shot prompt txt). Nothing is
     vendored; ``*_smoke`` builtins make every driver runnable with zero
     downloads.
-  * Results go to JSON (the reference's redis/influx results DB + streamlit
+  * Results go to JSON, optionally accumulated in the sqlite results store
+    (eval/results_db.py — the reference's redis/influx mirrors + streamlit
     frontend are cluster infrastructure, intentionally absent).
+
+Sibling drivers: eval/code_math.py (MATH/GSM8K/HumanEval), eval/agieval.py.
 """
 
 from __future__ import annotations
@@ -72,6 +75,54 @@ def load_mmlu_csv(data_dir: str, split: str = "test") -> dict[str, list[MCSample
             out[subject] = samples
     if not out:
         raise FileNotFoundError(f"no MMLU '*_{split}.csv' files under {data_dir}")
+    return out
+
+
+def load_ceval_csv(data_dir: str, split: str = "val") -> dict[str, list[MCSample]]:
+    """C-Eval / CMMLU layout: headered csv ``id,question,A,B,C,D,answer`` (or
+    ``Question,A,B,C,D,Answer``) per subject, under ``data_dir/{split}/`` or
+    flat as ``{subject}_{split}.csv`` (reference ceval/cmmlu task families,
+    task_utils.py:285-287)."""
+    base = os.path.join(data_dir, split)
+    flat = not os.path.isdir(base)
+    if flat:
+        base = data_dir
+    out: dict[str, list[MCSample]] = {}
+    for fn in sorted(os.listdir(base)):
+        if not fn.endswith(".csv") or (flat and not fn.endswith(f"_{split}.csv")):
+            continue
+        subject = fn[: -len(f"_{split}.csv")] if fn.endswith(f"_{split}.csv") else fn[:-4]
+        samples = []
+        with open(os.path.join(base, fn), newline="") as f:
+            reader = csv.reader(f)
+            header = next(reader, None)
+            if not header:
+                continue
+            cols = [h.strip().lower() for h in header]
+            try:
+                iq = cols.index("question")
+                ia = [cols.index(c) for c in ("a", "b", "c", "d")]
+                ians = cols.index("answer")
+            except ValueError:
+                continue
+            for row in reader:
+                if len(row) <= max(ians, *ia, iq):
+                    continue
+                ans = row[ians].strip().upper()
+                if ans not in CHOICE_LETTERS[:4]:
+                    continue
+                samples.append(
+                    MCSample(
+                        question=row[iq],
+                        choices=[row[i] for i in ia],
+                        answer=CHOICE_LETTERS.index(ans),
+                        subject=subject,
+                    )
+                )
+        if samples:
+            out[subject] = samples
+    if not out:
+        raise FileNotFoundError(f"no C-Eval/CMMLU csv files under {data_dir}")
     return out
 
 
@@ -372,6 +423,7 @@ def run_mmlu(
     k_shot: int = 5,
     max_samples_per_subject: int | None = None,
     out_path: str | None = None,
+    task_name: str = "mmlu",
 ) -> dict:
     """Per-subject few-shot letter-scored MMLU (reference tasks/mmlu.py).
 
@@ -396,7 +448,7 @@ def run_mmlu(
         n_total += len(samples)
         n_correct += sub_correct
     out = {
-        "task": "mmlu",
+        "task": task_name,
         "accuracy": n_correct / max(n_total, 1),
         "n": n_total,
         "by_subject": per_subject,

@@ -26,6 +26,14 @@ import os
 import jax
 
 from dreamllm_tpu.config import LazyArgumentParser, default_setup
+from dreamllm_tpu.eval.code_math import (
+    run_gsm8k,
+    run_humaneval,
+    run_math,
+    smoke_gsm8k,
+    smoke_humaneval,
+    smoke_math,
+)
 from dreamllm_tpu.eval.language import (
     GEN_QA_RENDERERS,
     MC_TASK_RENDERERS,
@@ -104,6 +112,58 @@ def main(argv=None):
             prompts_dir=config.get("prompts_dir"),
             max_samples_per_task=max_n, out_path=out_path,
         )
+    elif task in ("ceval", "cmmlu"):
+        # C-Eval / CMMLU: MMLU-style per-subject letter MC over headered csv
+        from dreamllm_tpu.eval.language import load_ceval_csv
+
+        split = config.get("split", "val")
+        test = load_ceval_csv(config["data_dir"], split)
+        try:
+            dev = load_ceval_csv(config["data_dir"], "dev")
+        except FileNotFoundError:
+            dev = None
+        result = run_mmlu(
+            choose, test, dev, k_shot=k_shot,
+            max_samples_per_subject=max_n, out_path=out_path, task_name=task,
+        )
+    elif task in ("math", "math_smoke", "gsm8k", "gsm8k_smoke"):
+        # quantitative reasoning (reference tasks/math_eval.py): few-shot CoT,
+        # final-answer extraction + Minerva normalization, optional vote=k
+        votes = config.get("votes", 1)
+        if task.endswith("smoke"):
+            rows = smoke_math() if task.startswith("math") else smoke_gsm8k()
+        else:
+            name = "math" if task == "math" else "gsm8k"
+            path = config.get("data_file") or os.path.join(config["data_dir"], f"{name}.jsonl")
+            rows = load_jsonl(path)
+        runner = run_math if task.startswith("math") else run_gsm8k
+        result = runner(generate, rows, votes=votes, max_samples=max_n, out_path=out_path)
+    elif task in ("humaneval", "humaneval_smoke"):
+        # codegen functional correctness (reference tasks/codegen.py): sampled
+        # completions executed in isolated subprocesses, unbiased pass@k
+        if task == "humaneval_smoke":
+            problems = smoke_humaneval()
+        else:
+            path = config.get("data_file") or os.path.join(config["data_dir"], "humaneval.jsonl")
+            problems = load_jsonl(path)
+        result = run_humaneval(
+            generate, problems,
+            samples_per_task=config.get("samples_per_task", 1),
+            ks=tuple(config.get("pass_ks", (1,))),
+            max_samples=max_n, out_path=out_path,
+        )
+    elif task in ("agieval", "agieval_smoke"):
+        # generation-scored AGIEval (reference agi_utils): letter extraction
+        # for MC subsets, math-equivalence for cloze, per-subset + average
+        from dreamllm_tpu.eval.agieval import load_agieval, run_agieval, smoke_agieval
+
+        if task == "agieval_smoke":
+            subsets = smoke_agieval()
+        else:
+            subsets = load_agieval(config["data_dir"], config.get("subsets"))
+        result = run_agieval(
+            generate, subsets, max_samples_per_subset=max_n, out_path=out_path
+        )
     elif task in GEN_QA_RENDERERS:
         # generation-scored QA (triviaqa/naturalqa/drop_gen): EM + token-F1
         path = config.get("data_file") or os.path.join(config["data_dir"], f"{task}.jsonl")
@@ -120,6 +180,18 @@ def main(argv=None):
         raise ValueError(f"unknown task {task!r}")
 
     logger.info("%s accuracy=%.4f n=%d -> %s", task, result["accuracy"], result["n"], out_path)
+
+    db_path = config.get("db")
+    if db_path:
+        # accumulate scores across runs/models (reference metrics_to_database)
+        from dreamllm_tpu.eval.results_db import ResultsDB
+
+        model_name = config.get("model_name") or config.get("checkpoint") or "dreamllm"
+        with ResultsDB(db_path) as db:
+            count = db.record_result(str(model_name), result)
+            logger.info("recorded run #%d for %s in %s", count, model_name, db_path)
+            print(db.compare())
+
     print(json.dumps({k: v for k, v in result.items() if k != "results"}))
     return result
 
