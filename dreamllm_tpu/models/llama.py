@@ -157,6 +157,22 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
     return cache
 
 
+def cache_write(buf: jnp.ndarray, val: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Write ``val`` [B, s, ...] into ``buf`` [B, S, ...] at write offset
+    ``idx`` — a scalar (every row writes the same slot range; one
+    dynamic_update_slice) or a [B] vector (per-row offsets; scatter). The
+    vector form is what continuous-batching serving needs: each slot's cache
+    fills at its own rate (serve/engine.py)."""
+    if idx.ndim == 0:
+        return jax.lax.dynamic_update_slice(
+            buf, val.astype(buf.dtype), (0, idx) + (0,) * (buf.ndim - 2)
+        )
+    b, s = val.shape[:2]
+    rows = jnp.arange(b, dtype=jnp.int32)[:, None]
+    cols = idx[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+    return buf.at[rows, cols].set(val.astype(buf.dtype))
+
+
 def _kv_quantize(x: jnp.ndarray):
     """[B,S,H,D] -> (int8 codes, [B,S,H] fp32 scales): per-(slot, head) absmax."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
@@ -212,17 +228,17 @@ def _attention(
             ck, cv, sk, sv = cache_kv
             kq, ks_new = _kv_quantize(k)
             vq, vs_new = _kv_quantize(v)
-            ck = jax.lax.dynamic_update_slice(ck, kq, (0, idx, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, vq, (0, idx, 0, 0))
-            sk = jax.lax.dynamic_update_slice(sk, ks_new, (0, idx, 0))
-            sv = jax.lax.dynamic_update_slice(sv, vs_new, (0, idx, 0))
+            ck = cache_write(ck, kq, idx)
+            cv = cache_write(cv, vq, idx)
+            sk = cache_write(sk, ks_new, idx)
+            sv = cache_write(sv, vs_new, idx)
             new_cache = (ck, cv, sk, sv)
             kd = _kv_dequantize(ck, sk, q.dtype)
             vd = _kv_dequantize(cv, sv, q.dtype)
         else:
             ck, cv = cache_kv  # [B, max_len, Hkv, D]
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, idx, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, idx, 0, 0))
+            ck = cache_write(ck, k, idx)
+            cv = cache_write(cv, v, idx)
             new_cache = (ck, cv)
             kd = ck.astype(q.dtype)
             vd = cv.astype(q.dtype)
@@ -334,6 +350,8 @@ def llama_forward(
         segment_ids = jnp.ones((b, s), jnp.int32)
     if positions is None:
         start = kv_cache["index"] if kv_cache is not None else 0
+        if getattr(start, "ndim", 0) == 1:
+            start = start[:, None]  # per-slot write offsets (vector index)
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s)) + start
 
     cos, sin = rope_cos_sin(cfg.rope, positions, seq_len=cfg.max_position_embeddings)
@@ -342,8 +360,8 @@ def llama_forward(
     if kv_cache is not None:
         # metadata update is layer-independent: do it once
         idx = kv_cache["index"]
-        seg = jax.lax.dynamic_update_slice(kv_cache["seg"], segment_ids, (0, idx))
-        pos = jax.lax.dynamic_update_slice(kv_cache["pos"], positions, (0, idx))
+        seg = cache_write(kv_cache["seg"], segment_ids, idx)
+        pos = cache_write(kv_cache["pos"], positions, idx)
         # attention mask over the cache: kv_pos <= q_pos, same nonzero
         # segment; empty slots carry seg 0 -> masked
         bias = jnp.where(

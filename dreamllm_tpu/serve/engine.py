@@ -1,0 +1,323 @@
+"""Continuous-batching decode engine (Orca/vLLM-class scheduling, TPU-static).
+
+Beyond-parity serving: the reference serves one request at a time
+(omni/eval/language_eval tools/serve.py), and this repo's DynamicBatcher
+(serve/batching.py) batches requests that ARRIVE together — but a request
+arriving mid-decode still waits for the whole previous batch. This engine
+admits requests into per-slot KV-cache lanes *while other slots keep
+decoding*, the standard continuous-batching design — built TPU-first:
+
+  * ALL shapes static: ``slots`` cache lanes of ``max_len``, prompts padded to
+    ``prefill_len``. Three compiled programs total (prefill / insert / decode
+    chunk) — zero shape-driven recompiles, ever.
+  * per-slot cache write offsets (``cache_write`` vector-index path in
+    models/llama.py): each lane fills at its own rate.
+  * decode runs in compiled CHUNKS of ``chunk_steps`` tokens (a ``lax.scan``),
+    amortizing host dispatch ~chunk×; admission happens at chunk boundaries,
+    so admission latency is bounded by ``chunk_steps`` decode steps.
+  * a freed lane is recycled by overwriting its seg/pos metadata at insert;
+    stale K/V need no zeroing (positional masking keeps them invisible).
+
+Greedy output is token-identical to ``generate_text`` (tests/test_engine.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import queue
+import threading
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamllm_tpu.generation.sampler import SamplingConfig, sample_token
+from dreamllm_tpu.models.llama import (
+    LlamaConfig,
+    init_kv_cache,
+    llama_forward,
+    llama_logits,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    slots: int = 8              # concurrent cache lanes
+    prefill_len: int = 512     # prompts pad/truncate-left to this length
+    max_len: int = 1024        # per-lane KV capacity (prompt + generated)
+    chunk_steps: int = 8       # decode steps per compiled dispatch
+    cache_dtype: str = "bfloat16"   # or "int8" (halved KV HBM)
+
+
+# ---------------------------------------------------------------------------
+# Compiled programs (pure functions of state)
+# ---------------------------------------------------------------------------
+
+
+def init_engine_state(llm_cfg: LlamaConfig, ecfg: EngineConfig, rng=None) -> dict:
+    dtype = jnp.int8 if ecfg.cache_dtype == "int8" else jnp.bfloat16
+    cache = init_kv_cache(llm_cfg, ecfg.slots, ecfg.max_len, dtype=dtype)
+    cache["index"] = jnp.zeros((ecfg.slots,), jnp.int32)  # per-lane offsets
+    return {
+        "cache": cache,
+        "cur_tok": jnp.zeros((ecfg.slots,), jnp.int32),
+        "active": jnp.zeros((ecfg.slots,), bool),
+        "emitted": jnp.zeros((ecfg.slots,), jnp.int32),
+        "budget": jnp.zeros((ecfg.slots,), jnp.int32),
+        "rng": rng if rng is not None else jax.random.PRNGKey(0),
+    }
+
+
+def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConfig):
+    """Build (prefill_fn, insert_fn, decode_chunk_fn), each one jitted program."""
+    P, S, B, K = ecfg.prefill_len, ecfg.max_len, ecfg.slots, ecfg.chunk_steps
+    dtype = jnp.int8 if ecfg.cache_dtype == "int8" else jnp.bfloat16
+
+    @jax.jit
+    def prefill_fn(params, ids, plen):
+        """ids [1, P] right-padded, plen [1] -> (lane-sized cache, first token).
+
+        The prefill cache is allocated at the LANE size S so its k/v rows copy
+        straight into the engine lane; slots past P stay zero (masked).
+        """
+        cache = init_kv_cache(llm_cfg, 1, S, dtype=dtype)
+        pos = jnp.arange(P, dtype=jnp.int32)[None]
+        seg = (pos < plen[:, None]).astype(jnp.int32)
+        out = llama_forward(
+            params, llm_cfg, input_ids=ids,
+            segment_ids=seg, positions=jnp.where(seg == 1, pos, 0),
+            kv_cache=cache,
+        )
+        last = jnp.take_along_axis(
+            out["last_hidden_state"], jnp.maximum(plen - 1, 0)[:, None, None], axis=1
+        )
+        logits = llama_logits(params, llm_cfg, last)[:, 0]
+        first = sample_token(logits, jax.random.PRNGKey(0), scfg)
+        return out["kv_cache"], first[0]
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def insert_fn(state, pre_cache, plen, slot, first_tok, budget):
+        """Claim lane ``slot``: copy the prefilled K/V + reset lane metadata."""
+        cache = dict(state["cache"])
+        for name in ("k", "v", "k_scale", "v_scale"):
+            if name in cache:
+                cache[name] = jax.lax.dynamic_update_slice(
+                    cache[name], pre_cache[name],
+                    (0, slot) + (0,) * (cache[name].ndim - 2),
+                )
+        lane_pos = jnp.arange(S, dtype=jnp.int32)
+        lane_seg = (lane_pos < plen).astype(jnp.int32)
+        cache["seg"] = jax.lax.dynamic_update_slice(
+            cache["seg"], lane_seg[None], (slot, 0)
+        )
+        cache["pos"] = jax.lax.dynamic_update_slice(
+            cache["pos"], jnp.where(lane_seg == 1, lane_pos, 0)[None], (slot, 0)
+        )
+        cache["index"] = state["cache"]["index"].at[slot].set(plen)
+        eos_now = first_tok == scfg.eos_token_id
+        return {
+            "cache": cache,
+            "cur_tok": state["cur_tok"].at[slot].set(first_tok),
+            "active": state["active"].at[slot].set(~eos_now & (budget > 0)),
+            "emitted": state["emitted"].at[slot].set(0),
+            "budget": state["budget"].at[slot].set(budget),
+            "rng": state["rng"],
+        }
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode_chunk_fn(params, state):
+        """K decode steps for all lanes -> (state, tokens [B, K] pad-filled).
+
+        Mirrors generate_text's step semantics exactly: the carried token is
+        STORED this step, the sampled token becomes the next carry — so
+        greedy outputs are token-identical to the one-shot decoder.
+        """
+
+        def step(carry, _):
+            cache, cur, active, emitted, budget, rng = carry
+            rng, sub = jax.random.split(rng)
+            idx0 = cache["index"]
+            out = llama_forward(
+                params, llm_cfg,
+                input_ids=cur[:, None],
+                segment_ids=active[:, None].astype(jnp.int32),
+                positions=idx0[:, None],
+                kv_cache=cache,
+            )
+            cache = out["kv_cache"]
+            # inactive lanes neither advance nor count (their seg write was 0)
+            cache["index"] = jnp.where(active, idx0 + 1, idx0)
+            logits = llama_logits(params, llm_cfg, out["last_hidden_state"])[:, 0]
+            nxt = sample_token(logits, sub, scfg)
+            emit = jnp.where(active, cur, scfg.pad_token_id)
+            emitted = emitted + active.astype(jnp.int32)
+            hit_stop = jnp.zeros_like(active)
+            for t in scfg.stop_tokens:
+                hit_stop = hit_stop | (emit == t)
+            active = (
+                active
+                & (nxt != scfg.eos_token_id)
+                & ~hit_stop
+                & (emitted < budget)
+                & (cache["index"] < S)
+            )
+            return (cache, nxt, active, emitted, budget, rng), emit
+
+        carry = (state["cache"], state["cur_tok"], state["active"],
+                 state["emitted"], state["budget"], state["rng"])
+        carry, toks = jax.lax.scan(step, carry, None, length=K)
+        cache, cur, active, emitted, budget, rng = carry
+        new_state = {"cache": cache, "cur_tok": cur, "active": active,
+                     "emitted": emitted, "budget": budget, "rng": rng}
+        return new_state, toks.T  # [B, K]
+
+    return prefill_fn, insert_fn, decode_chunk_fn
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+class _Request:
+    __slots__ = ("ids", "max_new_tokens", "tokens", "done", "slot", "stream")
+
+    def __init__(self, ids, max_new_tokens, stream=None):
+        self.ids = ids
+        self.max_new_tokens = max_new_tokens
+        self.tokens: list[int] = []
+        self.done = threading.Event()
+        self.slot = -1
+        self.stream = stream  # optional per-token callback
+
+
+class ContinuousBatchingEngine:
+    """Slot-scheduled decode: submit token prompts, receive generated ids.
+
+    ``submit()`` is thread-safe and blocking (or pass ``stream`` for a
+    per-token callback). The engine thread admits waiting requests into free
+    lanes at every chunk boundary while busy lanes keep decoding.
+    """
+
+    def __init__(
+        self,
+        params,
+        llm_cfg: LlamaConfig,
+        scfg: SamplingConfig,
+        ecfg: EngineConfig | None = None,
+    ):
+        self.params = params
+        self.llm_cfg = llm_cfg
+        self.scfg = scfg
+        self.ecfg = ecfg or EngineConfig()
+        self.prefill_fn, self.insert_fn, self.decode_chunk_fn = make_engine_fns(
+            llm_cfg, scfg, self.ecfg
+        )
+        self.state = init_engine_state(llm_cfg, self.ecfg)
+        self._queue: queue.Queue[_Request | None] = queue.Queue()
+        self._by_slot: dict[int, _Request] = {}
+        self._free = list(range(self.ecfg.slots))
+        self._thread: threading.Thread | None = None
+        self._stopped = False
+        # observability
+        self.chunks_dispatched = 0
+        self.active_history: list[int] = []
+
+    # -- public API --------------------------------------------------------
+
+    def start(self) -> "ContinuousBatchingEngine":
+        self._stopped = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stopped = True
+        self._queue.put(None)
+        if self._thread:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def submit(
+        self,
+        prompt_ids: list[int],
+        max_new_tokens: int = 128,
+        timeout: float | None = 600.0,
+        stream: Callable[[int], None] | None = None,
+    ) -> list[int]:
+        """Block until the request finishes; returns generated token ids
+        (EOS excluded). The prompt truncates from the LEFT to prefill_len."""
+        req = _Request(list(prompt_ids), max_new_tokens, stream)
+        self._queue.put(req)
+        if not req.done.wait(timeout):
+            raise TimeoutError("engine request timed out")
+        return req.tokens
+
+    # -- engine loop ---------------------------------------------------------
+
+    def _admit(self, req: _Request) -> None:
+        P = self.ecfg.prefill_len
+        ids = req.ids[-P:]
+        plen = len(ids)
+        padded = np.zeros((1, P), np.int32)
+        padded[0, :plen] = ids
+        pre_cache, first = self.prefill_fn(
+            self.params, jnp.asarray(padded), jnp.asarray([plen], jnp.int32)
+        )
+        slot = self._free.pop()
+        budget = min(req.max_new_tokens, self.ecfg.max_len - plen)
+        self.state = self.insert_fn(
+            self.state, pre_cache, jnp.int32(plen), slot, first,
+            jnp.int32(budget),
+        )
+        first_i = int(first)
+        req.slot = slot
+        self._by_slot[slot] = req
+        if budget <= 0 or first_i == self.scfg.eos_token_id:
+            self._finish(slot)
+
+    def _finish(self, slot: int) -> None:
+        req = self._by_slot.pop(slot)
+        self._free.append(slot)
+        req.done.set()
+
+    def _route(self, toks: np.ndarray) -> None:
+        """Distribute a chunk's [B, K] tokens to their requests."""
+        pad = self.scfg.pad_token_id
+        for slot, req in list(self._by_slot.items()):
+            for t in toks[slot]:
+                t = int(t)
+                if t == pad:
+                    continue
+                req.tokens.append(t)
+                if req.stream:
+                    req.stream(t)
+
+    def _loop(self) -> None:
+        while not self._stopped:
+            # admit as many waiting requests as there are free lanes; block
+            # when fully idle
+            block = not self._by_slot
+            while self._free:
+                try:
+                    req = self._queue.get(block=block, timeout=None if not block else 0.1)
+                except queue.Empty:
+                    break
+                if req is None:
+                    return
+                self._admit(req)
+                block = False
+            if not self._by_slot:
+                continue
+            self.state, toks = self.decode_chunk_fn(self.params, self.state)
+            self.chunks_dispatched += 1
+            self.active_history.append(len(self._by_slot))
+            toks_np = np.asarray(toks)
+            active_np = np.asarray(self.state["active"])
+            self._route(toks_np)
+            for slot in list(self._by_slot):
+                if not active_np[slot]:
+                    self._finish(slot)

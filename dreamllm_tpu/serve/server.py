@@ -9,10 +9,14 @@ stdlib ``http.server`` — same JSON contract:
     POST /logprob   {"context": str, "continuations": [str]}    → {"logprobs": [...]}
     GET  /health                                                → {"ok": true}
 
-The server owns one model. Concurrent /generate requests can be micro-batched
-into one fixed-shape decode (``generate_batch_fn`` + serve/batching.py) —
-batch-1 decode is HBM-bound on weight reads a batch amortizes; without a
-batch fn, requests serialize under a lock (the online-eval mode).
+The server owns one model. Three /generate execution modes, by construction
+argument:
+
+  * ``engine=`` — continuous batching (serve/engine.py): requests join
+    per-slot KV lanes mid-decode; best throughput under mixed arrivals.
+  * ``generate_batch_fn=`` — window micro-batching (serve/batching.py):
+    requests arriving within a window run as one fixed-shape decode.
+  * ``generate_fn=`` — serialize under a lock (the online-eval mode).
 """
 
 from __future__ import annotations
@@ -38,6 +42,8 @@ class ModelServer:
         generate_batch_fn: Callable[[list[str]], list[str]] | None = None,
         max_batch: int = 8,
         batch_window_ms: float = 10.0,
+        engine=None,               # ContinuousBatchingEngine (serve/engine.py)
+        tokenizer=None,            # required with engine=
     ):
         self.generate_fn = generate_fn
         self.logprob_fn = logprob_fn
@@ -46,12 +52,27 @@ class ModelServer:
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         self._batcher = None
+        self._engine = engine
+        self._tokenizer = tokenizer
+        if engine is not None and tokenizer is None:
+            raise ValueError("engine= requires tokenizer=")
         if generate_batch_fn is not None:
             from dreamllm_tpu.serve.batching import DynamicBatcher
 
             self._batcher = DynamicBatcher(
                 generate_batch_fn, max_batch=max_batch, window_ms=batch_window_ms
             )
+
+    def _engine_generate(self, prompt: str, req: dict) -> str:
+        tok = self._tokenizer
+        ids = tok.encode(prompt)
+        bos = getattr(tok, "bos_token_id", 1)
+        if bos is not None and (not ids or ids[0] != bos):
+            ids = [bos] + list(ids)
+        out = self._engine.submit(
+            ids, max_new_tokens=int(req.get("max_new_tokens", 128))
+        )
+        return tok.decode(out).strip()
 
     def _handler(self):
         server = self
@@ -82,6 +103,12 @@ class ModelServer:
                     self._send(400, {"error": f"bad request: {e}"})
                     return
                 try:
+                    if self.path == "/generate" and server._engine is not None:
+                        # continuous batching: the engine schedules lanes
+                        # itself; handler threads block on their own request
+                        text = server._engine_generate(req.pop("prompt", ""), req)
+                        self._send(200, {"text": text})
+                        return
                     if self.path == "/generate" and server._batcher is not None:
                         # micro-batched path: no lock — the batcher serializes
                         # model access itself and merges concurrent requests
@@ -108,6 +135,8 @@ class ModelServer:
     def start(self, background: bool = True):
         if self._batcher is not None:
             self._batcher.start()
+        if self._engine is not None:
+            self._engine.start()
         self._httpd = ThreadingHTTPServer((self.host, self.port), self._handler())
         self.port = self._httpd.server_address[1]
         if background:
@@ -124,6 +153,8 @@ class ModelServer:
             self._httpd = None
         if self._batcher is not None:
             self._batcher.stop()
+        if self._engine is not None:
+            self._engine.stop()
 
 
 class OnlineClient:
