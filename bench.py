@@ -62,7 +62,11 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False
             from dreamllm_tpu.models.llama import fuse_llama_params
 
             p = fuse_llama_params(p)
-        if quantize:
+        if quantize == "int4":
+            from dreamllm_tpu.ops.quant4 import quantize_llama_params_int4
+
+            p = quantize_llama_params_int4(p)
+        elif quantize:
             from dreamllm_tpu.ops.quant import quantize_llama_params
 
             p = quantize_llama_params(p)
@@ -473,6 +477,20 @@ def main():
                 quant_label = "int8-weights+fused-proj"
         except Exception as e:
             extra["decode_int8_error"] = str(e)[:200]
+
+    # int4 group-128 weights (Pallas in-VMEM unpack kernel): halves the HBM
+    # read again over int8. Off by default until it beats int8 — flip
+    # BENCH_INT4=1 to measure (first compile of the w4 kernels is minutes).
+    if tok_s is not None and backend == "tpu" and os.environ.get("BENCH_INT4") == "1":
+        gc.collect()
+        try:
+            tok_si4, _ = bench_decode(**kw, quantize="int4", fuse=True)
+            extra["decode_int4_fused_tok_s"] = round(tok_si4, 1)
+            if tok_si4 > tok_s:
+                tok_s = tok_si4
+                quant_label = "int4-weights+fused-proj"
+        except Exception as e:
+            extra["decode_int4_error"] = str(e)[:200]
 
     # prefill throughput: the Pallas flash-attention path
     if tok_s is not None and backend == "tpu":

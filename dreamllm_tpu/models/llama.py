@@ -449,10 +449,13 @@ def fuse_llama_params(params: Params) -> Params:
 def llama_logits(params: Params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarray:
     """LM head in fp32 (reference casts logits to float, :1452)."""
     from dreamllm_tpu.ops.quant import QTensor
+    from dreamllm_tpu.ops.quant4 import Q4Tensor
 
     w = params.get("lm_head")
     if w is None:
         w = params["embed_tokens"].T
+    if isinstance(w, Q4Tensor):
+        return qmm(hidden, w).astype(jnp.float32)
     if isinstance(w, QTensor):
         return qmm(hidden.astype(jnp.float32), w)
     # bf16 operands + fp32 accumulation: casting the [H, V] head to fp32

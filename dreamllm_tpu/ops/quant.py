@@ -22,6 +22,8 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
+from dreamllm_tpu.ops.quant4 import Q4Tensor, matmul4
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -63,7 +65,8 @@ def dequantize(t: QTensor, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
-    """x @ w where w is a raw array or a QTensor (dequantized on the fly).
+    """x @ w where w is a raw array, a QTensor (int8, dequantized on the
+    fly), or a Q4Tensor (int4, Pallas in-VMEM unpack — ops/quant4.py).
 
     For stacked-layer weights sliced by scan, the QTensor slice keeps its
     scale row, so this works inside lax.scan unchanged.
@@ -72,6 +75,8 @@ def matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
         wq = w.q.astype(x.dtype)
         y = x @ wq
         return y * w.scale.reshape((1,) * (y.ndim - 1) + (-1,)).astype(x.dtype)
+    if isinstance(w, Q4Tensor):
+        return matmul4(x, w)
     return x @ w
 
 
