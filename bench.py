@@ -478,17 +478,17 @@ def main():
         except Exception as e:
             extra["decode_int8_error"] = str(e)[:200]
 
-    # int4 group-128 weights (Pallas in-VMEM unpack kernel): halves the HBM
-    # read again over int8. Off by default until it beats int8 — flip
-    # BENCH_INT4=1 to measure (first compile of the w4 kernels is minutes).
-    if tok_s is not None and backend == "tpu" and os.environ.get("BENCH_INT4") == "1":
+    # int4 group-128 weights (Pallas in-VMEM unpack kernel). The VPU unpack
+    # bounds it just below int8 at every measured batch (b1: 82.8 vs 94.9;
+    # b8: 404 vs 436 tok/s) — int4's value is CAPACITY (half the int8
+    # footprint: bigger models/KV/batches per chip), so it reports in extras
+    # and never takes the headline. Disable with BENCH_INT4=0 if the kernel
+    # cache is cold and time is short.
+    if tok_s is not None and backend == "tpu" and os.environ.get("BENCH_INT4", "1") == "1":
         gc.collect()
         try:
             tok_si4, _ = bench_decode(**kw, quantize="int4", fuse=True)
             extra["decode_int4_fused_tok_s"] = round(tok_si4, 1)
-            if tok_si4 > tok_s:
-                tok_s = tok_si4
-                quant_label = "int4-weights+fused-proj"
         except Exception as e:
             extra["decode_int4_error"] = str(e)[:200]
 
@@ -510,6 +510,17 @@ def main():
             extra["decode_b4_int8_tok_s"] = round(tok_s8, 1)
         except Exception as e:
             extra["decode_b4_error"] = str(e)[:200]
+
+    # batch-8 int8: the serving-throughput number (436 tok/s total measured;
+    # int4 b8 reaches 404 — unpack-bound, see above). Runs LAST: largest
+    # allocation, and big-batch runs back-to-back in one process fragment HBM.
+    if tok_s is not None and backend == "tpu":
+        gc.collect()
+        try:
+            tok_s88, _ = bench_decode(**kw, batch=8, quantize=True, fuse=True)
+            extra["decode_b8_int8_tok_s"] = round(tok_s88, 1)
+        except Exception as e:
+            extra["decode_b8_int8_error"] = str(e)[:200]
 
     value = round(tok_s, 2) if tok_s is not None else 0.0
     dtype_label = quant_label or "bf16"
