@@ -91,7 +91,9 @@ def extract_agieval_answer(generated: str, subset: str | None = None) -> str:
     if not letters:
         return ""
     if subset in MULTI_SELECT:
-        return ",".join(letters)
+        # answer SETS: 'C和A' or 'A对…A是…C对' name exactly {A, C} — dedupe
+        # and canonicalize order so set-equal answers compare equal
+        return ",".join(sorted(set(letters)))
     return letters[0]
 
 
@@ -100,8 +102,14 @@ def _gold_label(row: dict, subset: str) -> str:
         return str(row.get("answer", row.get("label", ""))).strip()
     label = row.get("label", row.get("answer", ""))
     if isinstance(label, (list, tuple)):
-        return ",".join(str(x) for x in label)
-    return str(label).strip()
+        return ",".join(sorted({str(x).strip() for x in label}))
+    label = str(label).strip()
+    if subset in MULTI_SELECT and len(label) > 1:
+        # dataset golds appear both as lists and as 'AC'/'A,C' strings
+        letters = [c for c in label if c.isalpha()]
+        if letters:
+            return ",".join(sorted(set(letters)))
+    return label
 
 
 def agieval_match(pred: str, gold: str, subset: str) -> bool:

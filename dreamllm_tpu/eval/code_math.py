@@ -115,9 +115,26 @@ def math_equiv(pred: str, target: str) -> bool:
 
 
 _FINAL_RE = re.compile(r"[Tt]he final answer is\s*\$?(.+?)\$?\s*(?:\.\s*$|\.?\s*\n|\.?\s*$)")
-_BOXED_RE = re.compile(r"\\boxed\{(.+?)\}")
 _NUMBER_RE = re.compile(r"-?\d[\d,]*\.?\d*")
 _GSM8K_GOLD_RE = re.compile(r"####\s*(-?[\d,\.]+)")
+
+
+def _last_boxed(text: str) -> str | None:
+    """Balanced-brace content of the last ``\\boxed{...}`` — MATH answers
+    routinely nest braces (``\\boxed{\\frac{7}{2}}``), so a non-greedy regex
+    would truncate at the first ``}``."""
+    start = text.rfind("\\boxed{")
+    if start < 0:
+        return None
+    depth = 0
+    for i in range(start + len("\\boxed"), len(text)):
+        if text[i] == "{":
+            depth += 1
+        elif text[i] == "}":
+            depth -= 1
+            if depth == 0:
+                return text[start + len("\\boxed{") : i]
+    return None
 
 
 def extract_final_answer(text: str) -> str:
@@ -126,9 +143,9 @@ def extract_final_answer(text: str) -> str:
     m = _FINAL_RE.findall(text)
     if m:
         return m[-1].strip().rstrip(".")
-    m = _BOXED_RE.findall(text)
-    if m:
-        return m[-1].strip()
+    boxed = _last_boxed(text)
+    if boxed is not None:
+        return boxed.strip()
     m = _NUMBER_RE.findall(text)
     if m:
         return m[-1].replace(",", "")
@@ -374,18 +391,29 @@ def check_correctness(program: str, timeout: float = 5.0) -> tuple[bool, str]:
     (assertions raise on failure). ``-I`` isolates from site-packages and env;
     the child is its own process group so a timeout can't leak grandchildren.
     """
+    import signal
+
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(program)
         path = f.name
     try:
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [sys.executable, "-I", path],
-            capture_output=True, text=True, timeout=timeout,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             start_new_session=True,
         )
-        return proc.returncode == 0, (proc.stderr or "")[-500:]
-    except subprocess.TimeoutExpired:
-        return False, "timeout"
+        try:
+            _, err = proc.communicate(timeout=timeout)
+            return proc.returncode == 0, (err or "")[-500:]
+        except subprocess.TimeoutExpired:
+            # kill the WHOLE process group: the candidate may have spawned
+            # grandchildren that a plain child-kill would orphan
+            try:
+                os.killpg(proc.pid, signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.communicate()
+            return False, "timeout"
     finally:
         os.unlink(path)
 
@@ -428,10 +456,17 @@ def run_humaneval(
                 rf"^def {re.escape(prob['entry_point'])}\b", completion, re.M
             )
             if rewrite:
-                # full-function rewrite (markdown / repeated signature):
-                # replaces the prompt+completion concatenation
+                # full-function rewrite (markdown / repeated signature): the
+                # rewrite replaces the prompt's function, but the prompt's
+                # PREAMBLE (imports/helpers before the signature) must stay —
+                # HumanEval prompts often open with `from typing import List`
                 completion = extract_code(completion[rewrite.start():])
-                body = completion
+                sig = re.search(
+                    rf"^def {re.escape(prob['entry_point'])}\b",
+                    prob["prompt"], re.M,
+                )
+                preamble = prob["prompt"][: sig.start()] if sig else ""
+                body = preamble + completion
             else:
                 completion = truncate_completion(completion)
                 body = prob["prompt"] + completion

@@ -455,7 +455,10 @@ def llama_logits(params: Params, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.n
     if w is None:
         w = params["embed_tokens"].T
     if isinstance(w, Q4Tensor):
-        return qmm(hidden, w).astype(jnp.float32)
+        # fp32 activations in -> fp32 logits out of the kernel's fp32
+        # accumulator (bf16 hidden would round the 32000-wide logits through
+        # bf16 and can flip greedy argmax on near-ties; int8 path matches)
+        return qmm(hidden.astype(jnp.float32), w)
     if isinstance(w, QTensor):
         return qmm(hidden.astype(jnp.float32), w)
     # bf16 operands + fp32 accumulation: casting the [H, V] head to fp32

@@ -41,6 +41,9 @@ from dreamllm_tpu.models.llama import (
     llama_forward,
     llama_logits,
 )
+from dreamllm_tpu.utils.logging import get_logger
+
+logger = get_logger("dreamllm_tpu.serve.engine")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,7 +80,7 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
     dtype = jnp.int8 if ecfg.cache_dtype == "int8" else jnp.bfloat16
 
     @jax.jit
-    def prefill_fn(params, ids, plen):
+    def prefill_fn(params, ids, plen, rng):
         """ids [1, P] right-padded, plen [1] -> (lane-sized cache, first token).
 
         The prefill cache is allocated at the LANE size S so its k/v rows copy
@@ -95,7 +98,7 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
             out["last_hidden_state"], jnp.maximum(plen - 1, 0)[:, None, None], axis=1
         )
         logits = llama_logits(params, llm_cfg, last)[:, 0]
-        first = sample_token(logits, jax.random.PRNGKey(0), scfg)
+        first = sample_token(logits, rng, scfg)
         return out["kv_cache"], first[0]
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -157,6 +160,7 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
             hit_stop = jnp.zeros_like(active)
             for t in scfg.stop_tokens:
                 hit_stop = hit_stop | (emit == t)
+            valid = active  # a real token was emitted this step for the lane
             active = (
                 active
                 & (nxt != scfg.eos_token_id)
@@ -164,15 +168,18 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
                 & (emitted < budget)
                 & (cache["index"] < S)
             )
-            return (cache, nxt, active, emitted, budget, rng), emit
+            return (cache, nxt, active, emitted, budget, rng), (emit, valid)
 
         carry = (state["cache"], state["cur_tok"], state["active"],
                  state["emitted"], state["budget"], state["rng"])
-        carry, toks = jax.lax.scan(step, carry, None, length=K)
+        carry, (toks, valid) = jax.lax.scan(step, carry, None, length=K)
         cache, cur, active, emitted, budget, rng = carry
         new_state = {"cache": cache, "cur_tok": cur, "active": active,
                      "emitted": emitted, "budget": budget, "rng": rng}
-        return new_state, toks.T  # [B, K]
+        # per-step validity mask travels with the tokens: routing by mask
+        # (not by == pad_token_id) keeps a genuinely generated pad-id token
+        # (<unk> is id 0 in LLaMA vocabs) in the output stream
+        return new_state, toks.T, valid.T  # [B, K] each
 
     return prefill_fn, insert_fn, decode_chunk_fn
 
@@ -183,7 +190,8 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
 
 
 class _Request:
-    __slots__ = ("ids", "max_new_tokens", "tokens", "done", "slot", "stream")
+    __slots__ = ("ids", "max_new_tokens", "tokens", "done", "slot", "stream",
+                 "error")
 
     def __init__(self, ids, max_new_tokens, stream=None):
         self.ids = ids
@@ -192,6 +200,7 @@ class _Request:
         self.done = threading.Event()
         self.slot = -1
         self.stream = stream  # optional per-token callback
+        self.error: Exception | None = None
 
 
 class ContinuousBatchingEngine:
@@ -225,10 +234,14 @@ class ContinuousBatchingEngine:
         # observability
         self.chunks_dispatched = 0
         self.active_history: list[int] = []
+        self._rng0 = jax.random.PRNGKey(0)
+        self._admit_count = 0
 
     # -- public API --------------------------------------------------------
 
     def start(self) -> "ContinuousBatchingEngine":
+        if self._thread is not None and self._thread.is_alive():
+            return self  # already running (ModelServer.start after a warmup)
         self._stopped = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -254,6 +267,8 @@ class ContinuousBatchingEngine:
         self._queue.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("engine request timed out")
+        if req.error is not None:
+            raise req.error
         return req.tokens
 
     # -- engine loop ---------------------------------------------------------
@@ -264,16 +279,22 @@ class ContinuousBatchingEngine:
         plen = len(ids)
         padded = np.zeros((1, P), np.int32)
         padded[0, :plen] = ids
+        self._admit_count += 1
+        rng = jax.random.fold_in(self._rng0, self._admit_count)
         pre_cache, first = self.prefill_fn(
-            self.params, jnp.asarray(padded), jnp.asarray([plen], jnp.int32)
+            self.params, jnp.asarray(padded), jnp.asarray([plen], jnp.int32), rng
         )
         slot = self._free.pop()
-        budget = min(req.max_new_tokens, self.ecfg.max_len - plen)
-        self.state = self.insert_fn(
-            self.state, pre_cache, jnp.int32(plen), slot, first,
-            jnp.int32(budget),
-        )
-        first_i = int(first)
+        try:
+            budget = min(req.max_new_tokens, self.ecfg.max_len - plen)
+            self.state = self.insert_fn(
+                self.state, pre_cache, jnp.int32(plen), slot, first,
+                jnp.int32(budget),
+            )
+            first_i = int(first)
+        except Exception:
+            self._free.append(slot)  # don't leak the lane on a failed insert
+            raise
         req.slot = slot
         self._by_slot[slot] = req
         if budget <= 0 or first_i == self.scfg.eos_token_id:
@@ -284,23 +305,36 @@ class ContinuousBatchingEngine:
         self._free.append(slot)
         req.done.set()
 
-    def _route(self, toks: np.ndarray) -> None:
-        """Distribute a chunk's [B, K] tokens to their requests."""
-        pad = self.scfg.pad_token_id
+    def _route(self, toks: np.ndarray, valid: np.ndarray) -> None:
+        """Distribute a chunk's [B, K] tokens to their requests. Routing is
+        by the per-step validity mask, NOT by comparing against the pad id —
+        a genuinely generated pad-id token (LLaMA <unk> is id 0) stays."""
         for slot, req in list(self._by_slot.items()):
-            for t in toks[slot]:
-                t = int(t)
-                if t == pad:
+            for t, ok in zip(toks[slot], valid[slot]):
+                if not ok:
                     continue
+                t = int(t)
                 req.tokens.append(t)
                 if req.stream:
                     req.stream(t)
+
+    def _fail_all(self, exc: Exception) -> None:
+        """A scheduler-loop error poisons every in-flight request visibly
+        (instead of leaving submitters to hit their timeouts) and frees
+        their lanes so the engine stays usable."""
+        logger.exception("engine loop error")
+        for slot in list(self._by_slot):
+            req = self._by_slot.pop(slot)
+            self._free.append(slot)
+            req.error = exc
+            req.done.set()
 
     def _loop(self) -> None:
         while not self._stopped:
             # admit as many waiting requests as there are free lanes; block
             # when fully idle
             block = not self._by_slot
+            req = None
             while self._free:
                 try:
                     req = self._queue.get(block=block, timeout=None if not block else 0.1)
@@ -308,16 +342,26 @@ class ContinuousBatchingEngine:
                     break
                 if req is None:
                     return
-                self._admit(req)
+                try:
+                    self._admit(req)
+                except Exception as e:
+                    req.error = e
+                    req.done.set()
+                    logger.exception("admission failed")
                 block = False
             if not self._by_slot:
                 continue
-            self.state, toks = self.decode_chunk_fn(self.params, self.state)
-            self.chunks_dispatched += 1
-            self.active_history.append(len(self._by_slot))
-            toks_np = np.asarray(toks)
-            active_np = np.asarray(self.state["active"])
-            self._route(toks_np)
+            try:
+                self.state, toks, valid = self.decode_chunk_fn(self.params, self.state)
+                self.chunks_dispatched += 1
+                self.active_history.append(len(self._by_slot))
+                toks_np = np.asarray(toks)
+                valid_np = np.asarray(valid)
+                active_np = np.asarray(self.state["active"])
+            except Exception as e:
+                self._fail_all(e)
+                continue
+            self._route(toks_np, valid_np)
             for slot in list(self._by_slot):
                 if not active_np[slot]:
                     self._finish(slot)

@@ -24,6 +24,9 @@ from dreamllm_tpu.eval.agieval import (
     ("I think (D) is right", None, "D"),
     ("no letter here", None, ""),
     ("Both A and C apply", "gaokao_physics", "A,C"),
+    # multi-select: order- and duplicate-insensitive (answer SETS)
+    ("C 和 A 都对", "gaokao_physics", "A,C"),
+    ("A对，A是矢量，C也对", "gaokao_physics", "A,C"),
     ("The answer is therefore 42", "math", "42"),
     # first paragraph only
     ("A\n\nB is also tempting", None, "A"),
@@ -66,6 +69,14 @@ def test_run_agieval_scripted(tmp_path):
     assert out["average"] == 1.0
     saved = json.loads((tmp_path / "agi.json").read_text())
     assert saved["n"] == 4
+
+
+def test_multiselect_gold_string_forms():
+    # dataset golds appear as lists, 'AC', or 'C,A' — all one answer set
+    for gold in (["A", "C"], ["C", "A"], "AC", "CA", "A,C"):
+        row = {"question": "q", "options": ["(A)x", "(B)y", "(C)z"], "label": gold}
+        out = run_agieval(lambda p: " C和A", {"gaokao_physics": [row]})
+        assert out["accuracy"] == 1.0, gold
 
 
 def test_run_agieval_wrong_and_empty():

@@ -53,9 +53,19 @@ def test_normalize_final_answer(raw, expect):
     ("The final answer is $\\frac{3}{4}$.", "\\frac{3}{4}"),
     ("so we get \\boxed{12} done", "12"),
     ("the result is 7 then 9", "9"),        # last-number fallback
+    # nested braces inside \boxed (MATH gold format) must not truncate
+    ("thus $\\boxed{\\frac{7}{2}}$", "\\frac{7}{2}"),
+    ("$\\boxed{2\\sqrt{3}}$.", "2\\sqrt{3}"),
 ])
 def test_extract_final_answer(text, expect):
     assert extract_final_answer(text) == expect
+
+
+def test_math_gold_with_braced_boxed_is_winnable():
+    rows = [{"problem": "Half of 7?", "solution":
+             "It is $\\boxed{\\frac{7}{2}}$.", "type": "Algebra", "level": "Level 1"}]
+    out = run_math(lambda p: p + "The final answer is 3.5.", rows)
+    assert out["accuracy"] == 1.0
 
 
 def test_math_equiv():
@@ -185,6 +195,43 @@ def test_run_humaneval_full_rewrite():
 
     out = run_humaneval(fake_generate, smoke_humaneval()[:1])
     assert out["pass@1"] == 1.0
+
+
+def test_run_humaneval_rewrite_keeps_prompt_preamble():
+    # HumanEval prompts open with imports; a full rewrite must not drop them
+    prob = {
+        "task_id": "Pre/0",
+        "prompt": 'from typing import List\n\n\ndef first(xs: List[int]) -> int:\n'
+                  '    """Return the first element."""\n',
+        "test": "def check(candidate):\n    assert candidate([3, 1]) == 3\n",
+        "entry_point": "first",
+    }
+
+    def fake_generate(prompt):
+        return prompt + ("    pass\n\ndef first(xs: List[int]) -> int:\n"
+                         "    return xs[0]\n")
+
+    out = run_humaneval(fake_generate, [prob])
+    assert out["pass@1"] == 1.0
+
+
+def test_check_correctness_kills_grandchildren():
+    import subprocess
+    import time as _time
+
+    marker = f"cm_orphan_{id(object())}"
+    prog = (
+        "import subprocess, time\n"
+        f"subprocess.Popen(['sleep', '60'], env={{'ORPHAN': '{marker}'}})\n"
+        "time.sleep(60)\n"
+    )
+    ok, err = check_correctness(prog, timeout=1.5)
+    assert not ok and err == "timeout"
+    _time.sleep(0.3)
+    out = subprocess.run(
+        ["ps", "axe"], capture_output=True, text=True
+    ).stdout
+    assert marker not in out, "grandchild survived the timeout kill"
 
 
 # ---------------------------------------------------------------------------

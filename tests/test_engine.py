@@ -236,6 +236,66 @@ def test_engine_backed_http_server(small):
         server.stop()
 
 
+def test_engine_double_start_is_noop(small):
+    cfg, params = small
+    eng = _engine(cfg, params).start()
+    try:
+        t1 = eng._thread
+        eng.start()  # ModelServer.start() after a warmup start()
+        assert eng._thread is t1
+    finally:
+        eng.stop()
+
+
+def test_engine_loop_error_fails_requests_and_recovers(small):
+    """A decode-chunk exception poisons in-flight requests with the error
+    (not a silent timeout), frees their lanes, and the engine keeps serving."""
+    cfg, params = small
+    eng = _engine(cfg, params)
+    real = eng.decode_chunk_fn
+    calls = {"n": 0}
+
+    def flaky(params_, state):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected chunk failure")
+        return real(params_, state)
+
+    eng.decode_chunk_fn = flaky
+    eng.start()
+    try:
+        with pytest.raises(RuntimeError, match="injected"):
+            eng.submit([1, 17, 23], max_new_tokens=4, timeout=60)
+        assert sorted(eng._free) == [0, 1]  # lane freed, not leaked
+        # engine still serves afterwards
+        got = eng.submit([1, 17, 23], max_new_tokens=4, timeout=120)
+        assert got == _ref_tokens(cfg, params, [1, 17, 23], 4)
+    finally:
+        eng.stop()
+
+
+def test_engine_routes_pad_id_tokens(small):
+    """A genuinely generated token equal to pad_token_id must reach the
+    output (routing is by validity mask, not token value)."""
+    cfg, params = small
+    eng = _engine(cfg, params)
+    real = eng.decode_chunk_fn
+
+    def forced(params_, state):
+        state, toks, valid = real(params_, state)
+        # overwrite the first chunk's tokens with pad-id where valid
+        toks = jnp.where(valid, jnp.zeros_like(toks), toks)
+        return state, toks, valid
+
+    eng.decode_chunk_fn = forced
+    eng.start()
+    try:
+        got = eng.submit([1, 17], max_new_tokens=3, timeout=120)
+        assert got.count(0) >= 3  # pad-id tokens delivered, not dropped
+    finally:
+        eng.stop()
+
+
 def test_engine_slot_recycling_no_leak(small):
     """Lanes freed by finished requests are reused with clean metadata: a
     second wave of requests on recycled lanes still matches the reference."""
