@@ -98,8 +98,25 @@ def _engine(cfg, params, **kw):
     ecfg = EngineConfig(
         slots=kw.pop("slots", 2), prefill_len=16, max_len=64,
         chunk_steps=kw.pop("chunk_steps", 4),
+        cache_dtype=kw.pop("cache_dtype", "bfloat16"),
     )
     return ContinuousBatchingEngine(params, cfg, scfg, ecfg)
+
+
+def test_engine_int8_kv_cache(small):
+    """The engine's int8-cache mode (long-context serving) decodes close to
+    the bf16 reference — same argmax path on a quantized cache."""
+    cfg, params = small
+    eng = _engine(cfg, params, cache_dtype="int8").start()
+    try:
+        got = eng.submit([1, 17, 23, 42], max_new_tokens=10)
+        assert len(got) == 10
+        ref = _ref_tokens(cfg, params, [1, 17, 23, 42], 10)
+        # int8 cache rounds attention reads; sequences may diverge late but
+        # must agree early (first tokens read an almost-exact cache)
+        assert got[:2] == ref[:2]
+    finally:
+        eng.stop()
 
 
 def test_engine_greedy_parity_single(small):
