@@ -353,25 +353,27 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True, sdxl=False):
 
     import numpy as np
 
-    # warm up with a FULL loop, not one step: the first burst of rapid-fire
-    # dispatches through the tunnel runs ~2.7x slower (cold connection);
-    # measured bistable 67 ms vs 24.7 ms per step with a 1-step warmup.
-    # Then take the MEDIAN of 3 timed loops — single-loop readings still
-    # vary ±25% through the tunnel.
+    # warm up with TWO full loops, not one step: the first bursts of
+    # rapid-fire dispatches through the tunnel run ~2.7x slower (cold
+    # connection; measured bistable 67 ms vs 24.7 ms per step with a 1-step
+    # warmup, and one warm loop was not always enough inside the full
+    # bench.py run — r02 read 35 ms/step where standalone read 25).
+    # Then take the MEDIAN of 5 timed loops.
     out = step(lat, jnp.asarray([500, 500]))
     np.asarray(out)
-    for i in range(steps_timed):
-        out = step(out * 0.99, jnp.asarray([500 - i, 500 - i]))
-    np.asarray(out)
+    for w in range(2):
+        for i in range(steps_timed):
+            out = step(out * 0.99, jnp.asarray([500 - 10 * w - i] * 2))
+        np.asarray(out)
     loop_times = []
-    for rep in range(3):
+    for rep in range(5):
         t0 = time.perf_counter()
         for i in range(steps_timed):
             out = step(out * 0.99, jnp.asarray([400 - 10 * rep - i] * 2))
         np.asarray(out)
         loop_times.append(time.perf_counter() - t0)
     loop_times.sort()
-    per_step = loop_times[1] / steps_timed
+    per_step = loop_times[len(loop_times) // 2] / steps_timed
     image_time = per_step * equivalent_steps
     result = (60.0 / image_time, per_step)
 
