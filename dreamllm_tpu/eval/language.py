@@ -415,6 +415,126 @@ def run_gen_qa(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Chinese QA tail of BASE_TASKS: clue_c3 / clue_wsc (logprob MC) and
+# clue_cmrc / xtreme (short-generation QA with char-level CN metrics)
+# (reference evaluator/{local_evaluator,evaluator_utils}.py:
+#  concat_logprob_evaluator, wsc_concat_logprob_evaluator,
+#  short_generation_cn_evaluator, normalize_answer_cn)
+# ---------------------------------------------------------------------------
+
+_CN_PUNC = set(string.punctuation) | set("‘’´`《》，。？！")
+
+
+def normalize_answer_cn(s: str) -> str:
+    """Strip whitespace, punctuation (ASCII + common CJK), underscores —
+    the reference's normalize_answer_cn (evaluator_utils.py:181-195)."""
+    s = s.replace("_", "")
+    s = "".join(ch for ch in s if ch not in _CN_PUNC)
+    return "".join(s.split()).strip()
+
+
+def cn_em_include_f1(prediction: str, golds: Sequence[str]) -> tuple[float, float, float]:
+    """(exact-match, include, char-level F1) against all golds, CN-normalized
+    (reference exact_match/include_answer/f1_score with en=False)."""
+    from collections import Counter
+
+    pred = normalize_answer_cn(prediction)
+    em = inc = f1 = 0.0
+    for gold in golds:
+        g = normalize_answer_cn(str(gold))
+        em = max(em, float(pred == g))
+        inc = max(inc, float(bool(g) and g in pred))
+        common = Counter(pred) & Counter(g)
+        n_same = sum(common.values())
+        if n_same and pred and g:
+            p, r = n_same / len(pred), n_same / len(g)
+            f1 = max(f1, 2 * p * r / (p + r))
+        elif not pred and not g:
+            f1 = 1.0
+    return em, inc, f1
+
+
+def _qa_cn(r):
+    ctx = r.get("context", r.get("passage", ""))
+    golds = r.get("answers", r.get("answer", []))
+    if isinstance(golds, dict):  # SQuAD-style {"text": [...]}
+        golds = golds.get("text", [])
+    if isinstance(golds, str):
+        golds = [golds]
+    golds = [g["text"] if isinstance(g, dict) else g for g in golds]
+    prompt = (f"文章：{ctx}\n" if ctx else "") + f"问题：{r['question']}\n回答："
+    return prompt, list(golds)
+
+
+def run_gen_qa_cn(
+    generate_fn: GenerateFn,
+    task: str,
+    rows: Sequence[dict],
+    *,
+    max_samples: int | None = None,
+    out_path: str | None = None,
+) -> dict:
+    """Chinese short-generation QA (clue_cmrc, xtreme): generate, cut at the
+    next 问题: block, score EM + include + char-F1."""
+    rows = list(rows)[:max_samples] if max_samples else list(rows)
+    results = []
+    em_s = inc_s = f1_s = 0.0
+    for r in rows:
+        prompt, golds = _qa_cn(r)
+        gen = generate_fn(prompt)
+        if gen.startswith(prompt):
+            gen = gen[len(prompt):]
+        elif "回答：" in gen:
+            gen = gen.split("回答：", 1)[1]
+        gen = gen.split("问题：")[0].strip().split("\n")[0]
+        em, inc, f1 = cn_em_include_f1(gen, golds)
+        em_s += em
+        inc_s += inc
+        f1_s += f1
+        results.append({"pred": gen, "em": em, "include": inc, "f1": f1})
+    n = max(len(rows), 1)
+    out = {"task": task, "accuracy": em_s / n, "em": em_s / n,
+           "include": inc_s / n, "f1": f1_s / n, "n": len(rows)}
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({**out, "results": results}, f, indent=1, ensure_ascii=False)
+    return out
+
+
+def _render_clue_c3(r):
+    """C3: multi-turn context (list of lines or str) + question + choices;
+    answer may be the choice text or an index. The reference scores
+    len-normalized choice logprob — pass normalize_by_length to the scorer."""
+    ctx = r.get("context", r.get("passage", ""))
+    if isinstance(ctx, (list, tuple)):
+        ctx = "\n".join(ctx)
+    choices = list(r["choice"] if "choice" in r else r["choices"])
+    ans = r.get("answer", r.get("label", 0))
+    idx = choices.index(ans) if isinstance(ans, str) else int(ans)
+    return f"{ctx}\n问题：{r['question']}\n回答：", [f" {c}" for c in choices], idx
+
+
+def _render_clue_wsc(r):
+    """CLUE WSC coreference: the 'true' reading substitutes the noun span for
+    the pronoun; label 0 = coreferent (true reading wins). Mirrors the
+    reference's paired-substitution concat scoring (argmax%2 over pairs)."""
+    text = r["text"]
+    tgt = r.get("target", {})
+    span1 = tgt.get("span1_text", r.get("span1", ""))
+    span2 = tgt.get("span2_text", r.get("span2", ""))
+    substituted = text.replace(span2, span1, 1)
+    label = r.get("label", 0)
+    if isinstance(label, str):
+        label = 0 if label.lower() in ("true", "1", "yes") else 1
+    return "下面的句子是否自然？", [f" {substituted}", f" {text}"], int(label)
+
+
+MC_TASK_RENDERERS["clue_c3"] = _render_clue_c3
+MC_TASK_RENDERERS["clue_wsc"] = _render_clue_wsc
+GEN_QA_CN_TASKS = ("clue_cmrc", "xtreme")
+
+
 def run_mmlu(
     choose_fn: ChooseFn,
     test: dict[str, list[MCSample]],

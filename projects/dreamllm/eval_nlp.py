@@ -164,6 +164,13 @@ def main(argv=None):
         result = run_agieval(
             generate, subsets, max_samples_per_subset=max_n, out_path=out_path
         )
+    elif task in ("clue_cmrc", "xtreme"):
+        # Chinese short-generation QA (reference short_generation_cn_evaluator)
+        from dreamllm_tpu.eval.language import run_gen_qa_cn
+
+        path = config.get("data_file") or os.path.join(config["data_dir"], f"{task}.jsonl")
+        result = run_gen_qa_cn(generate, task, load_jsonl(path),
+                               max_samples=max_n, out_path=out_path)
     elif task in GEN_QA_RENDERERS:
         # generation-scored QA (triviaqa/naturalqa/drop_gen): EM + token-F1
         path = config.get("data_file") or os.path.join(config["data_dir"], f"{task}.jsonl")
