@@ -183,6 +183,9 @@ def _flash_kernel(
         m_prev = m_ref[:, 0]  # [bq]
         m_cur = jnp.max(s, axis=-1)  # [bq]
         m_new = jnp.maximum(m_prev, m_cur)
+        # fp32 softmax stats: a bf16-exp variant measured SLOWER on-chip
+        # (1.47 vs 1.30 ms/layer — Mosaic upcasts for exp, so the casts are
+        # pure overhead) and costs ~2.5e-3 forward accuracy; keep fp32
         p = jnp.exp(s - m_new[:, None])  # [bq, bk]
         alpha = jnp.exp(m_prev - m_new)  # [bq]
 
@@ -341,8 +344,8 @@ def flash_attention(
     segment_ids: jnp.ndarray | None = None,
     kv_segment_ids: jnp.ndarray | None = None,
     sm_scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 1024,
+    block_q: int | None = None,
+    block_k: int | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention, BSHD layout. Pallas on TPU, XLA elsewhere.
@@ -350,9 +353,18 @@ def flash_attention(
     Functional drop-in for ``dot_product_attention``; see its docstring for
     the segment-id contract. Differentiable: backward recomputes through the
     XLA formulation (see _flash_core).
+
+    Default blocks are shape-tuned on-chip: d=128 decoders run 1024x1024
+    (1.30 ms/layer at 7B/2048 vs 1.43 at 256x1024 — the kernel is
+    softmax/VPU-bound, so all block choices land within ~15%), d=64 UNet
+    spatial attention keeps 256x1024 (measured faster at seq 4096).
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    if block_q is None:
+        block_q = 256 if q.shape[-1] == 64 else 1024
+    if block_k is None:
+        block_k = 1024
     on_tpu = jax.default_backend() == "tpu"
     d = q.shape[-1]
     sq, skv = q.shape[1], k.shape[1]
