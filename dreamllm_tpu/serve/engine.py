@@ -7,9 +7,11 @@ arriving mid-decode still waits for the whole previous batch. This engine
 admits requests into per-slot KV-cache lanes *while other slots keep
 decoding*, the standard continuous-batching design — built TPU-first:
 
-  * ALL shapes static: ``slots`` cache lanes of ``max_len``, prompts padded to
-    ``prefill_len``. Three compiled programs total (prefill / insert / decode
-    chunk) — zero shape-driven recompiles, ever.
+  * ALL shapes static: ``slots`` cache lanes of ``max_len``; prompts prefill
+    as a host loop of ``prefill_len``-token compiled appends (chunked
+    prefill — any prompt length up to the lane, one compiled shape). Three
+    compiled programs total (prefill chunk / insert / decode chunk) — zero
+    shape-driven recompiles, ever.
   * per-slot cache write offsets (``cache_write`` vector-index path in
     models/llama.py): each lane fills at its own rate.
   * decode runs in compiled CHUNKS of ``chunk_steps`` tokens (a ``lax.scan``),
@@ -79,23 +81,31 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
     P, S, B, K = ecfg.prefill_len, ecfg.max_len, ecfg.slots, ecfg.chunk_steps
     dtype = jnp.int8 if ecfg.cache_dtype == "int8" else jnp.bfloat16
 
-    @jax.jit
-    def prefill_fn(params, ids, plen, rng):
-        """ids [1, P] right-padded, plen [1] -> (lane-sized cache, first token).
+    def empty_prefill_cache():
+        # lane-sized (S) so k/v rows copy straight into the engine lane
+        return init_kv_cache(llm_cfg, 1, S, dtype=dtype)
 
-        The prefill cache is allocated at the LANE size S so its k/v rows copy
-        straight into the engine lane; slots past P stay zero (masked).
+    @partial(jax.jit, donate_argnums=(1,))
+    def prefill_chunk_fn(params, cache, ids, clen, start, rng):
+        """Append ONE P-token chunk (right-padded, ``clen`` real) to a
+        prefill cache at absolute offset ``start``. Prompts longer than P
+        prefill as a host loop of these — every non-final chunk is full, so
+        the scalar write index stays exact; the final chunk's pad slots write
+        seg 0 (masked) and the lane insert rewrites metadata anyway.
+
+        Returns (cache, first_token) — the token only meaningful on the
+        final chunk.
         """
-        cache = init_kv_cache(llm_cfg, 1, S, dtype=dtype)
-        pos = jnp.arange(P, dtype=jnp.int32)[None]
-        seg = (pos < plen[:, None]).astype(jnp.int32)
+        pos = jnp.arange(P, dtype=jnp.int32)[None] + start
+        seg = (jnp.arange(P, dtype=jnp.int32)[None] < clen[:, None]).astype(jnp.int32)
+        cache = dict(cache, index=jnp.asarray(start, jnp.int32))
         out = llama_forward(
             params, llm_cfg, input_ids=ids,
             segment_ids=seg, positions=jnp.where(seg == 1, pos, 0),
             kv_cache=cache,
         )
         last = jnp.take_along_axis(
-            out["last_hidden_state"], jnp.maximum(plen - 1, 0)[:, None, None], axis=1
+            out["last_hidden_state"], jnp.maximum(clen - 1, 0)[:, None, None], axis=1
         )
         logits = llama_logits(params, llm_cfg, last)[:, 0]
         first = sample_token(logits, rng, scfg)
@@ -181,7 +191,8 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
         # (<unk> is id 0 in LLaMA vocabs) in the output stream
         return new_state, toks.T, valid.T  # [B, K] each
 
-    return prefill_fn, insert_fn, decode_chunk_fn
+    prefill_chunk_fn.empty_cache = empty_prefill_cache
+    return prefill_chunk_fn, insert_fn, decode_chunk_fn
 
 
 # ---------------------------------------------------------------------------
@@ -262,7 +273,8 @@ class ContinuousBatchingEngine:
         stream: Callable[[int], None] | None = None,
     ) -> list[int]:
         """Block until the request finishes; returns generated token ids
-        (EOS excluded). The prompt truncates from the LEFT to prefill_len."""
+        (EOS excluded). Prompts prefill in chunks; longer than the lane
+        (max_len - 1) truncates from the LEFT (keep recent context)."""
         req = _Request(list(prompt_ids), max_new_tokens, stream)
         self._queue.put(req)
         if not req.done.wait(timeout):
@@ -275,15 +287,24 @@ class ContinuousBatchingEngine:
 
     def _admit(self, req: _Request) -> None:
         P = self.ecfg.prefill_len
-        ids = req.ids[-P:]
+        # the lane must hold prompt + at least one generated token; overlong
+        # prompts keep their most recent context (left truncation)
+        ids = req.ids[-(self.ecfg.max_len - 1):]
         plen = len(ids)
-        padded = np.zeros((1, P), np.int32)
-        padded[0, :plen] = ids
         self._admit_count += 1
         rng = jax.random.fold_in(self._rng0, self._admit_count)
-        pre_cache, first = self.prefill_fn(
-            self.params, jnp.asarray(padded), jnp.asarray([plen], jnp.int32), rng
-        )
+        # chunked prefill: host loop of P-token compiled appends — prompts
+        # longer than prefill_len no longer truncate to it
+        pre_cache = self.prefill_fn.empty_cache()
+        first = None
+        for start in range(0, plen, P):
+            chunk = ids[start : start + P]
+            padded = np.zeros((1, P), np.int32)
+            padded[0, : len(chunk)] = chunk
+            pre_cache, first = self.prefill_fn(
+                self.params, pre_cache, jnp.asarray(padded),
+                jnp.asarray([len(chunk)], jnp.int32), jnp.int32(start), rng,
+            )
         slot = self._free.pop()
         try:
             budget = min(req.max_new_tokens, self.ecfg.max_len - plen)

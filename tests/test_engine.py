@@ -253,6 +253,32 @@ def test_engine_backed_http_server(small):
         server.stop()
 
 
+def test_engine_chunked_prefill_long_prompt(small):
+    """A prompt longer than prefill_len prefills in chunks and still matches
+    the one-shot reference token-for-token."""
+    cfg, params = small
+    eng = _engine(cfg, params).start()  # prefill_len=16
+    try:
+        prompt = [1] + list(range(5, 40))  # 36 tokens = 3 chunks (16/16/4)
+        got = eng.submit(prompt, max_new_tokens=8)
+        assert got == _ref_tokens(cfg, params, prompt, 8)
+    finally:
+        eng.stop()
+
+
+def test_engine_overlong_prompt_left_truncates(small):
+    cfg, params = small
+    eng = _engine(cfg, params).start()  # max_len=64
+    try:
+        prompt = [1] + list(range(3, 103))  # 101 tokens > 63
+        got = eng.submit(prompt, max_new_tokens=4)
+        # lane keeps the last 63 tokens; budget clamps to the 1 free slot
+        assert len(got) == 1
+        assert got == _ref_tokens(cfg, params, prompt[-63:], 4)[:1]
+    finally:
+        eng.stop()
+
+
 def test_engine_double_start_is_noop(small):
     cfg, params = small
     eng = _engine(cfg, params).start()
