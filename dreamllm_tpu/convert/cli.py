@@ -21,6 +21,8 @@ import json
 import os
 from typing import Any
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dreamllm_tpu.utils.logging import get_logger
@@ -158,8 +160,37 @@ def convert_sd_dir(path: str, dtype=None):
     return (ucfg, vcfg), {"unet": unet, "vae": vae}
 
 
+def _quantize_llm_host(p: dict, mode: str) -> dict:
+    """Serving quantization on the HOST, leaf by leaf: a 13B bf16 tree is
+    26 GB — int4-quantizing at conversion time means the device only ever
+    sees the packed weights (the on-device path needs the bf16 copy first)."""
+    from dreamllm_tpu.ops.quant import quantize_int8
+    from dreamllm_tpu.ops.quant4 import quantize_int4
+
+    quant = quantize_int4 if mode == "int4" else quantize_int8
+
+    def q(w):
+        if mode == "int4" and w.shape[-2] % 256 != 0:
+            # int4 groups need K % 256 (two 128-row halves); leave odd
+            # shapes (tiny models, unusual projections) unquantized
+            logger.warning("skipping int4 for K=%d weight", w.shape[-2])
+            return w
+        return jax.tree.map(np.asarray, quant(jnp.asarray(w)))
+
+    layers = dict(p["layers"])
+    for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+              "wqkv", "w_gate_up"):
+        if k in layers:
+            layers[k] = q(layers[k])
+    out = dict(p, layers=layers)
+    if "lm_head" in p:
+        out["lm_head"] = q(p["lm_head"])
+    return out
+
+
 def assemble(out_dir: str, llm: str | None, clip: str | None, sd: str | None,
-             dtype=None, vocab_size: int | None = None) -> str:
+             dtype=None, vocab_size: int | None = None,
+             quantize: str | None = None) -> str:
     """Convert + save as checkpoint-000000 under ``out_dir``."""
     from dreamllm_tpu.train.checkpoints import save_checkpoint
 
@@ -167,6 +198,9 @@ def assemble(out_dir: str, llm: str | None, clip: str | None, sd: str | None,
     meta: dict = {}
     if llm:
         cfg, p = convert_llama_dir(llm, dtype, vocab_size=vocab_size)
+        if quantize:
+            p = _quantize_llm_host(p, quantize)
+            logger.info("quantized LLM weights to %s", quantize)
         params["llm"] = p
         meta["llm_config"] = cfg.__dict__ | {"dtype": str(cfg.dtype)}
         logger.info("converted LLM from %s (%d tensors)", llm, len(list(_leaves(p))))
@@ -205,8 +239,12 @@ def main(argv=None):
     p.add_argument("--vocab_size", type=int, default=None,
                    help="grow LLM vocab to this size with mean-init rows "
                         "(e.g. 32064 for the DreamLLM special tokens)")
+    p.add_argument("--quantize", choices=("int8", "int4"), default=None,
+                   help="quantize LLM matmul weights at conversion time "
+                        "(host-side; int4 fits 13B on one 16 GB chip)")
     args = p.parse_args(argv)
-    assemble(args.out, args.llm, args.clip, args.sd, vocab_size=args.vocab_size)
+    assemble(args.out, args.llm, args.clip, args.sd,
+             vocab_size=args.vocab_size, quantize=args.quantize)
 
 
 if __name__ == "__main__":

@@ -58,3 +58,38 @@ def test_assemble_and_restore(tmp_path):
     assert "llm" in restored and "clip_vision_embedding" in restored
     assert restored["llm"]["embed_tokens"].shape == (128, 64)
     assert restored["clip_vision_embedding"]["clip"]["patch_embedding"].shape == (7, 7, 3, 32)
+
+
+def test_assemble_quantized_int4(tmp_path):
+    """--quantize int4: host-side packed weights round-trip through the
+    checkpoint; dequantized values match the bf16 conversion within the
+    int4 error bound."""
+    import torch
+    from transformers import LlamaConfig as HFLlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    # int4 groups need K % 256 == 0: use a 256-hidden tiny model
+    llm = LlamaForCausalLM(HFLlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64,
+    ))
+    llm_dir = str(tmp_path / "llm256")
+    llm.save_pretrained(llm_dir)
+
+    out = str(tmp_path / "assembled_q4")
+    path = assemble(out, llm=llm_dir, clip=None, sd=None,
+                    dtype=jnp.float32, quantize="int4")
+    restored = load_params(path)
+    from dreamllm_tpu.ops.quant4 import Q4Tensor, dequantize_int4
+    from dreamllm_tpu.convert.cli import convert_llama_dir as _conv
+
+    lw = restored["llm"]["layers"]["wq"]
+    if isinstance(lw, dict):  # orbax may restore the dataclass as a dict
+        lw = Q4Tensor(packed=jnp.asarray(lw["packed"]), scale=jnp.asarray(lw["scale"]))
+    assert isinstance(lw, Q4Tensor)
+    cfg, ref_params = _conv(llm_dir, dtype=jnp.float32)
+    deq = dequantize_int4(lw, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(deq), np.asarray(ref_params["layers"]["wq"]), atol=0.02
+    )
