@@ -168,6 +168,7 @@ def _quantize_llm_host(p: dict, mode: str) -> dict:
     from dreamllm_tpu.ops.quant4 import quantize_int4
 
     quant = quantize_int4 if mode == "int4" else quantize_int8
+    cpu = jax.devices("cpu")[0]
 
     def q(w):
         if mode == "int4" and w.shape[-2] % 256 != 0:
@@ -175,7 +176,11 @@ def _quantize_llm_host(p: dict, mode: str) -> dict:
             # shapes (tiny models, unusual projections) unquantized
             logger.warning("skipping int4 for K=%d weight", w.shape[-2])
             return w
-        return jax.tree.map(np.asarray, quant(jnp.asarray(w)))
+        # pin to the CPU backend: a bare jnp.asarray would put the full bf16
+        # leaf (5.7 GB for 13B's stacked MLP) on the accelerator — exactly
+        # the resident-copy problem conversion-time quantization avoids
+        with jax.default_device(cpu):
+            return jax.tree.map(np.asarray, quant(jnp.asarray(w)))
 
     layers = dict(p["layers"])
     for k in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",

@@ -317,13 +317,22 @@ def run_mc_task(
     """Zero/few-shot logprob-MC driver over a base task's raw json rows."""
     render = MC_TASK_RENDERERS[task]
     rows = list(rows)[:max_samples] if max_samples else list(rows)
-    results, n_correct = [], 0
+    results, n_correct, n_skipped = [], 0, 0
     for r in rows:
-        ctx, conts, ans = render(r)
+        try:
+            ctx, conts, ans = render(r)
+        except (KeyError, ValueError, TypeError) as e:
+            # one malformed raw row (answer/choice drift, missing field)
+            # must not kill a whole eval run
+            n_skipped += 1
+            results.append({"skipped": str(e)[:200]})
+            continue
         pred = int(choose_fn(ctx, conts))
         n_correct += pred == ans
         results.append({"pred": pred, "answer": ans})
-    out = {"task": task, "accuracy": n_correct / max(len(rows), 1), "n": len(rows)}
+    n_scored = len(rows) - n_skipped
+    out = {"task": task, "accuracy": n_correct / max(n_scored, 1),
+           "n": n_scored, "skipped": n_skipped}
     if out_path:
         with open(out_path, "w") as f:
             json.dump({**out, "results": results}, f, indent=1)
@@ -511,19 +520,35 @@ def _render_clue_c3(r):
         ctx = "\n".join(ctx)
     choices = list(r["choice"] if "choice" in r else r["choices"])
     ans = r.get("answer", r.get("label", 0))
-    idx = choices.index(ans) if isinstance(ans, str) else int(ans)
+    if isinstance(ans, str):
+        # raw C3 data drifts in whitespace between answer and choices
+        stripped = [normalize_answer_cn(c) for c in choices]
+        try:
+            idx = stripped.index(normalize_answer_cn(ans))
+        except ValueError:
+            raise ValueError(
+                f"clue_c3 answer {ans!r} not among choices {choices!r}"
+            ) from None
+    else:
+        idx = int(ans)
     return f"{ctx}\n问题：{r['question']}\n回答：", [f" {c}" for c in choices], idx
 
 
 def _render_clue_wsc(r):
     """CLUE WSC coreference: the 'true' reading substitutes the noun span for
     the pronoun; label 0 = coreferent (true reading wins). Mirrors the
-    reference's paired-substitution concat scoring (argmax%2 over pairs)."""
+    reference's paired-substitution concat scoring (argmax%2 over pairs).
+    Substitution targets ``span2_index`` when present — the pronoun string
+    may occur earlier in the sentence than the queried occurrence."""
     text = r["text"]
     tgt = r.get("target", {})
     span1 = tgt.get("span1_text", r.get("span1", ""))
     span2 = tgt.get("span2_text", r.get("span2", ""))
-    substituted = text.replace(span2, span1, 1)
+    i2 = tgt.get("span2_index")
+    if i2 is not None and text[i2 : i2 + len(span2)] == span2:
+        substituted = text[:i2] + span1 + text[i2 + len(span2):]
+    else:
+        substituted = text.replace(span2, span1, 1)
     label = r.get("label", 0)
     if isinstance(label, str):
         label = 0 if label.lower() in ("true", "1", "yes") else 1
@@ -627,9 +652,14 @@ def run_bbh(
 # ---------------------------------------------------------------------------
 
 
-def local_scorers(params, llm_cfg, tokenizer, *, max_new_tokens: int = 100):
+def local_scorers(params, llm_cfg, tokenizer, *, max_new_tokens: int = 100,
+                  normalize_by_length: bool = False):
     """(choose_fn, generate_fn) over in-process params via the framework's
-    jitted logprob scorer and while_loop decoder."""
+    jitted logprob scorer and while_loop decoder.
+
+    ``normalize_by_length``: per-token-normalized choice logprob — the
+    reference's C3-style concat evaluator divides by choice length
+    (local_evaluator.py:55)."""
     import functools
 
     import jax
@@ -639,7 +669,8 @@ def local_scorers(params, llm_cfg, tokenizer, *, max_new_tokens: int = 100):
     from dreamllm_tpu.generation.sampler import SamplingConfig, generate_text
 
     choose = functools.partial(
-        multiple_choice, params, llm_cfg, tokenizer, normalize_by_length=False
+        multiple_choice, params, llm_cfg, tokenizer,
+        normalize_by_length=normalize_by_length,
     )
 
     scfg = SamplingConfig(max_new_tokens=max_new_tokens, greedy=True)
@@ -657,7 +688,8 @@ def local_scorers(params, llm_cfg, tokenizer, *, max_new_tokens: int = 100):
     return choose, generate
 
 
-def online_scorers(base_url: str, *, max_new_tokens: int = 100):
+def online_scorers(base_url: str, *, max_new_tokens: int = 100,
+                   normalize_by_length: bool = False):
     """(choose_fn, generate_fn) against a running serve/ ModelServer
     (reference evaluator/online_evaluator.py path)."""
     from dreamllm_tpu.serve.server import OnlineClient
@@ -666,6 +698,9 @@ def online_scorers(base_url: str, *, max_new_tokens: int = 100):
 
     def choose(context: str, continuations: Sequence[str]) -> int:
         lps = client.logprob(context, list(continuations))
+        if normalize_by_length:
+            # char-length normalization like the reference's concat scorer
+            lps = [lp / max(len(c), 1) for lp, c in zip(lps, continuations)]
         return int(np.argmax(lps))
 
     def generate(prompt: str) -> str:

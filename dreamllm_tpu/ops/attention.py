@@ -361,10 +361,18 @@ def flash_attention(
     """
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(q.shape[-1])
+    sq_, skv_ = q.shape[1], k.shape[1]
     if block_q is None:
         block_q = 256 if q.shape[-1] == 64 else 1024
+        # shrink to a divisor rather than demote to the XLA fallback: seq
+        # 1280/1536/2560 ran the kernel at the old 256 default and must keep
+        # running it after the 1024 retune
+        while block_q > 128 and sq_ % min(block_q, sq_) != 0:
+            block_q //= 2
     if block_k is None:
         block_k = 1024
+        while block_k > 128 and skv_ % min(block_k, skv_) != 0:
+            block_k //= 2
     on_tpu = jax.default_backend() == "tpu"
     d = q.shape[-1]
     sq, skv = q.shape[1], k.shape[1]

@@ -79,6 +79,13 @@ def init_engine_state(llm_cfg: LlamaConfig, ecfg: EngineConfig, rng=None) -> dic
 def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConfig):
     """Build (prefill_fn, insert_fn, decode_chunk_fn), each one jitted program."""
     P, S, B, K = ecfg.prefill_len, ecfg.max_len, ecfg.slots, ecfg.chunk_steps
+    if S % P != 0:
+        # the final prefill chunk always writes a FULL P-row slice at its
+        # start offset; with S % P != 0 a near-full lane's last chunk would
+        # clamp its dynamic_update_slice start and overwrite earlier rows
+        raise ValueError(
+            f"max_len ({S}) must be a multiple of prefill_len ({P})"
+        )
     dtype = jnp.int8 if ecfg.cache_dtype == "int8" else jnp.bfloat16
 
     def empty_prefill_cache():
@@ -276,6 +283,8 @@ class ContinuousBatchingEngine:
         (EOS excluded). Prompts prefill in chunks; longer than the lane
         (max_len - 1) truncates from the LEFT (keep recent context)."""
         req = _Request(list(prompt_ids), max_new_tokens, stream)
+        if not req.ids:
+            raise ValueError("empty prompt (prepend a BOS token)")
         self._queue.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("engine request timed out")

@@ -109,8 +109,25 @@ def load_params(
             target = jax.tree.map(ocp.utils.to_shape_dtype_struct, like[name])
             out[name] = ckpt.restore(src, args=ocp.args.PyTreeRestore(target))
         else:
-            out[name] = ckpt.restore(src)
+            out[name] = _rebuild_quantized(ckpt.restore(src))
     return out
+
+
+def _rebuild_quantized(tree):
+    """Orbax restores registered dataclasses as plain dicts when no template
+    is given; rebuild QTensor/Q4Tensor nodes (their key sets are unambiguous)
+    so quantized checkpoints flow straight into qmm's isinstance dispatch."""
+    from dreamllm_tpu.ops.quant import QTensor
+    from dreamllm_tpu.ops.quant4 import Q4Tensor
+
+    if isinstance(tree, dict):
+        keys = set(tree.keys())
+        if keys == {"q", "scale"}:
+            return QTensor(q=tree["q"], scale=tree["scale"])
+        if keys == {"packed", "scale"}:
+            return Q4Tensor(packed=tree["packed"], scale=tree["scale"])
+        return {k: _rebuild_quantized(v) for k, v in tree.items()}
+    return tree
 
 
 def load_opt_state(path: str, like: Any = None) -> Any:

@@ -35,6 +35,7 @@ from dreamllm_tpu.eval.code_math import (
     smoke_math,
 )
 from dreamllm_tpu.eval.language import (
+    GEN_QA_CN_TASKS,
     GEN_QA_RENDERERS,
     MC_TASK_RENDERERS,
     load_bbh_tasks,
@@ -63,10 +64,15 @@ def main(argv=None):
     task = config.get("task", "mmlu_smoke")
     out_path = os.path.join(run_dir, f"{task}.json")
 
+    # C3-style concat evaluators length-normalize choice logprob
+    # (reference local_evaluator.py:55); other MC tasks use summed logprob
+    norm_len = config.get("normalize_by_length", task == "clue_c3")
+
     server = config.get("server")
     if server:
         choose, generate = online_scorers(
-            server, max_new_tokens=config.get("max_new_tokens", 100)
+            server, max_new_tokens=config.get("max_new_tokens", 100),
+            normalize_by_length=norm_len,
         )
     else:
         cfg, _ = build_model_cfg(config)
@@ -86,6 +92,7 @@ def main(argv=None):
         choose, generate = local_scorers(
             params["llm"], cfg.llm, tokenizer,
             max_new_tokens=config.get("max_new_tokens", 100),
+            normalize_by_length=norm_len,
         )
 
     k_shot = config.get("k_shot", 5)
@@ -164,7 +171,7 @@ def main(argv=None):
         result = run_agieval(
             generate, subsets, max_samples_per_subset=max_n, out_path=out_path
         )
-    elif task in ("clue_cmrc", "xtreme"):
+    elif task in GEN_QA_CN_TASKS:
         # Chinese short-generation QA (reference short_generation_cn_evaluator)
         from dreamllm_tpu.eval.language import run_gen_qa_cn
 

@@ -71,6 +71,35 @@ def test_clue_c3_renderer():
     assert idx2 == 1
 
 
+def test_clue_wsc_span2_index_targets_right_occurrence():
+    # pronoun string occurs BEFORE the queried occurrence: substitution must
+    # target span2_index, not the first match
+    row = {
+        "text": "他走后，小明告诉小红他赢了。",
+        "target": {"span1_text": "小明", "span2_text": "他", "span2_index": 10},
+        "label": 0,
+    }
+    _, conts, _ = MC_TASK_RENDERERS["clue_wsc"](row)
+    assert "他走后，小明告诉小红小明赢了" in conts[0]
+
+
+def test_clue_c3_answer_whitespace_drift():
+    _, _, idx = MC_TASK_RENDERERS["clue_c3"]({
+        "context": "文", "question": "q",
+        "choice": ["打 招呼", "吵架"], "answer": "打招呼。",
+    })
+    assert idx == 0
+
+
+def test_run_mc_task_skips_malformed_rows():
+    rows = [
+        {"context": "文", "question": "q", "choice": ["a", "b"], "answer": "a"},
+        {"context": "文", "question": "q", "choice": ["a", "b"], "answer": "zzz"},
+    ]
+    out = run_mc_task(lambda c, conts: 0, "clue_c3", rows)
+    assert out["skipped"] == 1 and out["n"] == 1 and out["accuracy"] == 1.0
+
+
 def test_clue_wsc_renderer_and_scoring():
     row = {
         "text": "小明告诉小红他赢了。",

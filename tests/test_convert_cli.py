@@ -84,12 +84,22 @@ def test_assemble_quantized_int4(tmp_path):
     from dreamllm_tpu.ops.quant4 import Q4Tensor, dequantize_int4
     from dreamllm_tpu.convert.cli import convert_llama_dir as _conv
 
+    # load_params must rebuild Q4Tensor nodes (orbax restores dataclasses as
+    # dicts without a template) — the convert-once/serve flow depends on it
     lw = restored["llm"]["layers"]["wq"]
-    if isinstance(lw, dict):  # orbax may restore the dataclass as a dict
-        lw = Q4Tensor(packed=jnp.asarray(lw["packed"]), scale=jnp.asarray(lw["scale"]))
     assert isinstance(lw, Q4Tensor)
     cfg, ref_params = _conv(llm_dir, dtype=jnp.float32)
     deq = dequantize_int4(lw, jnp.float32)
     np.testing.assert_allclose(
         np.asarray(deq), np.asarray(ref_params["layers"]["wq"]), atol=0.02
     )
+
+    # and the restored tree decodes end-to-end through qmm dispatch
+    from dreamllm_tpu.generation import SamplingConfig, generate_text
+
+    out = generate_text(
+        restored["llm"], cfg, jnp.asarray([[1, 5, 9]], jnp.int32),
+        jnp.asarray([3], jnp.int32),
+        SamplingConfig(greedy=True, max_new_tokens=4, eos_token_id=-1),
+    )
+    assert int(out["steps"]) == 4

@@ -279,6 +279,21 @@ def test_engine_overlong_prompt_left_truncates(small):
         eng.stop()
 
 
+def test_engine_rejects_bad_config_and_empty_prompt(small):
+    cfg, params = small
+    with pytest.raises(ValueError, match="multiple of prefill_len"):
+        ContinuousBatchingEngine(
+            params, cfg, SamplingConfig(greedy=True),
+            EngineConfig(slots=1, prefill_len=16, max_len=100),
+        )
+    eng = _engine(cfg, params).start()
+    try:
+        with pytest.raises(ValueError, match="empty prompt"):
+            eng.submit([], max_new_tokens=4)
+    finally:
+        eng.stop()
+
+
 def test_engine_double_start_is_noop(small):
     cfg, params = small
     eng = _engine(cfg, params).start()
