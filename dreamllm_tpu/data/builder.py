@@ -88,6 +88,15 @@ def _to_float01(image) -> np.ndarray:
         arr = arr.astype(np.float32) / 255.0
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
+    elif arr.ndim == 3 and arr.shape[-1] == 4:
+        # RGBA (common in scraped PNG shards): composite over white like the
+        # reference's PIL convert path — dropping alpha leaves transparent
+        # regions as arbitrary RGB noise
+        rgb, a = arr[..., :3], arr[..., 3:4]
+        arr = rgb * a + (1.0 - a)
+    elif arr.ndim == 3 and arr.shape[-1] == 2:  # LA
+        l, a = arr[..., :1], arr[..., 1:2]
+        arr = np.repeat(l * a + (1.0 - a), 3, axis=-1)
     return arr.astype(np.float32)
 
 
@@ -160,27 +169,26 @@ class DreamLLMBuilder:
 
     def build_ii_pair(self, s: ImageImagePair) -> BuiltSample:
         """Image→image: comprehend the source (image span), create the target
-        (dream span). Layout: [bos] img_span [text] dream_span [eos]; only
-        <dream_start> learnable (the model learns when to emit), target image
-        is the diffusion target (reference unified_ii_pair semantics)."""
+        (dream span). Layout: [bos] img_span [text] dream_span [eos] with ALL
+        LM labels masked — ii-pair is a pure-creation sample whose loss comes
+        from the diffusion head (reference builder_dreamllm.py:150-160:
+        ``labels = [IGNORE_INDEX] * len(input_ids)``). The optional edit
+        instruction text (absent from the reference's sample type) joins the
+        input as conditioning only."""
         st = self.cfg.special
         ids: list[int] = [st.bos]
-        labels: list[int] = [IGNORE]
         img_span = self.image_ids()
         image_positions = [len(ids) + 1]
         ids += img_span
-        labels += [IGNORE] * len(img_span)
         t_ids = self.tok.encode(s.text) if s.text else []
         budget = self.cfg.max_seq_len - len(ids) - len(self.dream_ids()) - 1
         t_ids = t_ids[: max(budget, 0)]
         ids += t_ids
-        labels += t_ids
         d_span = self.dream_ids()
         dream_positions = [len(ids) + 1]
         ids += d_span
-        labels += [st.dream_start] + [IGNORE] * (len(d_span) - 1)
         ids.append(st.eos)
-        labels.append(st.eos)
+        labels = [IGNORE] * len(ids)
         return self._finish(
             ids, labels, [self._img(s.source)], image_positions,
             [self._img_dm(s.target)], dream_positions,
@@ -192,7 +200,12 @@ class DreamLLMBuilder:
         before the caption (frames share one temporal caption — reference
         webvid handling; creation is not defined for video)."""
         st = self.cfg.special
-        cap = self.tok.encode(s.text)
+        # cap the caption FIRST: requiring the full caption to fit before
+        # admitting any frame would turn a long-caption sample into
+        # zero-frame text about unseen video
+        span_len = len(self.image_ids())
+        max_cap = self.cfg.max_seq_len - 1 - span_len - 1  # bos + 1 frame + eos
+        cap = self.tok.encode(s.text)[: max(max_cap, 0)]
         ids: list[int] = [st.bos]
         labels: list[int] = [IGNORE]
         images, image_positions = [], []

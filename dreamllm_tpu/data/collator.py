@@ -71,7 +71,7 @@ def collate(
             images_dm[i, j] = img
             dream_positions[i, j] = p
             tids = getattr(s, "add_time_ids", [])
-            if j < len(tids):
+            if j < len(tids) and tids[j] is not None:
                 add_time_ids[i, j] = tids[j]
 
     out = {
@@ -130,6 +130,7 @@ def pack_samples(
     for row in rows:
         ids, labels, segs, poss = [], [], [], []
         images, image_positions, images_dm, dream_positions = [], [], [], []
+        add_time_ids = []  # SDXL micro-conditioning travels with its image
         for s_idx, i in enumerate(row, start=1):
             s = samples[i]
             n = min(len(s.input_ids), seq_len - len(ids))
@@ -147,10 +148,14 @@ def pack_samples(
                 if p + image_embed_len + 1 <= n:
                     images.append(img)
                     image_positions.append(p + off)
-            for img, p in zip(s.images_dm, s.dream_positions):
+            tids = list(getattr(s, "add_time_ids", []) or [])
+            for j, (img, p) in enumerate(zip(s.images_dm, s.dream_positions)):
                 if p + n_dream_queries + 1 <= n:
                     images_dm.append(img)
                     dream_positions.append(p + off)
+                    # keep tids index-aligned with images_dm across mixed
+                    # rows: None means "use the collate default"
+                    add_time_ids.append(tids[j] if j < len(tids) else None)
         b = BuiltSample(
             input_ids=np.asarray(ids, np.int32),
             labels=np.asarray(labels, np.int32),
@@ -158,6 +163,7 @@ def pack_samples(
             image_positions=image_positions,
             images_dm=images_dm,
             dream_positions=dream_positions,
+            add_time_ids=add_time_ids,
         )
         b.segments = np.asarray(segs, np.int32)       # type: ignore[attr-defined]
         b.positions = np.asarray(poss, np.int32)      # type: ignore[attr-defined]

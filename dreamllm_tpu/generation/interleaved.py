@@ -88,9 +88,9 @@ def generate_interleaved(
     cur_pos = s0  # next absolute position
     logits = llama_logits(params["llm"], llm, out["last_hidden_state"][:, -1:])[:, 0]
 
-    scfg = dataclasses.replace(
-        icfg.sampling, stop_tokens=icfg.sampling.stop_tokens + (st.dream_start,)
-    )
+    # <dream_start> halting is handled directly in decode_segment's reason
+    # logic (reason 2); user stop_tokens in icfg.sampling halt with reason 3
+    scfg = icfg.sampling
     uncond = unconditional_dream_hidden(params, cfg)
 
     max_seg = icfg.max_new_tokens  # static buffer: no recompiles as the
@@ -112,7 +112,12 @@ def generate_interleaved(
             toks = jax.lax.dynamic_update_slice(toks, tok, (i,))
             is_eos = tok[0] == scfg.eos_token_id
             is_dream = tok[0] == st.dream_start
-            reason = jnp.where(is_eos, 1, jnp.where(is_dream, 2, 0))
+            is_stop = jnp.zeros((), bool)
+            for t_ in scfg.stop_tokens:  # user stop tokens: stored, then halt
+                is_stop = is_stop | (tok[0] == t_)
+            reason = jnp.where(
+                is_eos, 1, jnp.where(is_dream, 2, jnp.where(is_stop, 3, 0))
+            )
             return i + 1, nxt, toks, reason, o["kv_cache"], rng
 
         def cond(state):
@@ -141,7 +146,9 @@ def generate_interleaved(
         cur_pos += n
         budget -= n
         if n > 0:
-            # drop the control token from the visible text
+            # drop the control token (eos/<dream_start>) from the visible
+            # text; a user stop token (reason 3) stays, matching
+            # generate_text's stored-then-halt semantics
             visible = seg_toks[:-1] if reason in (1, 2) else seg_toks
             if visible.shape[0] > 0:
                 segments.append(("text", visible))

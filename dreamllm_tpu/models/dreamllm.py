@@ -240,9 +240,7 @@ def encode_prompt_embeds(params: Params, cfg: DreamLLMConfig, tokenizer, prompt:
     embeds = multimodal_embed(
         params, cfg, arr, dream_positions=jnp.asarray([[dream_pos]], jnp.int32)
     )
-    from dreamllm_tpu.models.llama import llama_forward as _fwd
-
-    out = _fwd(params["llm"], cfg.llm, inputs_embeds=embeds, use_flash=False)
+    out = llama_forward(params["llm"], cfg.llm, inputs_embeds=embeds, use_flash=False)
     cond, _ = extract_dream_hidden(
         out["last_hidden_state"], jnp.asarray([[dream_pos]], jnp.int32), cfg.n_dream_queries
     )
@@ -302,9 +300,9 @@ def dreamllm_forward(
       images [B,M_img,Hi,Wi,3], image_positions [B,M_img],
       dream_positions [B,M_dream], images_dm [B,M_dream,Hd,Wd,3].
 
-    ``head_loss_fn(head_params, images_dm, cond, uncond, rng)`` computes the
-    diffusion ("vm") loss over VALID dream spans; absent spans are masked
-    inside via the ``valid`` argument it also receives.
+    ``head_loss_fn(head_params, images_dm, cond, uncond, valid, rng,
+    **extras)`` computes the diffusion ("vm") loss; ``valid`` masks absent
+    dream spans, ``extras`` carries e.g. SDXL ``add_time_ids``.
 
     Returns ``(loss, aux)`` where aux carries lm_loss/vm_loss scalars — the
     reference's ``additional_log_info`` channel (:1494-1508).

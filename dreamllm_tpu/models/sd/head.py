@@ -68,6 +68,9 @@ class SDHeadConfig:
     noise_offset: float = 0.0
     input_perturbation: float = 0.0
     snr_gamma: float | None = None    # min-SNR-γ loss weighting
+    # compute dtype of the PROJECTOR (UNet/VAE carry their own dtype in
+    # their sub-configs; per the reference's fp32-VAE policy they are
+    # configured independently)
     dtype: Any = jnp.float32
 
     def projector_cfg(self) -> ProjectorConfig:
@@ -77,6 +80,7 @@ class SDHeadConfig:
             projector_type="linear",
             in_dim=self.llm_hidden_size,
             out_dim=self.unet.cross_attention_dim,
+            dtype=self.dtype,
         )
 
     def schedule(self) -> DiffusionSchedule:

@@ -347,11 +347,9 @@ class TestIIPair:
         ids, labels = s.input_ids, s.labels
         ds_pos = s.dream_positions[0] - 1
         assert ids[ds_pos] == ST.dream_start
-        assert labels[ds_pos] == ST.dream_start  # learnable
-        # image span masked; text learnable
-        special = np.isin(ids, [ST.im_patch, ST.im_start, ST.im_end, ST.dream_end])
-        assert np.all(labels[special] == IGNORE)
-        assert (labels != IGNORE).sum() == 3 + 2  # 3 words + dream_start + eos
+        # ii-pair is a PURE-creation sample: every LM label masked, loss
+        # comes from the diffusion head (reference builder_dreamllm.py:160)
+        assert np.all(labels == IGNORE)
 
 
 class TestCatalogWds:
