@@ -80,7 +80,11 @@ def sample_candidates(
     base_seed: int = 0,
 ) -> np.ndarray:
     """[N, num_seeds, H, W, 3] in [0,1]. ``pipeline_fn(captions, rng)`` is the
-    model-specific prompt→images function (e.g. LLM encode + sd_head_pipeline)."""
+    model-specific prompt→images function (e.g. LLM encode + sd_head_pipeline).
+
+    NOTE: materializes every candidate — fine for smokes/LN-COCO-scale runs;
+    the 30k×8-seed COCO protocol must use :func:`sample_and_select` (running
+    best-of-S, one image per caption resident)."""
     n = len(captions)
     out = None
     for s in range(protocol.num_seeds):
@@ -95,6 +99,36 @@ def sample_candidates(
             out = np.zeros((n, protocol.num_seeds) + imgs_seed.shape[1:], np.float32)
         out[:, s] = imgs_seed
     return out
+
+
+def sample_and_select(
+    pipeline_fn: Callable[[Sequence[str], jax.Array], jnp.ndarray],
+    captions: Sequence[str],
+    clip_score_fn: Callable[[np.ndarray, Sequence[str]], np.ndarray],
+    protocol: T2IProtocol,
+    base_seed: int = 0,
+) -> np.ndarray:
+    """CLIP-select best-of-num_seeds with a RUNNING argmax: each seed's batch
+    is scored as it is generated and only the best image per caption stays
+    resident. At the documented COCO scale (30k captions × 8 seeds × 256px)
+    the all-candidates buffer is ~189 GB fp32 — this keeps ~24 GB worst case
+    (one best image per caption) and scales with N, not N×S."""
+    n = len(captions)
+    best_imgs: np.ndarray | None = None
+    best_scores = np.full((n,), -np.inf, np.float32)
+    for s in range(protocol.num_seeds):
+        for i in range(0, n, protocol.batch_size):
+            chunk = list(captions[i : i + protocol.batch_size])
+            rng = jax.random.PRNGKey(base_seed + s * 100003 + i)
+            imgs = np.asarray(pipeline_fn(chunk, rng))
+            scores = np.asarray(clip_score_fn(imgs, chunk))
+            if best_imgs is None:
+                best_imgs = np.zeros((n,) + imgs.shape[1:], np.float32)
+            sl = slice(i, i + len(chunk))
+            improve = scores > best_scores[sl]
+            best_scores[sl] = np.where(improve, scores, best_scores[sl])
+            best_imgs[sl][improve] = imgs[improve]
+    return best_imgs
 
 
 def clip_select(
@@ -128,12 +162,21 @@ def fid_from_images(
     return compute_fid(feats, ref_feats)
 
 
+_inception_jit = jax.jit(inception_pool3)  # one compile per (batch, hw) shape
+
+
 def extract_inception_features(inception_params, images: np.ndarray, batch_size: int = 32):
-    fn = jax.jit(lambda p, x: inception_pool3(p, x))
     feats = []
     for i in range(0, len(images), batch_size):
         x = jnp.asarray(images[i : i + batch_size], jnp.float32)
-        feats.append(np.asarray(fn(inception_params, x)))
+        if x.shape[0] != batch_size and len(images) > batch_size:
+            # pad the ragged tail to the compiled batch shape
+            pad = batch_size - x.shape[0]
+            feats.append(np.asarray(
+                _inception_jit(inception_params, jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0))))
+            )[: x.shape[0]])
+        else:
+            feats.append(np.asarray(_inception_jit(inception_params, x)))
     return np.concatenate(feats, axis=0)
 
 
@@ -148,13 +191,32 @@ def run_protocol(
     shard: bool = True,
     save_dir: str | None = None,
 ) -> dict:
-    """Full COCO-style protocol on this host's caption shard."""
+    """Full COCO-style protocol; multi-host runs pool features before FID.
+
+    Sampling + CLIP-select run as a running best-of-S (``sample_and_select``
+    — the all-candidates buffer is ~189 GB at 30k×8×256px). With
+    ``process_count() > 1`` each host scores its caption shard, then the
+    pool-3 FEATURES all-gather across hosts so the Fréchet statistics cover
+    the full caption set — per-shard FID is biased by its smaller N and is
+    not the protocol number.
+    """
     if shard:
         captions = list(captions[jax.process_index():: jax.process_count()])
-    cands = sample_candidates(pipeline_fn, captions, protocol)
-    best = clip_select(cands, captions, clip_score_fn)
+    best = sample_and_select(pipeline_fn, captions, clip_score_fn, protocol)
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
         np.save(os.path.join(save_dir, f"images_rank{jax.process_index()}.npy"), best)
-    fid = fid_from_images(inception_params, best, reference)
-    return {"fid": fid, "n": len(captions)}
+    feats = extract_inception_features(inception_params, best)
+    if shard and jax.process_count() > 1:
+        from dreamllm_tpu.utils.comm import all_gather_objects
+
+        feats = np.concatenate(all_gather_objects(feats), axis=0)
+    mu, sigma = activation_statistics(feats)
+    if isinstance(reference, str):
+        d = np.load(reference)
+        fid = frechet_distance(mu, sigma, d["mu"], d["sigma"])
+    else:
+        ref_feats = extract_inception_features(inception_params, reference)
+        mu2, s2 = activation_statistics(ref_feats)
+        fid = frechet_distance(mu, sigma, mu2, s2)
+    return {"fid": fid, "n": len(feats)}

@@ -28,7 +28,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _LLM_RULES: list[tuple[str, P]] = [
     (r"embed_tokens$", P("tp", "fsdp")),
     (r"lm_head$", P("fsdp", "tp")),
-    (r"layers/(wq|wk|wv|w_gate|w_up)$", P(None, "fsdp", "tp")),
+    # fused serving layouts (fuse_llama_params) are in-projections too —
+    # without these rules the LARGEST weights fell to the rank fallback and
+    # replicated across "tp"
+    (r"layers/(wq|wk|wv|w_gate|w_up|wqkv|w_gate_up)$", P(None, "fsdp", "tp")),
     (r"layers/(wo|w_down)$", P(None, "tp", "fsdp")),
     (r"layers/.*norm$", P(None, None)),
     (r"final_norm$", P(None)),

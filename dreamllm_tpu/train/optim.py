@@ -104,8 +104,6 @@ def make_optimizer(
     (see :func:`layerwise_multiplier_tree` — partial unfreeze / LLRD)."""
     schedule = make_lr_schedule(cfg)
     chain = []
-    if grad_multipliers is not None:
-        chain.append(scale_grads_by_tree(grad_multipliers))
     if cfg.max_grad_norm and cfg.max_grad_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.max_grad_norm))
     if cfg.optimizer_8bit:
@@ -132,6 +130,13 @@ def make_optimizer(
                 mask=_decay_mask if cfg.weight_decay > 0 else None,
             )
         )
+    if grad_multipliers is not None:
+        # AFTER Adam, not before: Adam's mu/(sqrt(nu)+eps) is invariant to a
+        # constant gradient scale, so pre-Adam scaling is a near-no-op for
+        # LLRD. Scaling the UPDATE realizes per-layer LR decay exactly, and
+        # a 0 multiplier freezes a layer completely (including its weight-
+        # decay term, which pre-Adam scaling could not stop).
+        chain.append(scale_grads_by_tree(grad_multipliers))
     tx = optax.chain(*chain)
     if trainable_mask is not None:
         tx = optax.multi_transform(
@@ -154,9 +159,14 @@ def make_optimizer(
 
 
 def scale_grads_by_tree(multipliers: Any) -> optax.GradientTransformation:
-    """Multiply each grad leaf by the matching multiplier (or 1.0 if the
+    """Multiply each update leaf by the matching multiplier (or 1.0 if the
     multiplier tree has None there). Multipliers broadcast from the leading
-    axis: shape [L] scales layer-stacked [L, ...] leaves."""
+    axis: shape [L] scales layer-stacked [L, ...] leaves.
+
+    Placed AFTER the Adam transform in make_optimizer, this realizes true
+    layer-wise LR scaling (pre-Adam gradient scaling cancels in
+    mu/(sqrt(nu)+eps)) and a 0 multiplier freezes the layer's update
+    including weight decay."""
 
     def init(params):
         del params

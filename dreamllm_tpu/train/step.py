@@ -104,12 +104,21 @@ def make_train_step(
             def scan_body(carry, xs):
                 mb, r = xs
                 g, a = micro(state.params, mb, r)
-                carry = jax.tree.map(jnp.add, carry, g)
+                # accumulate in fp32: a bf16 running sum absorbs small
+                # micro-grads (x + eps == x at 8 mantissa bits), biasing the
+                # accumulated gradient vs the equivalent large batch
+                carry = jax.tree.map(
+                    lambda c, gi: c + gi.astype(jnp.float32), carry, g
+                )
                 return carry, a
 
-            zero = jax.tree.map(jnp.zeros_like, state.params)
+            zero = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
             grads, auxes = jax.lax.scan(scan_body, zero, (micro_batches, rngs))
-            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+            grads = jax.tree.map(
+                lambda g, p: (g / grad_accum).astype(p.dtype), grads, state.params
+            )
             aux = jax.tree.map(lambda a: jnp.mean(a, axis=0), auxes)
 
         gnorm = optax.global_norm(grads)

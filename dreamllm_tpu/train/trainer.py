@@ -121,7 +121,11 @@ class Trainer:
     _last_saved: int = -1
 
     def save(self, step: int):
-        if jax.process_index() != 0 or step == self._last_saved:
+        # NOTE: every process must enter save_checkpoint — orbax serialization
+        # of multi-host-sharded arrays is a collective; a rank-0-only call
+        # deadlocks waiting for the other hosts' shards. Orbax handles the
+        # single-writer coordination internally.
+        if step == self._last_saved:
             return
         host_state: dict = {
             "rng": np.asarray(jax.device_get(self.rng)).tolist(),
@@ -157,13 +161,22 @@ class Trainer:
                 buffered = jax.device_get(self.log_buffer)  # one host sync
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
-                logs = {
-                    k: float(np.mean([b[k] for b in buffered]))
-                    for k in buffered[0]
-                }
-                logs["steps_per_sec"] = self.cfg.log_steps / dt
+
+                def window_mean(k):
+                    # skipped steps leave NaN losses in the buffer by design
+                    # (the update was dropped on-device); exclude them from
+                    # the window means instead of poisoning the whole log
+                    # (reference NaN-loss log filtering, trainer.py:768-777)
+                    vals = np.asarray([b[k] for b in buffered], np.float64)
+                    finite = vals[np.isfinite(vals)]
+                    return float(finite.mean()) if finite.size else float("nan")
+
+                logs = {k: window_mean(k) for k in buffered[0]}
+                # len(buffered), not log_steps: the first window after a
+                # resume may be short
+                logs["steps_per_sec"] = len(buffered) / dt
                 if self.cfg.tokens_per_batch:
-                    logs["tokens_per_sec"] = self.cfg.tokens_per_batch * self.cfg.log_steps / dt
+                    logs["tokens_per_sec"] = self.cfg.tokens_per_batch * len(buffered) / dt
                 self.log_buffer.clear()
                 skipped = logs.get("update_skipped", 0.0)
                 if skipped:

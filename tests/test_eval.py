@@ -355,3 +355,27 @@ class TestT2IProtocol:
 
         proto = lncoco_protocol()
         assert (proto.num_seeds, proto.num_inference_steps, proto.guidance_scale) == (1, 100, 3.0)
+
+
+def test_sample_and_select_matches_materialized_path():
+    """Running best-of-S (memory-safe protocol path) must pick exactly the
+    images the materialize-everything path picks."""
+    from dreamllm_tpu.eval.text2img import (
+        T2IProtocol,
+        clip_select,
+        sample_and_select,
+        sample_candidates,
+    )
+
+    def pipeline_fn(captions, rng):
+        return jax.random.uniform(rng, (len(captions), 8, 8, 3))
+
+    def score_fn(images, captions):
+        return np.asarray(images).mean(axis=(1, 2, 3))
+
+    caps = ["a", "b", "c", "d", "e"]
+    proto = T2IProtocol(num_seeds=3, num_inference_steps=1, batch_size=2)
+    cands = sample_candidates(pipeline_fn, caps, proto)
+    expect = clip_select(cands, caps, score_fn)
+    got = sample_and_select(pipeline_fn, caps, score_fn, proto)
+    np.testing.assert_allclose(got, expect, rtol=1e-6)

@@ -97,3 +97,61 @@ def test_partial_unfreeze_in_full_optimizer():
     u = np.asarray(updates["layers"]["w"])
     np.testing.assert_allclose(u[:3], 0.0, atol=1e-9)  # frozen layers untouched
     assert np.all(np.abs(u[3]) > 0)
+
+
+def test_llrd_scales_realized_adam_updates():
+    """Regression: pre-Adam gradient scaling cancels in mu/(sqrt(nu)+eps);
+    the multiplier must scale the realized UPDATE per layer."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dreamllm_tpu.train.optim import (
+        OptimizerConfig,
+        layerwise_multiplier_tree,
+        llrd_multiplier,
+        make_optimizer,
+    )
+
+    L = 4
+    params = {"layers": {"w": jnp.ones((L, 8, 8))}}
+    mult = layerwise_multiplier_tree(params, {"layers": llrd_multiplier(L, 0.5)})
+    cfg = OptimizerConfig(learning_rate=1e-2, warmup_steps=0, total_steps=10,
+                          schedule="constant", weight_decay=0.0)
+    tx = make_optimizer(cfg, grad_multipliers=mult)
+    state = tx.init(params)
+    grads = {"layers": {"w": jnp.full((L, 8, 8), 0.3)}}
+    updates, _ = tx.update(grads, state, params)
+    per_layer = np.abs(np.asarray(updates["layers"]["w"])).mean(axis=(1, 2))
+    # top layer moves 1.0x, each earlier layer half of the next
+    ratios = per_layer[:-1] / per_layer[1:]
+    np.testing.assert_allclose(ratios, 0.5, rtol=1e-3)
+
+
+def test_zero_multiplier_blocks_weight_decay():
+    """Regression: a 0 multiplier must stop the decoupled weight-decay term
+    too — frozen layers may not drift toward zero."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dreamllm_tpu.train.optim import (
+        OptimizerConfig,
+        layerwise_multiplier_tree,
+        make_optimizer,
+        trailing_layers_multiplier,
+    )
+
+    L = 4
+    params = {"layers": {"w": jnp.ones((L, 8, 8))}}
+    mult = layerwise_multiplier_tree(
+        params, {"layers": trailing_layers_multiplier(L, 1)}
+    )
+    cfg = OptimizerConfig(learning_rate=1e-2, warmup_steps=0, total_steps=10,
+                          schedule="constant", weight_decay=0.1)
+    tx = make_optimizer(cfg, grad_multipliers=mult)
+    state = tx.init(params)
+    grads = {"layers": {"w": jnp.full((L, 8, 8), 0.3)}}
+    updates, _ = tx.update(grads, state, params)
+    u = np.asarray(updates["layers"]["w"])
+    np.testing.assert_allclose(u[:-1], 0.0)   # frozen layers: NO update at all
+    assert np.abs(u[-1]).mean() > 0
