@@ -13,6 +13,7 @@ import dataclasses
 import datetime
 import logging
 import os
+import types
 import typing
 from typing import Any, Type, TypeVar
 
@@ -38,7 +39,9 @@ def from_dict(cls: Type[T], data: dict) -> T:
         origin = typing.get_origin(t)
         if dataclasses.is_dataclass(t) and isinstance(value, dict):
             value = from_dict(t, value)
-        elif origin is typing.Union:
+        elif origin is typing.Union or isinstance(t, types.UnionType):
+            # typing.Optional[X] AND PEP 604 "X | None" (the style this repo
+            # uses under `from __future__ import annotations`)
             args = [a for a in typing.get_args(t) if a is not type(None)]
             if len(args) == 1 and dataclasses.is_dataclass(args[0]) and isinstance(value, dict):
                 value = from_dict(args[0], value)
@@ -61,6 +64,20 @@ def default_setup(args: Any, config: Any) -> str:
     """run_dir timestamping, logging, seed, config snapshot
     (reference arg_parser.py:110-157). Returns the run dir."""
     stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+    try:
+        import jax
+
+        if jax.process_count() > 1:
+            # every host must land in the SAME run dir (shard merging,
+            # checkpoints): broadcast process 0's wall-clock stamp
+            from jax.experimental import multihost_utils
+            import numpy as _np
+
+            raw = _np.frombuffer(stamp.encode(), dtype=_np.uint8)
+            raw = multihost_utils.broadcast_one_to_all(raw)
+            stamp = bytes(_np.asarray(raw)).decode()
+    except Exception:
+        pass  # single-process or jax not initialized yet
     run_dir = os.path.join(args.run_dir, stamp)
     os.makedirs(run_dir, exist_ok=True)
 

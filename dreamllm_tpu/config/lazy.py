@@ -92,6 +92,13 @@ deep_instantiate = instantiate
 
 
 def _parse_value(s: str) -> Any:
+    # hydra-grammar spellings first: a truthy string 'false' silently turns
+    # boolean flags ON
+    low = s.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if low in ("null", "none"):
+        return None
     try:
         return ast.literal_eval(s)
     except (ValueError, SyntaxError):

@@ -29,6 +29,24 @@ from dreamllm_tpu.data.webdataset import IterableAsMapStyle, ShardStream
 DATA_ROOT_ENV = "DREAMLLM_DATA_ROOT"
 
 
+def _stream_kw(kw: dict) -> dict:
+    """Restrict mixed-run build kwargs to what ShardStream accepts: the
+    DataManager hands ONE kwargs dict to every dataset in a mix, so
+    kind-specific options of sibling datasets must be ignored here."""
+    import inspect
+
+    allowed = set(inspect.signature(ShardStream.__init__).parameters) - {"self"}
+    return {k: v for k, v in kw.items() if k in allowed}
+
+
+def _natkey(name: str):
+    """Numeric-aware sort key: 'image_2' before 'image_10' (lexicographic
+    order misaligns images with matched_text_index for 10+ image docs)."""
+    import re
+
+    return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", name)]
+
+
 def _shards(subdir: str) -> list[str]:
     """Resolve a corpus subdir to a shard URL list. Three layouts:
 
@@ -86,7 +104,7 @@ def _pair_wds(subdir: str, size: int):
             decoder=decoder,
             map_fn=lambda s: ImageTextPair(image=s["image"], text=s.get("txt", "")),
             filters=filters,
-            **kw,
+            **_stream_kw(kw),
         )
         return IterableAsMapStyle(stream, size)
 
@@ -99,13 +117,13 @@ def _interleaved_wds(subdir: str, size: int):
             meta = s["json"]
             return InterleavedImageText(
                 texts=meta.get("text_list", meta.get("texts", [])),
-                images=[s[k] for k in sorted(s) if k.startswith("image")],
+                images=[s[k] for k in sorted(s, key=_natkey) if k.startswith("image")],
                 matched_text_index=meta.get("matched_text_index", []),
                 matched_sim=meta.get("matched_sim"),
             )
 
         stream = ShardStream(_shards(subdir), map_fn=to_sample,
-                             filters=[lambda s: "json" in s], **kw)
+                             filters=[lambda s: "json" in s], **_stream_kw(kw))
         return IterableAsMapStyle(stream, size)
 
     return factory
@@ -120,14 +138,14 @@ def _instruct_interleaved_wds(subdir: str, size: int):
             meta = s["json"]
             return InstructInterleavedImageText(
                 texts=meta.get("text_list", meta.get("texts", [])),
-                images=[s[k] for k in sorted(s) if k.startswith("image")],
+                images=[s[k] for k in sorted(s, key=_natkey) if k.startswith("image")],
                 matched_text_index=meta.get("matched_text_index", []),
                 matched_sim=meta.get("matched_sim"),
                 instruction=meta.get("instruction", ""),
             )
 
         stream = ShardStream(_shards(subdir), map_fn=to_sample,
-                             filters=[lambda s: "json" in s], **kw)
+                             filters=[lambda s: "json" in s], **_stream_kw(kw))
         return IterableAsMapStyle(stream, size)
 
     return factory
@@ -140,14 +158,14 @@ def _ii_pair_wds(subdir: str, size: int):
 
     def factory(**kw):
         def to_sample(s):
-            imgs = [s[k] for k in sorted(s) if k.startswith(("image", "source", "target"))]
+            imgs = [s[k] for k in sorted(s, key=_natkey) if k.startswith(("image", "source", "target"))]
             src = imgs[0]
             tgt = imgs[1] if len(imgs) > 1 else imgs[0]
             return ImageImagePair(source=src, target=tgt, text=s.get("txt", ""))
 
         stream = ShardStream(
             _shards(subdir), map_fn=to_sample,
-            filters=[lambda s: any(k.startswith(("image", "source")) for k in s)], **kw,
+            filters=[lambda s: any(k.startswith(("image", "source")) for k in s)], **_stream_kw(kw),
         )
         return IterableAsMapStyle(stream, size)
 

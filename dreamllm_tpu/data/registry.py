@@ -25,6 +25,18 @@ class DatasetInfo:
     def build(self, **overrides):
         kw = dict(self.kwargs)
         kw.update(overrides)
+        # drop kwargs the factory doesn't accept: DataManager passes ONE
+        # build_kw dict to every dataset in a mix, and kind-specific options
+        # (e.g. pair-only ``quality``) must not crash the other factories
+        import inspect
+
+        try:
+            sig = inspect.signature(self.factory)
+        except (TypeError, ValueError):
+            return self.factory(**kw)
+        if not any(p.kind is inspect.Parameter.VAR_KEYWORD
+                   for p in sig.parameters.values()):
+            kw = {k: v for k, v in kw.items() if k in sig.parameters}
         return self.factory(**kw)
 
 

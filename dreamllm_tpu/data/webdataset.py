@@ -71,11 +71,15 @@ def group_tar_entries(path: str) -> Iterator[dict[str, bytes]]:
                 if not member.isfile():
                     continue
                 name = member.name
-                if "/" in name:
-                    name = name.rsplit("/", 1)[1]
-                if "." not in name:
+                base = name.rsplit("/", 1)[1] if "/" in name else name
+                if "." not in base:
                     continue
-                key, ext = name.split(".", 1)
+                stem, ext = base.split(".", 1)
+                # the grouping key keeps the DIRECTORY (wds keys are full
+                # paths): same-basename files under different dirs must not
+                # collide into one corrupted sample
+                prefix = name[: len(name) - len(base)]
+                key = prefix + stem
                 if key != current_key:
                     if sample:
                         yield sample
@@ -99,16 +103,19 @@ def default_decoder(sample: dict[str, Any]) -> dict[str, Any]:
     for ext, data in sample.items():
         if ext == "__key__":
             continue
-        if ext in ("jpg", "jpeg", "png", "webp"):
+        # match on the LAST suffix: multi-dot entries like 'image_00.jpg'
+        # (interleaved shards) must decode as images, not stay raw bytes
+        kind = ext.rsplit(".", 1)[-1]
+        if kind in ("jpg", "jpeg", "png", "webp"):
             from PIL import Image
             import numpy as np
 
             img = Image.open(io.BytesIO(data)).convert("RGB")
-            out["image"] = np.asarray(img)
-        elif ext == "json":
-            out["json"] = json.loads(data)
-        elif ext in ("txt", "text", "caption"):
-            out["txt"] = data.decode("utf-8")
+            out["image" if ext == kind else ext] = np.asarray(img)
+        elif kind == "json":
+            out["json" if ext == kind else ext] = json.loads(data)
+        elif kind in ("txt", "text", "caption"):
+            out["txt" if ext == kind else ext] = data.decode("utf-8")
         else:
             out[ext] = data
     return out
@@ -162,8 +169,12 @@ class ShardStream:
                 for sample in group_tar_entries(shard):
                     try:
                         s = self.decoder(sample)
+                        # a successful DECODE resets the breaker even when
+                        # quality filters drop the sample — scattered decode
+                        # errors in a heavily-filtered corpus must not
+                        # accumulate as if they were consecutive
+                        failures = 0
                         if all(f(s) for f in self.filters):
-                            failures = 0
                             yield s
                     except Exception as e:  # warn-and-continue
                         failures += 1

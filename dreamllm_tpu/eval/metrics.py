@@ -31,11 +31,14 @@ _NUMBER_WORDS = {
     "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9", "ten": "10",
 }
 _ARTICLES = {"a", "an", "the"}
-_PUNCT = re.compile(r"[;/\[\]\"{}()=+\\_\-><@`,?!.]")
+_PUNCT = re.compile(r"[;/\[\]\"{}()=+\\_><@`,?!.]")
 
 
 def normalize_vqa_answer(ans: str) -> str:
     ans = ans.replace("\n", " ").replace("\t", " ").strip().lower()
+    # hyphens become SPACES (official vqaEval processPunctuation: 'well-lit'
+    # must match 'well lit', not collapse to 'welllit')
+    ans = ans.replace("-", " ")
     ans = _PUNCT.sub("", ans)
     ans = ans.replace(":", "")
     words = []

@@ -137,6 +137,21 @@ def run_vqa(
     # eager dispatch per op is the throughput killer on remote-attached TPUs,
     # and bucketing prompt lengths to 64 keeps recompiles rare
     @jax.jit
+    def embed_and_beam(params, ids, lens, img_pos, imgs):
+        from dreamllm_tpu.generation.sampler import beam_search
+
+        embeds = multimodal_embed(params, cfg, ids, images=imgs, image_positions=img_pos)
+        out = beam_search(
+            params["llm"], cfg.llm, ids, lens,
+            num_beams=num_beams, max_new_tokens=max_new_tokens,
+            eos_token_id=cfg.special_tokens.eos,
+            pad_token_id=cfg.special_tokens.pad,
+            inputs_embeds=embeds,
+        )
+        out["lengths"] = jnp.sum(out["tokens"] != cfg.special_tokens.pad, axis=-1)
+        return out
+
+    @jax.jit
     def embed_and_generate(params, ids, lens, img_pos, imgs, rng):
         embeds = multimodal_embed(params, cfg, ids, images=imgs, image_positions=img_pos)
         return generate_text(params["llm"], cfg.llm, ids, lens, scfg,
@@ -165,20 +180,12 @@ def run_vqa(
             imgs[j, 0] = np.asarray(clip_preprocess(raw, cfg.vision.image_size)[0])
 
         if num_beams > 1:
-            from dreamllm_tpu.generation.sampler import beam_search
-
-            embeds = multimodal_embed(
-                params, cfg, jnp.asarray(ids),
-                images=jnp.asarray(imgs), image_positions=jnp.asarray(img_pos),
+            # jitted like the greedy path: an eager beam loop dispatches
+            # every op through the remote tunnel (~24 ms each)
+            out = embed_and_beam(
+                params, jnp.asarray(ids), jnp.asarray(lens),
+                jnp.asarray(img_pos), jnp.asarray(imgs),
             )
-            out = beam_search(
-                params["llm"], cfg.llm, jnp.asarray(ids), jnp.asarray(lens),
-                num_beams=num_beams, max_new_tokens=max_new_tokens,
-                eos_token_id=cfg.special_tokens.eos,
-                pad_token_id=cfg.special_tokens.pad,
-                inputs_embeds=embeds,
-            )
-            out["lengths"] = jnp.sum(out["tokens"] != cfg.special_tokens.pad, axis=-1)
         else:
             out = embed_and_generate(
                 params, jnp.asarray(ids), jnp.asarray(lens),
