@@ -151,12 +151,15 @@ def ddim_step(
     rng: jax.Array | None = None,
 ):
     """Deterministic (eta=0) DDIM step t → t_prev. ``t_prev < 0`` means the
-    final step to x0. Matches diffusers DDIMScheduler.step numerics."""
+    final step. Matches diffusers DDIMScheduler.step numerics for SD
+    checkpoints: their configs ship ``set_alpha_to_one=False``, so the final
+    alpha_cumprod is ``alphas_cumprod[0]`` (~0.99915), not 1.0 — using 1.0
+    deviates by ~3% of eps in every final latent."""
     acp_t = _extract(sched.alphas_cumprod, t, x_t.ndim)
     acp_prev = jnp.where(
         t_prev >= 0,
         sched.alphas_cumprod[jnp.maximum(t_prev, 0)],
-        jnp.float32(1.0),
+        sched.alphas_cumprod[0],
     ).reshape(acp_t.shape)
     x0, eps = pred_x0_eps(sched, model_out, x_t, t)
 

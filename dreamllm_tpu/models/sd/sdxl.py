@@ -52,9 +52,19 @@ from dreamllm_tpu.models.sd.vae import (
 Params = dict[str, Any]
 
 
+def _sdxl_vae_config():
+    from dreamllm_tpu.models.sd.vae import VAEConfig
+
+    # SDXL's VAE is trained with scaling_factor 0.13025 (vs 0.18215 for
+    # SD-1.x/2.x) — inheriting the SD default silently mis-scales latents
+    # ~1.4x against the pretrained UNet and the N(0,1) sampling prior
+    return VAEConfig(scaling_factor=0.13025)
+
+
 @dataclasses.dataclass(frozen=True)
 class SDXLHeadConfig(SDHeadConfig):
     unet: UNetConfig = dataclasses.field(default_factory=sdxl_unet_config)
+    vae: Any = dataclasses.field(default_factory=_sdxl_vae_config)
     pooled_dim: int = 1280        # SDXL pooled text-embedding width
     vae_dtype: Any = jnp.float32  # fp32-VAE policy
 
@@ -118,15 +128,25 @@ def sdxl_head_loss(
     else:
         add_time_ids = add_time_ids.reshape(n, 6)
 
-    r_lat, r_noise, r_t, r_drop = jax.random.split(rng, 4)
+    r_lat, r_noise, r_t, r_drop, r_pert = jax.random.split(rng, 5)
     vae_cfg = dataclasses.replace(cfg.vae, dtype=cfg.vae_dtype)
     mean, logvar = vae_encode(params["vae"], vae_cfg, imgs)
     latents = vae_sample(mean, logvar, r_lat) * cfg.vae.scaling_factor
     latents = jax.lax.stop_gradient(latents).astype(cond.dtype)
 
     noise = jax.random.normal(r_noise, latents.shape, latents.dtype)
+    # same training augmentations as sd_head_loss (head.py:132-140) — these
+    # knobs are inherited config and must not silently no-op on SDXL
+    if cfg.noise_offset > 0:
+        off = jax.random.normal(r_pert, (n, 1, 1, latents.shape[-1]), latents.dtype)
+        noise = noise + cfg.noise_offset * off
+    model_input_noise = noise
+    if cfg.input_perturbation > 0:
+        model_input_noise = noise + cfg.input_perturbation * jax.random.normal(
+            jax.random.fold_in(r_pert, 1), noise.shape, noise.dtype
+        )
     t = jax.random.randint(r_t, (n,), 0, sched.num_train_timesteps)
-    noisy = add_noise(sched, latents, noise, t)
+    noisy = add_noise(sched, latents, model_input_noise, t)
 
     drop = jax.random.bernoulli(r_drop, cfg.uncond_prob, (n, 1, 1))
     states = jnp.where(drop, uncond.astype(cond.dtype), cond)
@@ -200,22 +220,20 @@ def sdxl_head_pipeline(
         ts = dpm_solver_timesteps(sched.num_train_timesteps, num_inference_steps)
     ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, jnp.int32)])
 
-    def denoise(latents):
-        def at(t):
-            lat_in = jnp.concatenate([latents, latents], axis=0).astype(ctx.dtype)
-            out = unet_forward(
-                params["unet"], cfg.unet, lat_in, jnp.broadcast_to(t, (2 * b,)), ctx,
-                added_cond={"time_ids": time_ids, "text_embeds": text_embeds},
-            ).astype(jnp.float32)
-            un, co = jnp.split(out, 2, axis=0)
-            g = classifier_free_guidance(co, un, guidance_scale)
-            return rescale_noise_cfg(g, co, guidance_rescale)
-        return at
+    def denoise(latents, t):
+        lat_in = jnp.concatenate([latents, latents], axis=0).astype(ctx.dtype)
+        out = unet_forward(
+            params["unet"], cfg.unet, lat_in, jnp.broadcast_to(t, (2 * b,)), ctx,
+            added_cond={"time_ids": time_ids, "text_embeds": text_embeds},
+        ).astype(jnp.float32)
+        un, co = jnp.split(out, 2, axis=0)
+        g = classifier_free_guidance(co, un, guidance_scale)
+        return rescale_noise_cfg(g, co, guidance_rescale)
 
     if sampler == "ddim":
         def body(i, latents):
             t, tp = ts[i], ts_prev[i]
-            mo = denoise(latents)(t)
+            mo = denoise(latents, t)
             return ddim_step(sched, mo, jnp.broadcast_to(t, (b,)),
                              jnp.broadcast_to(tp, (b,)), latents)
 
@@ -224,7 +242,7 @@ def sdxl_head_pipeline(
         def body(i, carry):
             latents, last_x0, has_last = carry
             t, tp = ts[i], ts_prev[i]
-            mo = denoise(latents)(t)
+            mo = denoise(latents, t)
             tb = jnp.broadcast_to(t, (b,))
             tpb = jnp.broadcast_to(tp, (b,))
             tl = jnp.broadcast_to(ts[jnp.maximum(i - 1, 0)], (b,))

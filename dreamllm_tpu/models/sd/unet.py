@@ -264,6 +264,25 @@ def init_unet_params(rng: jax.Array, cfg: UNetConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _unet_time_embedding(params, cfg, timesteps, added_cond, sample):
+    """Shared time(+SDXL text_time) embedding for unet_forward and the
+    DeepCache shallow path — one implementation so they cannot drift."""
+    if timesteps.ndim == 0:
+        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+    temb = timestep_embedding(timesteps, cfg.block_out_channels[0])
+    te = params["time_embedding"]
+    temb = dense(jax.nn.silu(dense(temb.astype(sample.dtype), te["linear_1"])), te["linear_2"])
+    if cfg.addition_embed_type == "text_time":
+        assert added_cond is not None, "SDXL UNet needs added_cond time_ids/text_embeds"
+        tids = added_cond["time_ids"]  # [B, 6]
+        tid_emb = timestep_embedding(tids.reshape(-1), cfg.addition_time_embed_dim)
+        tid_emb = tid_emb.reshape(tids.shape[0], -1)
+        add = jnp.concatenate([added_cond["text_embeds"], tid_emb.astype(sample.dtype)], axis=-1)
+        ae = params["add_embedding"]
+        temb = temb + dense(jax.nn.silu(dense(add, ae["linear_1"])), ae["linear_2"])
+    return temb
+
+
 def unet_forward(
     params: Params,
     cfg: UNetConfig,
@@ -275,23 +294,7 @@ def unet_forward(
 ) -> jnp.ndarray:
     g = cfg.norm_num_groups
     heads = cfg.num_attention_heads
-    if timesteps.ndim == 0:
-        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
-
-    # time embedding
-    temb = timestep_embedding(timesteps, cfg.block_out_channels[0])
-    te = params["time_embedding"]
-    temb = dense(jax.nn.silu(dense(temb.astype(sample.dtype), te["linear_1"])), te["linear_2"])
-
-    if cfg.addition_embed_type == "text_time":
-        assert added_cond is not None, "SDXL UNet needs added_cond time_ids/text_embeds"
-        tids = added_cond["time_ids"]  # [B, 6]
-        tid_emb = timestep_embedding(tids.reshape(-1), cfg.addition_time_embed_dim)
-        tid_emb = tid_emb.reshape(tids.shape[0], -1)
-        add = jnp.concatenate([added_cond["text_embeds"], tid_emb.astype(sample.dtype)], axis=-1)
-        ae = params["add_embedding"]
-        temb = temb + dense(jax.nn.silu(dense(add, ae["linear_1"])), ae["linear_2"])
-
+    temb = _unet_time_embedding(params, cfg, timesteps, added_cond, sample)
     ctx = encoder_hidden_states.astype(sample.dtype)
 
     h = conv2d(sample, params["conv_in"])
@@ -350,21 +353,7 @@ def unet_forward_shallow(
     on refresh steps. Opt-in; off by default in the pipeline."""
     g = cfg.norm_num_groups
     heads = cfg.num_attention_heads
-    if timesteps.ndim == 0:
-        timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
-
-    temb = timestep_embedding(timesteps, cfg.block_out_channels[0])
-    te = params["time_embedding"]
-    temb = dense(jax.nn.silu(dense(temb.astype(sample.dtype), te["linear_1"])), te["linear_2"])
-    if cfg.addition_embed_type == "text_time":
-        assert added_cond is not None
-        tids = added_cond["time_ids"]
-        tid_emb = timestep_embedding(tids.reshape(-1), cfg.addition_time_embed_dim)
-        tid_emb = tid_emb.reshape(tids.shape[0], -1)
-        add = jnp.concatenate([added_cond["text_embeds"], tid_emb.astype(sample.dtype)], axis=-1)
-        ae = params["add_embedding"]
-        temb = temb + dense(jax.nn.silu(dense(add, ae["linear_1"])), ae["linear_2"])
-
+    temb = _unet_time_embedding(params, cfg, timesteps, added_cond, sample)
     ctx = encoder_hidden_states.astype(sample.dtype)
     h = conv2d(sample, params["conv_in"])
     skips = [h]

@@ -68,8 +68,20 @@ class DynamicBatcher:
         if self._thread:
             self._thread.join(timeout=5)
             self._thread = None
+        # fail anything still queued visibly — stranding it would block each
+        # submitter for its full timeout
+        while True:
+            try:
+                p = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if p is not None:
+                p.error = RuntimeError("batcher stopped")
+                p.event.set()
 
     def submit(self, item, timeout: float | None = 600.0):
+        if self._stopped:
+            raise RuntimeError("batcher stopped")
         p = _Pending(item)
         self._q.put(p)
         if not p.event.wait(timeout):
@@ -178,7 +190,11 @@ def make_batched_generate_fn(
             t = tokenizer.encode(prompt)
             if bos_token_id is not None and (not t or t[0] != bos_token_id):
                 t = [bos_token_id] + list(t)
-            t = t[-max_prompt_len:]
+            if len(t) > max_prompt_len:
+                # keep BOS when left-truncating — LLaMA-family models are
+                # calibrated with it present
+                head = [t[0]] if bos_token_id is not None else []
+                t = head + t[-(max_prompt_len - len(head)):]
             ids[i, : len(t)] = t
             lens[i] = len(t)
         counter[0] += 1

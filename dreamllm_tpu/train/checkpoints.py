@@ -46,21 +46,37 @@ def save_checkpoint(
     ``host_state``: JSON-serializable host-side training state (host RNG key,
     data-stream position/state) — the equivalent of the reference's RNG-state
     + ``skip_first_batches`` resume data (trainer.py:698-757).
+
+    Atomicity: everything writes into ``<path>.tmp`` and renames into place
+    at the end — a crash mid-save leaves only a .tmp dir, never a
+    checkpoint-NNN that :func:`latest_checkpoint` would pick up half-written
+    (the normal preemption failure mode on TPU pods).
     """
     path = _ckpt_dir(root, step)
+    tmp = path + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)  # leftover from a previous crashed save
     ckpt = ocp.PyTreeCheckpointer()
     for name, subtree in params.items():
-        ckpt.save(os.path.join(path, name), subtree)
+        ckpt.save(os.path.join(tmp, name), subtree)
     if opt_state is not None:
-        ckpt.save(os.path.join(path, "opt_state"), opt_state)
+        ckpt.save(os.path.join(tmp, "opt_state"), opt_state)
     meta = {"step": step, "param_groups": sorted(params.keys())}
     if extra_meta:
         meta.update(extra_meta)
-    with open(os.path.join(path, "meta.json"), "w") as f:
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
     if host_state is not None:
-        with open(os.path.join(path, "host_state.json"), "w") as f:
+        with open(os.path.join(tmp, "host_state.json"), "w") as f:
             json.dump(host_state, f)
+    if jax.process_index() == 0:
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)  # re-saving the same step
+        os.replace(tmp, path)
     return path
 
 
@@ -82,8 +98,14 @@ def latest_checkpoint(root: str) -> str | None:
     best, best_step = None, -1
     for name in os.listdir(root):
         m = re.fullmatch(r"checkpoint-(\d+)", name)
-        if m and int(m.group(1)) > best_step:
-            best, best_step = os.path.join(root, name), int(m.group(1))
+        if not m or int(m.group(1)) <= best_step:
+            continue
+        cand = os.path.join(root, name)
+        # a dir without meta.json is an incomplete save (pre-atomic-rename
+        # layouts / foreign dirs): never resume from it
+        if not os.path.exists(os.path.join(cand, "meta.json")):
+            continue
+        best, best_step = cand, int(m.group(1))
     return best
 
 

@@ -133,3 +133,69 @@ def test_vqa_hyphen_normalization():
 
     assert normalize_vqa_answer("well-lit") == normalize_vqa_answer("well lit")
     assert normalize_vqa_answer("well-lit") == "well lit"
+
+
+def test_batcher_stop_fails_queued_and_rejects_new():
+    import threading
+    import time as _time
+
+    from dreamllm_tpu.serve.batching import DynamicBatcher
+
+    started = threading.Event()
+
+    def slow_batch(items):
+        started.set()
+        _time.sleep(0.3)
+        return ["ok"] * len(items)
+
+    b = DynamicBatcher(slow_batch, max_batch=1, window_ms=1).start()
+    results = {}
+
+    def submit(i):
+        try:
+            results[i] = b.submit(f"p{i}", timeout=5)
+        except Exception as e:
+            results[i] = e
+
+    threads = [threading.Thread(target=submit, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    started.wait(2)
+    b.stop()
+    for t in threads:
+        t.join(timeout=10)
+    # no request may be left hanging: each either completed or got the
+    # stop error — and none waited out a long timeout
+    assert len(results) == 3
+    assert all(r == "ok" or isinstance(r, RuntimeError) for r in results.values())
+    with pytest.raises(RuntimeError, match="stopped"):
+        b.submit("late", timeout=1)
+
+
+def test_checkpoint_atomic_and_skips_partial(tmp_path):
+    import jax.numpy as jnp
+
+    from dreamllm_tpu.train.checkpoints import (
+        latest_checkpoint,
+        load_params,
+        save_checkpoint,
+    )
+
+    root = str(tmp_path / "ck")
+    params = {"llm": {"w": jnp.ones((4,))}}
+    save_checkpoint(root, 10, params)
+    # a half-written dir (no meta.json) must never win latest_checkpoint
+    import os
+
+    os.makedirs(os.path.join(root, "checkpoint-000020", "llm"), exist_ok=True)
+    best = latest_checkpoint(root)
+    assert best and best.endswith("checkpoint-000010")
+    assert "llm" in load_params(best)
+    # re-saving the same step must not crash (orbax refuses overwrites)
+    save_checkpoint(root, 10, params)
+
+
+def test_sdxl_default_vae_scaling():
+    from dreamllm_tpu.models.sd.sdxl import SDXLHeadConfig
+
+    assert SDXLHeadConfig().vae.scaling_factor == 0.13025

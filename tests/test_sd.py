@@ -83,7 +83,11 @@ class TestSchedule:
             t = jnp.broadcast_to(ts[i], (1,))
             tp = jnp.broadcast_to(ts[i + 1] if i + 1 < 50 else -1, (1,))
             xt = ddim_step(s, noise, t, tp, xt)
-        np.testing.assert_allclose(np.asarray(xt), np.asarray(x0), rtol=1e-3, atol=1e-3)
+        # diffusers SD configs use set_alpha_to_one=False: the final state is
+        # sqrt(acp[0])*x0 + sqrt(1-acp[0])*eps, not x0 exactly
+        a0 = np.asarray(s.alphas_cumprod[0])
+        expect = np.sqrt(a0) * np.asarray(x0) + np.sqrt(1 - a0) * np.asarray(noise)
+        np.testing.assert_allclose(np.asarray(xt), expect, rtol=1e-3, atol=1e-3)
 
     def test_dpm_perfect_model_recovers_x0(self):
         s = make_schedule()

@@ -192,7 +192,8 @@ class TestFullPipelineTorchParity:
                 un, co = out.chunk(2, dim=0)
                 eps = un + guidance * (co - un)
                 a_t = float(acp[t])
-                a_prev = float(acp[t_prev]) if t_prev >= 0 else 1.0
+                # set_alpha_to_one=False (diffusers SD configs)
+                a_prev = float(acp[t_prev]) if t_prev >= 0 else float(acp[0])
                 x0 = (x - (1 - a_t) ** 0.5 * eps) / a_t**0.5
                 x = a_prev**0.5 * x0 + (1 - a_prev) ** 0.5 * eps
             img = tvae.decode(x / vcfg.scaling_factor)
