@@ -92,7 +92,10 @@ def render_conversation(
                 )
                 first = False
             else:
-                segs.append(Segment(f" {m.content.strip()} </s>", True))
+                # template.seps[1] (" </s>") rather than a hardcoded literal,
+                # so llama2-style templates with different separators render
+                # as configured
+                segs.append(Segment(f" {m.content.strip()}{template.seps[1]}", True))
     else:
         raise ValueError(template.sep_style)
     return segs

@@ -42,9 +42,10 @@ class HFTokenizer:
             dream=ids["<dream>"],
             dream_start=ids["<dream_start>"],
             dream_end=ids["<dream_end>"],
-            bos=self.tok.bos_token_id or 1,
-            eos=self.tok.eos_token_id or 2,
-            pad=self.tok.pad_token_id or 0,
+            # `or` would remap a legitimate id 0 (falsy) to the fallback
+            bos=self.tok.bos_token_id if self.tok.bos_token_id is not None else 1,
+            eos=self.tok.eos_token_id if self.tok.eos_token_id is not None else 2,
+            pad=self.tok.pad_token_id if self.tok.pad_token_id is not None else 0,
         )
 
     def __len__(self):
@@ -74,8 +75,13 @@ class ToyTokenizer:
     offset: int = 10  # ids < offset reserved
 
     def encode(self, text: str) -> list[int]:
+        import zlib
+
+        # crc32, NOT hash(): str hashes are salted per interpreter process
+        # (PYTHONHASHSEED), which silently re-tokenized the same text to
+        # different ids across resumes/processes
         return [
-            self.offset + (hash(w) % (self.vocab_size - self.offset))
+            self.offset + (zlib.crc32(w.encode()) % (self.vocab_size - self.offset))
             for w in text.split()
         ]
 

@@ -51,9 +51,11 @@ def sample_token(logits: jnp.ndarray, rng: jax.Array, cfg: SamplingConfig) -> jn
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        # keep smallest set with cumulative prob >= top_p (always keep top-1)
+        # keep smallest set with cumulative prob >= top_p (always keep top-1).
+        # Cut entries map to +inf so the min() lands on the smallest KEPT
+        # logit (-inf made the cutoff -inf and filtered nothing)
         cutoff_mask = cum - probs >= cfg.top_p
-        cutoff = jnp.where(cutoff_mask, -jnp.inf, sorted_logits).min(axis=-1, keepdims=True)
+        cutoff = jnp.where(cutoff_mask, jnp.inf, sorted_logits).min(axis=-1, keepdims=True)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
@@ -225,9 +227,10 @@ def beam_search(
             llama_logits(params, llm_cfg, o["last_hidden_state"])[:, 0].astype(jnp.float32),
             axis=-1,
         )  # [B*K, V]
-        # finished beams only extend with PAD, at no cost
+        # finished beams only extend with PAD at no cost; LIVE beams may not
+        # choose PAD (it is the padding sentinel, not a real continuation)
         lp = jnp.where(done[:, None], NEG, lp)
-        lp = lp.at[:, pad_token_id].set(jnp.where(done, 0.0, lp[:, pad_token_id]))
+        lp = lp.at[:, pad_token_id].set(jnp.where(done, 0.0, NEG))
 
         cand = scores[:, None] + lp                      # [B*K, V]
         cand = cand.reshape(b, k * V)

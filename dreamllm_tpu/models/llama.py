@@ -102,19 +102,23 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig) -> Params:
     L = cfg.num_hidden_layers
     keys = jax.random.split(rng, 10)
 
-    def stack(make):
-        return jnp.stack([make(k) for k in jax.random.split(keys[0], L)])
+    def stack(fam: int, make):
+        # every weight family gets its OWN key: reusing one key made
+        # wq == wk == wv and w_gate == w_up bit-identical at init — a
+        # degenerate symmetry (score(i,j) == score(j,i); swiglu -> silu(z)*z)
+        # the optimizer would have to break
+        return jnp.stack([make(k) for k in jax.random.split(keys[3 + fam], L)])
 
     layers = {
         "input_norm": jnp.ones((L, h), d),
         "post_attn_norm": jnp.ones((L, h), d),
-        "wq": stack(lambda k: _dense(k, (h, hq * hd), d)),
-        "wk": stack(lambda k: _dense(k, (h, hkv * hd), d)),
-        "wv": stack(lambda k: _dense(k, (h, hkv * hd), d)),
-        "wo": stack(lambda k: _dense(k, (hq * hd, h), d)),
-        "w_gate": stack(lambda k: _dense(k, (h, i), d)),
-        "w_up": stack(lambda k: _dense(k, (h, i), d)),
-        "w_down": stack(lambda k: _dense(k, (i, h), d)),
+        "wq": stack(0, lambda k: _dense(k, (h, hq * hd), d)),
+        "wk": stack(1, lambda k: _dense(k, (h, hkv * hd), d)),
+        "wv": stack(2, lambda k: _dense(k, (h, hkv * hd), d)),
+        "wo": stack(3, lambda k: _dense(k, (hq * hd, h), d)),
+        "w_gate": stack(4, lambda k: _dense(k, (h, i), d)),
+        "w_up": stack(5, lambda k: _dense(k, (h, i), d)),
+        "w_down": stack(6, lambda k: _dense(k, (i, h), d)),
     }
     params: Params = {
         "embed_tokens": _dense(keys[1], (cfg.vocab_size, h), d, scale=0.02),
@@ -341,6 +345,11 @@ def llama_forward(
       dict with ``last_hidden_state`` ``[B, S, H]``, ``kv_cache`` (updated or
       None), and optionally ``hidden_states`` ``[L+1, B, S, H]``.
     """
+    if output_stats and kv_cache is not None:
+        raise ValueError(
+            "output_stats is a training/monitoring feature; the decode "
+            "(kv_cache) scan does not collect layer stats"
+        )
     if inputs_embeds is None:
         inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
     x = inputs_embeds
@@ -354,7 +363,17 @@ def llama_forward(
             start = start[:, None]  # per-slot write offsets (vector index)
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None], (b, s)) + start
 
-    cos, sin = rope_cos_sin(cfg.rope, positions, seq_len=cfg.max_position_embeddings)
+    # dynamic-NTK needs the actual attention window (static): passing
+    # max_position_embeddings unconditionally made the `seq_len > max_pos`
+    # trigger unreachable, silently running unscaled RoPE past the
+    # pretraining context. The static bound is the cache capacity when
+    # decoding, else this call's sequence length. (Divergence from HF noted:
+    # HF rescales only once the RUNNING length crosses max_pos; static
+    # shapes scale from the start when the allocated window exceeds it.)
+    window = kv_cache["k"].shape[2] if kv_cache is not None else s
+    cos, sin = rope_cos_sin(
+        cfg.rope, positions, seq_len=max(window, cfg.max_position_embeddings)
+    )
 
     cache_meta = None
     if kv_cache is not None:

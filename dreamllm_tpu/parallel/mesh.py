@@ -34,6 +34,12 @@ class MeshConfig:
 
     def resolve(self, n_devices: int) -> tuple[int, int, int]:
         d, f, t = self.data, self.fsdp, self.tp
+        n_free = sum(x == -1 for x in (d, f, t))
+        if n_free > 1:
+            raise ValueError(
+                f"MeshConfig(data={d}, fsdp={f}, tp={t}): at most one axis "
+                "may be -1 (the remainder absorber)"
+            )
         known = [x for x in (d, f, t) if x != -1]
         prod = int(np.prod(known)) if known else 1
         if n_devices % prod != 0 or prod > n_devices:

@@ -46,8 +46,13 @@ def _ref_tokens(cfg, params, ids, max_new, **kw):
         params, cfg, arr, jnp.asarray([len(ids)], jnp.int32),
         SamplingConfig(greedy=True, max_new_tokens=max_new, **kw),
     )
-    n = int(out["lengths"][0])
-    return list(np.asarray(out["tokens"][0][:n]))
+    toks = np.asarray(out["tokens"][0])
+    # strip TRAILING pads only (post-EOS fill): a genuinely generated pad-id
+    # token (0 = <unk>) mid-stream is a real token the engine delivers, and
+    # generate_text's `lengths` (non-pad count) would undercount it
+    nz = np.nonzero(toks != 0)[0]
+    n = int(nz[-1]) + 1 if nz.size else 0
+    return list(toks[:n])
 
 
 # ---------------------------------------------------------------------------

@@ -274,3 +274,71 @@ class TestFlashVJP:
         a = flash_attention(q, k, v, causal=True, block_q=128, block_k=128, interpret=True)
         b = dot_product_attention(q, k, v, causal=True)
         np.testing.assert_allclose(_np(a), _np(b), rtol=1e-4, atol=1e-5)
+
+
+class TestReviewedSamplerInit:
+    def test_top_p_filters_tail(self):
+        """Regression: top-p cutoff used -inf and filtered NOTHING."""
+        import collections
+
+        import jax
+        from dreamllm_tpu.generation.sampler import SamplingConfig, sample_token
+
+        logits = jnp.asarray([[3.0, 2.0, 1.0, 0.0]])
+        cfg = SamplingConfig(top_p=0.5, temperature=1.0)
+        seen = collections.Counter()
+        for i in range(64):
+            t = int(sample_token(logits, jax.random.PRNGKey(i), cfg)[0])
+            seen[t] += 1
+        # p(top-1)=0.64 >= 0.5: only token 0 survives the nucleus
+        assert set(seen) == {0}, seen
+
+    def test_init_weight_families_are_independent(self):
+        """Regression: one reused key made wq == wk == wv and gate == up."""
+        import jax
+        from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+            max_position_embeddings=32,
+        )
+        p = init_llama_params(jax.random.PRNGKey(0), cfg)["layers"]
+        assert not np.array_equal(np.asarray(p["wq"]), np.asarray(p["wk"]))
+        assert not np.array_equal(np.asarray(p["wq"]), np.asarray(p["wv"]))
+        assert not np.array_equal(np.asarray(p["w_gate"]), np.asarray(p["w_up"]))
+
+    def test_dynamic_ntk_activates_past_context(self):
+        """Regression: llama_forward passed max_position_embeddings as
+        seq_len, so dynamic scaling never triggered."""
+        import dataclasses as dc
+
+        import jax
+        from dreamllm_tpu.models.llama import (
+            LlamaConfig,
+            init_kv_cache,
+            init_llama_params,
+            llama_forward,
+        )
+
+        base = LlamaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=4, num_key_value_heads=4,
+            max_position_embeddings=16,
+        )
+        dyn = dc.replace(base, rope_scaling_type="dynamic", rope_scaling_factor=2.0)
+        params = init_llama_params(jax.random.PRNGKey(0), base)
+        # multi-token window at spread positions: attention WEIGHTS must feel
+        # the rope rescale (a single-slot softmax is rope-invariant)
+        ids = jnp.asarray([[3, 5, 7, 9]], jnp.int32)
+        pos = jnp.asarray([[0, 10, 20, 30]], jnp.int32)
+        # cache window 32 > max_pos 16: dynamic config must produce different
+        # hidden states than the unscaled config at far positions
+        out_base = llama_forward(params, base, input_ids=ids, positions=pos,
+                                 kv_cache=init_kv_cache(base, 1, 32, dtype=jnp.float32))
+        out_dyn = llama_forward(params, dyn, input_ids=ids, positions=pos,
+                                kv_cache=init_kv_cache(dyn, 1, 32, dtype=jnp.float32))
+        assert not np.allclose(
+            np.asarray(out_base["last_hidden_state"]),
+            np.asarray(out_dyn["last_hidden_state"]), atol=1e-4,
+        )
