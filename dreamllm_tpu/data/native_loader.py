@@ -110,6 +110,8 @@ class NativeImageTextLoader:
 
     @property
     def stats(self) -> dict:
+        if self._closed:  # snapshot taken by close(); handle is freed
+            return dict(self._final_stats)
         return {
             "decoded": int(self.lib.dp_decoded(self.handle)),
             "failed": int(self.lib.dp_failed(self.handle)),
@@ -117,6 +119,10 @@ class NativeImageTextLoader:
 
     def close(self):
         if not self._closed and self.handle:
+            self._final_stats = {
+                "decoded": int(self.lib.dp_decoded(self.handle)),
+                "failed": int(self.lib.dp_failed(self.handle)),
+            }
             self.lib.dp_destroy(self.handle)
             self._closed = True
 

@@ -320,13 +320,22 @@ def stats_from_image_dir(
     )
     if not paths:
         raise ValueError(f"no images under {image_dir}")
-    fn = jax.jit(lambda p, x: inception_pool3(p, x))
+    # shared jitted extractor (module-level jit cache + ragged-tail padding —
+    # avoids a second remote compile for the last partial batch)
+    from dreamllm_tpu.eval.text2img import extract_inception_features
+
     feats = []
     for i in range(0, len(paths), batch_size):
         batch = []
         for p in paths[i : i + batch_size]:
             img = Image.open(p).convert("RGB").resize((image_size, image_size))
             batch.append(np.asarray(img, np.float32) / 255.0)
-        feats.append(np.asarray(fn(inception_params, jnp.asarray(np.stack(batch)))))
+        x = np.stack(batch)
+        n = x.shape[0]
+        if n != batch_size and len(paths) > batch_size:
+            # pad the ragged tail to the compiled batch shape
+            x = np.pad(x, ((0, batch_size - n), (0, 0), (0, 0), (0, 0)))
+        feats.append(extract_inception_features(
+            inception_params, x, batch_size=batch_size)[:n])
     save_stats_npz(np.concatenate(feats), out_path)
     return out_path

@@ -57,7 +57,7 @@ class CLIPVisionConfig:
 def init_clip_vision_params(rng: jax.Array, cfg: CLIPVisionConfig) -> Params:
     h, i, d = cfg.hidden_size, cfg.intermediate_size, cfg.dtype
     L, p = cfg.num_hidden_layers, cfg.patch_size
-    k = jax.random.split(rng, 8)
+    k = jax.random.split(rng, 9)
 
     def dense(key, shape, scale=None):
         scale = scale if scale is not None else shape[0] ** -0.5
@@ -87,7 +87,7 @@ def init_clip_vision_params(rng: jax.Array, cfg: CLIPVisionConfig) -> Params:
     return {
         "class_embedding": dense(k[6], (h,), scale=0.02),
         "patch_embedding": dense(k[7], (p, p, 3, h), scale=0.02),  # HWIO
-        "position_embedding": dense(k[6], (cfg.seq_len, h), scale=0.02),
+        "position_embedding": dense(k[8], (cfg.seq_len, h), scale=0.02),
         "pre_ln_w": jnp.ones((h,), d),
         "pre_ln_b": jnp.zeros((h,), d),
         "post_ln_w": jnp.ones((h,), d),

@@ -21,11 +21,32 @@ import numpy as np
 
 
 def init_distributed(**kw):
-    """jax.distributed.initialize, idempotent, no-op single-host."""
+    """jax.distributed.initialize, idempotent, no-op single-host.
+
+    A failure is swallowed ONLY when nothing requested a multi-host world
+    (no kwargs and no coordinator env) — then "cannot auto-detect" just means
+    single-process. If the caller or environment explicitly configured a
+    world (coordinator_address/num_processes or the standard env vars) a
+    failed initialize must raise: silently proceeding would leave every host
+    at process_count()==1, duplicating work and clobbering shared run dirs.
+    """
+    import os
+
+    explicit = bool(kw) or any(
+        os.environ.get(v)
+        for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                  "MASTER_ADDR", "JAX_NUM_PROCESSES")
+    )
     try:
         jax.distributed.initialize(**kw)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # idempotent re-init
+        if explicit:
+            raise
+    except ValueError:
+        if explicit:
+            raise
 
 
 def get_rank() -> int:

@@ -106,7 +106,17 @@ def _to_py(v):
     try:
         return float(v)
     except (TypeError, ValueError):
+        pass
+    # non-scalar metrics (per-task vectors, small arrays) must still be JSON
+    # serializable in the JSONL fallback
+    if hasattr(v, "tolist"):
+        try:
+            return v.tolist()
+        except Exception:  # noqa: BLE001
+            pass
+    if isinstance(v, (str, int, bool, list, dict, type(None))):
         return v
+    return repr(v)
 
 
 def _np(v):

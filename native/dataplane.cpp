@@ -279,7 +279,13 @@ long dp_failed(void* h) { return static_cast<Pipeline*>(h)->failed.load(); }
 
 void dp_destroy(void* h) {
   auto* p = static_cast<Pipeline*>(h);
-  p->stop = true;
+  {
+    // set stop under the mutex: a worker between its cv predicate check and
+    // the atomic release-and-sleep would otherwise miss the notify forever
+    // and deadlock the join below
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stop = true;
+  }
   p->cv_push.notify_all();
   p->cv_pop.notify_all();
   for (auto& t : p->workers) t.join();

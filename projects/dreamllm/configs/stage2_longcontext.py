@@ -22,12 +22,14 @@ model = dict(
     # ring the sequence over the fsdp axis (make_train_step must get the mesh)
     sequence_parallel_axis="fsdp",
 )
-model["llm"] = dict(
+# dict-literal merge: these keys OVERRIDE common's llm values (dict(**d, k=v)
+# would raise on the duplicate max_position_embeddings)
+model["llm"] = {
     **model["llm"],
-    max_position_embeddings=16384,
-    rope_scaling_type="dynamic",
-    rope_scaling_factor=8.0,
-)
+    "max_position_embeddings": 16384,
+    "rope_scaling_type": "dynamic",
+    "rope_scaling_factor": 8.0,
+}
 
 config = dict(
     run_dir="./runs/dreamllm_stage2_long",
@@ -39,7 +41,7 @@ config = dict(
         ratios=[0.6, 0.4],
         total_size=12_000_000,
         batch_size=1,          # long sequences: batch via packing instead
-        max_length=16384,
+        max_seq_len=16384,
         max_images=24,
         max_dreams=20,
         pack=True,

@@ -111,16 +111,30 @@ def main(argv=None):
         (vcfg, vparams), (tcfg, tparams), vproj, tproj, logit_scale = (
             convert_clip_model_dir(config["clip_model_dir"])
         )
+        # The text tower needs CLIP's own BPE tokenizer (BOS=49406/EOT=49407,
+        # EOT-argmax pooling) — the LLM tokenizer's ids would be garbage here.
+        try:
+            from transformers import AutoTokenizer
+
+            clip_tok = AutoTokenizer.from_pretrained(config["clip_model_dir"])
+        except Exception as e:  # noqa: BLE001
+            raise RuntimeError(
+                f"clip_model_dir={config['clip_model_dir']} has no loadable CLIP "
+                "tokenizer (tokenizer.json / vocab+merges); the re-ranker cannot "
+                "score captions with the LLM tokenizer. Add the tokenizer files "
+                "or use use_random_clip_text=True for plumbing tests."
+            ) from e
 
         def clip_score_fn(images, caps):
             pix = clip_preprocess(jnp.asarray(images), vcfg.image_size)
             last = clip_vision_forward(vparams, vcfg, pix)
             img_emb = clip_pooled_output(vparams, vcfg, last)
-            ids = np.zeros((len(caps), tcfg.max_position_embeddings), np.int64)
-            for i, c in enumerate(caps):
-                t = tokenizer.encode(c)[: tcfg.max_position_embeddings]
-                ids[i, : len(t)] = t
-            _, txt_emb = clip_text_forward(tparams, tcfg, jnp.asarray(ids % tcfg.vocab_size))
+            enc = clip_tok(
+                list(caps), padding="max_length", truncation=True,
+                max_length=tcfg.max_position_embeddings,
+            )
+            ids = np.asarray(enc["input_ids"], np.int64)
+            _, txt_emb = clip_text_forward(tparams, tcfg, jnp.asarray(ids))
             sims = clip_similarity(img_emb, txt_emb, vproj, tproj, logit_scale)
             return np.asarray(jnp.diagonal(sims))
     elif config.get("use_random_clip_text"):

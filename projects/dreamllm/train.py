@@ -93,31 +93,52 @@ def data_stream(config, cfg: DreamLLMConfig, tokenizer):
     )
     builder = DreamLLMBuilder(tokenizer, bcfg, seed=config.get("seed", 0))
     bs = d["batch_size"]
+    pack = bool(d.get("pack", False))
+    # with pack=True, build pack_block× more raw samples per round and
+    # first-fit them into seq_len rows (segment-isolated attention); rows are
+    # then batched bs at a time
+    pack_block = int(d.get("pack_block", 4))
+
+    collate_kw = dict(
+        pad_token_id=cfg.special_tokens.pad,
+        max_images=bcfg.max_images,
+        max_dreams=bcfg.max_dreams,
+        seq_len=bcfg.max_seq_len,
+        image_size=bcfg.image_size,
+        image_size_dm=bcfg.image_size_dm,
+        image_embed_len=bcfg.image_embed_len,
+        n_dream_queries=bcfg.n_dream_queries,
+    )
 
     def stream():
+        from dreamllm_tpu.data.collator import collate_packed, pack_samples
+
         i = 0
         n = len(mixed)
+        pending_rows = []
         while True:
+            want = bs * pack_block if pack else bs
             samples = []
-            while len(samples) < bs:
+            while len(samples) < want:
                 try:
                     samples.append(builder.build(mixed[i % n]))
                 except Exception as e:  # per-sample fault tolerance
                     logger.warning("sample %d failed: %s", i, e)
                 finally:
                     i += 1
-            batch = collate(
-                samples,
-                pad_token_id=cfg.special_tokens.pad,
-                max_images=bcfg.max_images,
-                max_dreams=bcfg.max_dreams,
-                seq_len=bcfg.max_seq_len,
-                image_size=bcfg.image_size,
-                image_size_dm=bcfg.image_size_dm,
-                image_embed_len=bcfg.image_embed_len,
-                n_dream_queries=bcfg.n_dream_queries,
-            )
-            yield {k: jnp.asarray(v) for k, v in batch.items()}
+            if pack:
+                pending_rows.extend(pack_samples(
+                    samples, bcfg.max_seq_len,
+                    image_embed_len=bcfg.image_embed_len,
+                    n_dream_queries=bcfg.n_dream_queries,
+                ))
+                while len(pending_rows) >= bs:
+                    rows, pending_rows[:] = pending_rows[:bs], pending_rows[bs:]
+                    batch = collate_packed(rows, **collate_kw)
+                    yield {k: jnp.asarray(v) for k, v in batch.items()}
+            else:
+                batch = collate(samples, **collate_kw)
+                yield {k: jnp.asarray(v) for k, v in batch.items()}
 
     return stream()
 
@@ -142,6 +163,42 @@ def main(argv=None):
 
     params = jax.jit(make_params)(jax.random.PRNGKey(config.get("seed", 0)))
     pre = config.get("pretrained", {}) or {}
+
+    # HF/diffusers checkpoint dirs (pretrained.llm/clip/sd) — the cold-start
+    # path: convert in place, vocab-resized to the config (reference
+    # from_pretrained + resize_token_embeddings, modeling_dreamllm.py:1310-1322)
+    def _merge_checked(dst: dict, src: dict, where: str):
+        ds = jax.tree.map(lambda x: tuple(x.shape), dst)
+        ss = jax.tree.map(lambda x: tuple(x.shape), src)
+        if ds != ss:
+            raise ValueError(
+                f"pretrained weights at {where} do not match the configured "
+                f"model (tree/shape mismatch); check the model config"
+            )
+        return jax.tree.map(lambda x: jnp.asarray(x), src)
+
+    if pre.get("llm"):
+        from dreamllm_tpu.convert.cli import convert_llama_dir
+
+        _, p = convert_llama_dir(pre["llm"], dtype=cfg.llm.dtype, vocab_size=cfg.llm.vocab_size)
+        params["llm"] = _merge_checked(params["llm"], p, pre["llm"])
+        logger.info("loaded pretrained LLM from %s", pre["llm"])
+    if pre.get("clip"):
+        from dreamllm_tpu.convert.cli import convert_clip_dir
+
+        _, p = convert_clip_dir(pre["clip"], dtype=cfg.vision.dtype)
+        params["clip_vision_embedding"]["clip"] = _merge_checked(
+            params["clip_vision_embedding"]["clip"], p, pre["clip"])
+        logger.info("loaded pretrained CLIP from %s", pre["clip"])
+    if pre.get("sd"):
+        from dreamllm_tpu.convert.cli import convert_sd_dir
+
+        _, p = convert_sd_dir(pre["sd"], dtype=head_cfg.unet.dtype)
+        for k in ("unet", "vae"):
+            params["sd_head"][k] = _merge_checked(
+                params["sd_head"][k], p[k], f"{pre['sd']}/{k}")
+        logger.info("loaded pretrained SD UNet+VAE from %s", pre["sd"])
+
     if pre.get("resume_from"):
         ck = latest_checkpoint(pre["resume_from"])
         if ck:

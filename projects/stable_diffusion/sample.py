@@ -15,6 +15,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import zlib
 import numpy as np
 
 from dreamllm_tpu.config import LazyArgumentParser, default_setup, instantiate
@@ -58,7 +59,8 @@ def main(argv=None):
         logger.info("loaded %s", ck)
 
     prompt = config.get("prompt", "a photo")
-    g = np.random.default_rng(abs(hash(prompt)) % 2**31)
+    # crc32, not builtin hash(): stable across interpreter processes
+    g = np.random.default_rng(zlib.crc32(prompt.encode()) % 2**31)
     cond = jnp.asarray(g.standard_normal((1, cond_len, cond_dim)), jnp.float32)
     uncond = jnp.zeros((1, cond_len, cond_dim))
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import zlib
 import numpy as np
 
 import dreamllm_tpu.data.catalog  # noqa: F401
@@ -86,7 +87,10 @@ def main(argv=None):
     rng_np = np.random.default_rng(0)
 
     def embed_caption(text: str) -> np.ndarray:
-        g = np.random.default_rng(abs(hash(text)) % 2**31)
+        # crc32, not builtin hash(): PYTHONHASHSEED salting would make the
+    # embedding differ across processes/resumes (same pitfall documented
+    # in data/tokenization.py ToyTokenizer)
+    g = np.random.default_rng(zlib.crc32(text.encode()) % 2**31)
         return g.standard_normal((cond_len, cond_dim)).astype(np.float32)
 
     def stream():

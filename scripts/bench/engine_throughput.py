@@ -1,0 +1,43 @@
+"""Continuous-batching engine throughput on 7B int8 (real chip)."""
+import threading, time
+import bench
+bench._enable_compile_cache()
+import jax, jax.numpy as jnp
+import numpy as np
+from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params, fuse_llama_params
+from dreamllm_tpu.ops.quant import quantize_llama_params
+from dreamllm_tpu.generation.sampler import SamplingConfig
+from dreamllm_tpu.serve.engine import ContinuousBatchingEngine, EngineConfig
+
+cfg = LlamaConfig(vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+                  num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=32,
+                  max_position_embeddings=512, dtype=jnp.bfloat16)
+params = jax.jit(lambda r: quantize_llama_params(fuse_llama_params(init_llama_params(r, cfg))))(jax.random.PRNGKey(0))
+jax.block_until_ready(params)
+print("params ready")
+
+scfg = SamplingConfig(greedy=True, max_new_tokens=0, eos_token_id=-1, pad_token_id=0)
+ecfg = EngineConfig(slots=8, prefill_len=128, max_len=512, chunk_steps=16)
+eng = ContinuousBatchingEngine(params, cfg, scfg, ecfg).start()
+
+rng = np.random.default_rng(0)
+def one_request(i, out):
+    ids = [1] + rng.integers(10, 31000, 127).tolist()
+    out[i] = eng.submit(ids, max_new_tokens=128, timeout=3000)
+
+# warmup: compile prefill/insert/chunk
+w = {}
+one_request(0, w)
+print("warmup done:", len(w[0]), "tokens")
+
+N = 32
+outs = {}
+threads = [threading.Thread(target=one_request, args=(i, outs)) for i in range(N)]
+t0 = time.perf_counter()
+for t in threads: t.start()
+for t in threads: t.join()
+dt = time.perf_counter() - t0
+total = sum(len(v) for v in outs.values())
+print(f"engine: {N} reqs x 128 tok in {dt:.1f}s -> {total/dt:.1f} tok/s total; "
+      f"chunks={eng.chunks_dispatched} mean_active={np.mean(eng.active_history):.2f}")
+eng.stop()
