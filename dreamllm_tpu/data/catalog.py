@@ -374,13 +374,15 @@ register_dataset("simple_text_only", simple_text_only_dataset, dataset_type="tex
 
 
 def _synthetic_pairs(size: int = 64, image_size: int = 16, **_):
-    rng = np.random.default_rng(0)
-
     class Synth:
         def __len__(self):
             return size
 
         def __getitem__(self, i):
+            # index-seeded: map-style datasets must be call-order independent
+            # (a resumed stream re-reads the same index and must see the same
+            # sample)
+            rng = np.random.default_rng((0, i))
             img = (rng.random((image_size, image_size, 3)) * 255).astype(np.uint8)
             return ImageTextPair(image=img, text=f"synthetic caption number {i % 17}")
 
@@ -388,13 +390,12 @@ def _synthetic_pairs(size: int = 64, image_size: int = 16, **_):
 
 
 def _synthetic_interleaved(size: int = 64, image_size: int = 16, **_):
-    rng = np.random.default_rng(1)
-
     class Synth:
         def __len__(self):
             return size
 
         def __getitem__(self, i):
+            rng = np.random.default_rng((1, i))
             img = (rng.random((image_size, image_size, 3)) * 255).astype(np.uint8)
             return InterleavedImageText(
                 texts=[f"doc {i} first chunk", "second chunk"],

@@ -17,7 +17,7 @@ import numpy as np
 
 import dreamllm_tpu.data.catalog  # noqa: F401 — registers datasets
 from dreamllm_tpu.config import LazyArgumentParser, default_setup, instantiate
-from dreamllm_tpu.data import BuilderConfig, DataManager, DreamLLMBuilder, collate
+from dreamllm_tpu.data import BuilderConfig, DataManager, DreamLLMBuilder
 from dreamllm_tpu.data.tokenization import HFTokenizer, ToyTokenizer
 from dreamllm_tpu.models.dreamllm import (
     DreamLLMConfig,
@@ -110,37 +110,17 @@ def data_stream(config, cfg: DreamLLMConfig, tokenizer):
         n_dream_queries=bcfg.n_dream_queries,
     )
 
-    def stream():
-        from dreamllm_tpu.data.collator import collate_packed, pack_samples
+    from dreamllm_tpu.data.stream import BatchStream, MappedStream
 
-        i = 0
-        n = len(mixed)
-        pending_rows = []
-        while True:
-            want = bs * pack_block if pack else bs
-            samples = []
-            while len(samples) < want:
-                try:
-                    samples.append(builder.build(mixed[i % n]))
-                except Exception as e:  # per-sample fault tolerance
-                    logger.warning("sample %d failed: %s", i, e)
-                finally:
-                    i += 1
-            if pack:
-                pending_rows.extend(pack_samples(
-                    samples, bcfg.max_seq_len,
-                    image_embed_len=bcfg.image_embed_len,
-                    n_dream_queries=bcfg.n_dream_queries,
-                ))
-                while len(pending_rows) >= bs:
-                    rows, pending_rows[:] = pending_rows[:bs], pending_rows[bs:]
-                    batch = collate_packed(rows, **collate_kw)
-                    yield {k: jnp.asarray(v) for k, v in batch.items()}
-            else:
-                batch = collate(samples, **collate_kw)
-                yield {k: jnp.asarray(v) for k, v in batch.items()}
-
-    return stream()
+    batches = BatchStream(
+        mixed, builder, bs, collate_kw,
+        pack=pack, pack_block=pack_block,
+        image_embed_len=bcfg.image_embed_len,
+        n_dream_queries=bcfg.n_dream_queries,
+    )
+    # stateful (state_dict/load_state_dict survive the wrapper) → the Trainer
+    # checkpoints the exact stream position instead of replaying batches
+    return MappedStream(batches, lambda b: {k: jnp.asarray(v) for k, v in b.items()})
 
 
 def main(argv=None):
@@ -235,11 +215,12 @@ def main(argv=None):
     )
 
     # ---- data ----
-    raw_stream = data_stream(config, cfg, tokenizer)
+    from dreamllm_tpu.data.stream import MappedStream
 
-    def sharded_stream():
-        for batch in raw_stream:
-            yield jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
+    sharded_stream = MappedStream(
+        data_stream(config, cfg, tokenizer),
+        lambda batch: jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh)),
+    )
 
     # ---- loop ----
     tcfg = TrainerConfig(**config["trainer"])
@@ -274,7 +255,7 @@ def main(argv=None):
                 logs[f"sample_{i}"] = np.asarray(img[0])
             return logs
 
-    trainer = Trainer(tcfg, step, sharded_stream(), state, callbacks=[mlog], val_fn=val_fn)
+    trainer = Trainer(tcfg, step, sharded_stream, state, callbacks=[mlog], val_fn=val_fn)
     final = trainer.train()
     mlog.finish()
     logger.info("done at step %d", int(final.step))

@@ -49,18 +49,19 @@ def main(argv=None):
         use_flash=jax.default_backend() == "tpu",
     )
 
-    raw = data_stream(config, cfg, tokenizer)
+    from dreamllm_tpu.data.stream import MappedStream
 
-    def stream():
-        for batch in raw:
-            batch.pop("images_dm", None)
-            batch.pop("dream_positions", None)
-            batch.pop("add_time_ids", None)
-            yield jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
+    def _shard(batch):
+        batch.pop("images_dm", None)
+        batch.pop("dream_positions", None)
+        batch.pop("add_time_ids", None)
+        return jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
+
+    stream = MappedStream(data_stream(config, cfg, tokenizer), _shard)
 
     tcfg = TrainerConfig(**config["trainer"])
     mlog = MetricsLogger(run_dir, project="llava_tpu")
-    trainer = Trainer(tcfg, step, stream(), state, callbacks=[mlog])
+    trainer = Trainer(tcfg, step, stream, state, callbacks=[mlog])
     final = trainer.train()
     mlog.finish()
     return final

@@ -191,3 +191,69 @@ class TestNativeLoaderStatsAfterClose:
         assert loader._closed
         assert loader.stats["decoded"] == 3
         assert loader.stats["failed"] == 0
+
+
+class TestResumableBatchStream:
+    def _make(self, pack=False):
+        from dreamllm_tpu.data.builder import BuilderConfig, DreamLLMBuilder
+        from dreamllm_tpu.data.registry import DataManager
+        from dreamllm_tpu.data.stream import BatchStream
+        import dreamllm_tpu.data.catalog  # noqa: F401
+
+        cfg = _tiny_cfg()
+        mixed = DataManager()(["synthetic_pairs"], size_list=[64])
+        bcfg = BuilderConfig(
+            max_seq_len=128, image_embed_len=4, n_dream_queries=4,
+            special=cfg.special_tokens, max_images=2, max_dreams=2,
+            image_size=28, image_size_dm=16,
+        )
+        builder = DreamLLMBuilder(ToyTokenizer(vocab_size=cfg.llm.vocab_size), bcfg, seed=7)
+        kw = dict(pad_token_id=cfg.special_tokens.pad, max_images=2, max_dreams=2,
+                  seq_len=128, image_size=28, image_size_dm=16,
+                  image_embed_len=4, n_dream_queries=4)
+        return BatchStream(mixed, builder, 2, kw, pack=pack, pack_block=4,
+                           image_embed_len=4, n_dream_queries=4), (mixed, bcfg, kw)
+
+    def test_unpacked_resume_exact(self):
+        """state_dict → fresh stream + load_state_dict continues the exact
+        sample sequence (VERDICT #8: resume that actually resumes)."""
+        s1, (mixed, bcfg, kw) = self._make()
+        for _ in range(3):
+            next(s1)
+        snap = json.loads(json.dumps(s1.state_dict()))  # must be JSON-safe
+        expect = [next(s1) for _ in range(2)]
+
+        s2, _ = self._make()
+        s2.load_state_dict(snap)
+        got = [next(s2) for _ in range(2)]
+        for a, b in zip(expect, got):
+            assert a.keys() == b.keys()
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+
+    def test_packed_resume_no_repeat(self):
+        """Packed resume may skip pending rows but must never repeat samples:
+        the cursor only moves forward."""
+        s1, _ = self._make(pack=True)
+        for _ in range(3):
+            next(s1)
+        snap = s1.state_dict()
+        s2, _ = self._make(pack=True)
+        s2.load_state_dict(snap)
+        assert s2._i == snap["cursor"]
+        b = next(s2)
+        assert np.asarray(b["input_ids"]).shape == (2, 128)
+        assert s2._i > snap["cursor"]
+
+    def test_mapped_stream_forwards_protocol(self):
+        from dreamllm_tpu.data.stream import MappedStream
+
+        s1, _ = self._make()
+        m = MappedStream(s1, lambda b: b)
+        assert hasattr(m, "state_dict")
+        next(m)
+        st = m.state_dict()
+        m.load_state_dict(st)
+        # wrapper over a plain generator must NOT claim the protocol
+        plain = MappedStream(iter([{"x": 1}]), lambda b: b)
+        assert not hasattr(plain, "state_dict")
