@@ -86,7 +86,9 @@ def chat(
 
     if head_params is not None and head_cfg is not None:
         icfg = interleaved or InterleavedConfig(
-            sampling=sampling or SamplingConfig(greedy=True)
+            sampling=sampling or SamplingConfig(
+                greedy=True, eos_token_id=cfg.special_tokens.eos
+            )
         )
         out = generate_interleaved(
             params, cfg, head_params, head_cfg, ids, icfg, rng,

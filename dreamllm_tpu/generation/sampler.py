@@ -104,7 +104,7 @@ def generate_text(
     )
 
     def step_fn(state):
-        i, tok, toks, done, cache, rng = state
+        i, tok, toks, done, count, cache, rng = state
         rng, sub = jax.random.split(rng)
         # decode position = prompt_len + i per sample
         positions = (prompt_lengths + i)[:, None].astype(jnp.int32)
@@ -123,19 +123,24 @@ def generate_text(
         done_now = done | (tok == cfg.eos_token_id)
         store = jnp.where(done_now, cfg.pad_token_id, tok)
         toks = jax.lax.dynamic_update_slice(toks, store[:, None], (0, i))
+        # exact per-row emit count: a genuinely generated pad-id token
+        # (<unk> is id 0 in LLaMA vocabs) must still count — counting
+        # non-pad cells after the fact would under-report it
+        count = count + (~done_now).astype(jnp.int32)
         done_now = done_now | hit_stop  # stop token is stored, then halts
-        return i + 1, jnp.where(done_now, cfg.eos_token_id, nxt), toks, done_now, out["kv_cache"], rng
+        return (i + 1, jnp.where(done_now, cfg.eos_token_id, nxt), toks,
+                done_now, count, out["kv_cache"], rng)
 
     def cond_fn(state):
-        i, _, _, done, _, _ = state
+        i, _, _, done, _, _, _ = state
         return (i < cfg.max_new_tokens) & ~jnp.all(done)
 
     toks0 = jnp.full((b, cfg.max_new_tokens), cfg.pad_token_id, jnp.int32)
     done0 = jnp.zeros((b,), bool)
-    steps, _, toks, done, cache, _ = jax.lax.while_loop(
-        cond_fn, step_fn, (jnp.int32(0), first_tok, toks0, done0, cache, rng)
+    count0 = jnp.zeros((b,), jnp.int32)
+    steps, _, toks, done, lengths, cache, _ = jax.lax.while_loop(
+        cond_fn, step_fn, (jnp.int32(0), first_tok, toks0, done0, count0, cache, rng)
     )
-    lengths = jnp.sum(toks != cfg.pad_token_id, axis=-1)
     # NOTE: rows that halt early keep being fed EOS while other rows decode;
     # their trailing cache slots are junk. Resuming decode from the returned
     # cache (interleaved generation) is only meaningful for batch size 1.

@@ -77,12 +77,15 @@ def ring_attention_inner(
         kv_seg = jax.lax.ppermute(kv_seg, axis_name, perm)
         return (out, lse, k_c, v_c, kv_pos, kv_seg), None
 
-    out0 = jnp.zeros(q.shape, q.dtype)
+    # fp32 accumulator through the whole ring (like flash attention's): a
+    # bf16 carry would re-round the merged output on every one of the n
+    # steps, drifting with ring size
+    out0 = jnp.zeros(q.shape, jnp.float32)
     lse0 = jnp.full(q.shape[:2] + (q.shape[2],), NEG_INF, jnp.float32)
     (out, lse, *_), _ = jax.lax.scan(
         body, (out0, lse0, k, v, kv_positions, kv_segment_ids), None, length=n
     )
-    return out
+    return out.astype(q.dtype)
 
 
 def ring_self_attention(

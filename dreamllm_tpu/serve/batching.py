@@ -54,7 +54,12 @@ class DynamicBatcher:
         self._q: queue.Queue[_Pending | None] = queue.Queue()
         self._thread: threading.Thread | None = None
         self._stopped = False
-        self.batch_sizes: list[int] = []  # dispatch history (observability)
+        self._submit_lock = threading.Lock()  # serializes submit vs stop drain
+        from collections import deque
+
+        # bounded: a long-running server would otherwise grow one entry per
+        # dispatch forever
+        self.batch_sizes: deque[int] = deque(maxlen=1024)
 
     def start(self):
         self._stopped = False
@@ -62,14 +67,26 @@ class DynamicBatcher:
         self._thread.start()
         return self
 
-    def stop(self):
-        self._stopped = True
+    def stop(self, join_timeout: float | None = None):
+        """Stop accepting work and fail anything not yet dispatched.
+
+        Waits for an in-flight batch_fn to finish (they can run minutes on
+        the remote TPU) unless ``join_timeout`` bounds it. The drain runs
+        AFTER the worker exits (or after the loop observed ``_stopped``), and
+        ``submit`` holds ``_submit_lock`` while enqueueing, so no request can
+        slip between the stopped check and the drain and be stranded.
+        """
+        with self._submit_lock:
+            self._stopped = True
         self._q.put(None)
-        if self._thread:
-            self._thread.join(timeout=5)
-            self._thread = None
+        t = self._thread
+        if t:
+            t.join(timeout=join_timeout)
+            if not t.is_alive():
+                self._thread = None
         # fail anything still queued visibly — stranding it would block each
-        # submitter for its full timeout
+        # submitter for its full timeout. The worker no longer consumes (it
+        # either exited or will exit on its next loop check before get()).
         while True:
             try:
                 p = self._q.get_nowait()
@@ -80,10 +97,11 @@ class DynamicBatcher:
                 p.event.set()
 
     def submit(self, item, timeout: float | None = 600.0):
-        if self._stopped:
-            raise RuntimeError("batcher stopped")
         p = _Pending(item)
-        self._q.put(p)
+        with self._submit_lock:
+            if self._stopped:
+                raise RuntimeError("batcher stopped")
+            self._q.put(p)
         if not p.event.wait(timeout):
             raise TimeoutError("batched request timed out")
         if p.error is not None:

@@ -55,6 +55,7 @@ class EngineConfig:
     max_len: int = 1024        # per-lane KV capacity (prompt + generated)
     chunk_steps: int = 8       # decode steps per compiled dispatch
     cache_dtype: str = "bfloat16"   # or "int8" (halved KV HBM)
+    bos_token_id: int | None = 1    # kept at position 0 when left-truncating
 
 
 # ---------------------------------------------------------------------------
@@ -249,9 +250,13 @@ class ContinuousBatchingEngine:
         self._free = list(range(self.ecfg.slots))
         self._thread: threading.Thread | None = None
         self._stopped = False
-        # observability
+        self._submit_lock = threading.Lock()  # serializes submit vs stop drain
+        # observability (bounded — a long-running server must not grow one
+        # entry per chunk forever)
+        from collections import deque
+
         self.chunks_dispatched = 0
-        self.active_history: list[int] = []
+        self.active_history: deque[int] = deque(maxlen=4096)
         self._rng0 = jax.random.PRNGKey(0)
         self._admit_count = 0
 
@@ -266,11 +271,31 @@ class ContinuousBatchingEngine:
         return self
 
     def stop(self) -> None:
-        self._stopped = True
+        """Stop the loop and fail anything not finished — stranding queued
+        or in-flight requests would block each submitter for its full
+        timeout."""
+        with self._submit_lock:
+            self._stopped = True
         self._queue.put(None)
-        if self._thread:
-            self._thread.join(timeout=30)
-            self._thread = None
+        t = self._thread
+        if t:
+            t.join(timeout=30)
+            if not t.is_alive():
+                self._thread = None
+        exc = RuntimeError("engine stopped")
+        for slot in list(self._by_slot):
+            req = self._by_slot.pop(slot)
+            self._free.append(slot)
+            req.error = exc
+            req.done.set()
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.error = exc
+                req.done.set()
 
     def submit(
         self,
@@ -285,7 +310,10 @@ class ContinuousBatchingEngine:
         req = _Request(list(prompt_ids), max_new_tokens, stream)
         if not req.ids:
             raise ValueError("empty prompt (prepend a BOS token)")
-        self._queue.put(req)
+        with self._submit_lock:
+            if self._stopped:
+                raise RuntimeError("engine stopped")
+            self._queue.put(req)
         if not req.done.wait(timeout):
             raise TimeoutError("engine request timed out")
         if req.error is not None:
@@ -297,8 +325,15 @@ class ContinuousBatchingEngine:
     def _admit(self, req: _Request) -> None:
         P = self.ecfg.prefill_len
         # the lane must hold prompt + at least one generated token; overlong
-        # prompts keep their most recent context (left truncation)
-        ids = req.ids[-(self.ecfg.max_len - 1):]
+        # prompts keep their most recent context (left truncation) but BOS
+        # survives at position 0 — LLaMA-family models are calibrated with it
+        # present (same rule as batching.make_batched_generate_fn)
+        cap = self.ecfg.max_len - 1
+        ids = req.ids
+        if len(ids) > cap:
+            bos = self.ecfg.bos_token_id
+            head = [ids[0]] if bos is not None and ids[0] == bos else []
+            ids = head + ids[-(cap - len(head)):]
         plen = len(ids)
         self._admit_count += 1
         rng = jax.random.fold_in(self._rng0, self._admit_count)
@@ -322,8 +357,11 @@ class ContinuousBatchingEngine:
                 jnp.int32(budget),
             )
             first_i = int(first)
-        except Exception:
+        except Exception as e:
             self._free.append(slot)  # don't leak the lane on a failed insert
+            # insert_fn donates state: a failed execution may have poisoned
+            # it, taking every other lane down with it — reset visibly
+            self._fail_all(e)
             raise
         req.slot = slot
         self._by_slot[slot] = req
@@ -350,14 +388,25 @@ class ContinuousBatchingEngine:
 
     def _fail_all(self, exc: Exception) -> None:
         """A scheduler-loop error poisons every in-flight request visibly
-        (instead of leaving submitters to hit their timeouts) and frees
-        their lanes so the engine stays usable."""
+        (instead of leaving submitters to hit their timeouts), frees their
+        lanes, AND re-initializes the device state: insert/decode donate
+        ``state``, so after a failed execution the old buffers may already be
+        invalidated — without a fresh init every later chunk would fail too
+        (a permanent outage from one transient fault)."""
         logger.exception("engine loop error")
         for slot in list(self._by_slot):
             req = self._by_slot.pop(slot)
-            self._free.append(slot)
             req.error = exc
             req.done.set()
+        self._free = list(range(self.ecfg.slots))
+        try:
+            self.state = init_engine_state(
+                self.llm_cfg, self.ecfg,
+                rng=jax.random.fold_in(self._rng0, self._admit_count),
+            )
+        except Exception:
+            logger.exception("engine state re-init failed; engine is down")
+            self._stopped = True
 
     def _loop(self) -> None:
         while not self._stopped:

@@ -66,7 +66,13 @@ class ModelServer:
     def _engine_generate(self, prompt: str, req: dict) -> str:
         tok = self._tokenizer
         ids = tok.encode(prompt)
-        bos = getattr(tok, "bos_token_id", 1)
+        # this repo's tokenizer adapters expose .special.bos (HFTokenizer /
+        # ToyTokenizer), raw HF tokenizers expose .bos_token_id — check both
+        # before the LLaMA default of 1
+        sp = getattr(tok, "special", None)
+        bos = getattr(sp, "bos", None) if sp is not None else None
+        if bos is None:
+            bos = getattr(tok, "bos_token_id", 1)
         if bos is not None and (not ids or ids[0] != bos):
             ids = [bos] + list(ids)
         out = self._engine.submit(
@@ -112,7 +118,17 @@ class ModelServer:
                     if self.path == "/generate" and server._batcher is not None:
                         # micro-batched path: no lock — the batcher serializes
                         # model access itself and merges concurrent requests
-                        text = server._batcher.submit(req.pop("prompt", ""))
+                        prompt = req.pop("prompt", "")
+                        if req:  # fixed compiled shape: per-request knobs
+                            # (max_new_tokens, temperature, ...) can't vary
+                            from dreamllm_tpu.utils.logging import warning_once
+
+                            warning_once(
+                                "batched /generate ignores per-request fields "
+                                f"{sorted(req)} — the batch shape and sampling "
+                                "config are fixed at server construction"
+                            )
+                        text = server._batcher.submit(prompt)
                         self._send(200, {"text": text})
                         return
                     with server._lock:  # model is a single resource

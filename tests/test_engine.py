@@ -47,12 +47,9 @@ def _ref_tokens(cfg, params, ids, max_new, **kw):
         SamplingConfig(greedy=True, max_new_tokens=max_new, **kw),
     )
     toks = np.asarray(out["tokens"][0])
-    # strip TRAILING pads only (post-EOS fill): a genuinely generated pad-id
-    # token (0 = <unk>) mid-stream is a real token the engine delivers, and
-    # generate_text's `lengths` (non-pad count) would undercount it
-    nz = np.nonzero(toks != 0)[0]
-    n = int(nz[-1]) + 1 if nz.size else 0
-    return list(toks[:n])
+    # generate_text's `lengths` is the exact per-row emit count (a genuinely
+    # generated pad-id token — 0 = <unk> — counts; post-EOS fill does not)
+    return list(toks[: int(out["lengths"][0])])
 
 
 # ---------------------------------------------------------------------------

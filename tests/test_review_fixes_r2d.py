@@ -257,3 +257,158 @@ class TestResumableBatchStream:
         # wrapper over a plain generator must NOT claim the protocol
         plain = MappedStream(iter([{"x": 1}]), lambda b: b)
         assert not hasattr(plain, "state_dict")
+
+
+class TestServeEngineShutdown:
+    def _small(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=256, dtype=jnp.float32,
+        )
+        return cfg, init_llama_params(jax.random.PRNGKey(0), cfg)
+
+    def test_stop_fails_inflight_and_rejects_new(self):
+        """stop() must resolve every in-flight/queued request (not strand
+        them until their 600 s timeout) and reject later submits."""
+        import threading
+
+        from dreamllm_tpu.generation.sampler import SamplingConfig
+        from dreamllm_tpu.serve.engine import ContinuousBatchingEngine, EngineConfig
+
+        cfg, params = self._small()
+        eng = ContinuousBatchingEngine(
+            params, cfg, SamplingConfig(greedy=True, eos_token_id=127),
+            EngineConfig(slots=2, prefill_len=16, max_len=64, chunk_steps=4),
+        ).start()
+        errs = []
+
+        def long_req():
+            try:
+                eng.submit([1, 5, 9], max_new_tokens=48, timeout=60)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        t = threading.Thread(target=long_req)
+        t.start()
+        # let it get admitted / start decoding, then stop
+        import time
+
+        time.sleep(1.0)
+        eng.stop()
+        t.join(timeout=30)
+        assert not t.is_alive(), "submitter stranded after stop()"
+        # either it finished in time (empty errs) or it was failed cleanly
+        for e in errs:
+            assert isinstance(e, RuntimeError) and "stopped" in str(e)
+        with pytest.raises(RuntimeError, match="stopped"):
+            eng.submit([1, 2, 3])
+
+    def test_admit_left_truncation_keeps_bos(self):
+        from dreamllm_tpu.generation.sampler import SamplingConfig
+        from dreamllm_tpu.serve.engine import ContinuousBatchingEngine, EngineConfig
+
+        cfg, params = self._small()
+        ecfg = EngineConfig(slots=1, prefill_len=16, max_len=32, chunk_steps=2,
+                            bos_token_id=1)
+        eng = ContinuousBatchingEngine(
+            params, cfg, SamplingConfig(greedy=True, eos_token_id=127), ecfg)
+        seen = {}
+        orig = eng.prefill_fn
+
+        class Spy:
+            empty_cache = staticmethod(orig.empty_cache)
+
+            def __call__(self, params, cache, ids, clen, start, rng):
+                seen.setdefault("chunks", []).append(np.asarray(ids)[0])
+                return orig(params, cache, ids, clen, start, rng)
+
+        eng.prefill_fn = Spy()
+        from dreamllm_tpu.serve.engine import _Request
+
+        prompt = [1] + list(range(2, 2 + 60))  # BOS + 60 tokens > cap 31
+        eng._admit(_Request(prompt, 1))
+        first_chunk = seen["chunks"][0]
+        assert first_chunk[0] == 1, "BOS dropped by left truncation"
+        # the rest must be the TAIL of the prompt (recent context kept)
+        flat = np.concatenate(seen["chunks"])
+        total = sum(1 for _ in flat)  # 2 chunks of 16
+        assert prompt[-1] in flat.tolist()
+
+
+class TestBatcherShutdown:
+    def test_stop_waits_then_fails_queued(self):
+        import threading
+        import time
+
+        from dreamllm_tpu.serve.batching import DynamicBatcher
+
+        release = threading.Event()
+
+        def slow_batch(items):
+            release.wait(10)
+            return [i * 2 for i in items]
+
+        b = DynamicBatcher(slow_batch, max_batch=1, window_ms=1).start()
+        results = []
+
+        def worker():
+            try:
+                results.append(b.submit(21, timeout=30))
+            except Exception as e:  # noqa: BLE001
+                results.append(e)
+
+        t1 = threading.Thread(target=worker)
+        t1.start()
+        time.sleep(0.2)  # t1's batch is in-flight inside slow_batch
+
+        def stopper():
+            b.stop()  # waits for the in-flight batch
+
+        t2 = threading.Thread(target=stopper)
+        t2.start()
+        time.sleep(0.2)
+        with pytest.raises(RuntimeError, match="stopped"):
+            b.submit(99)  # rejected: _stopped already set
+        release.set()
+        t1.join(timeout=15)
+        t2.join(timeout=15)
+        assert results == [42], results  # in-flight batch completed cleanly
+
+
+class TestGenerateTextExactLengths:
+    def test_midstream_pad_id_counted(self):
+        """lengths must be the exact emit count even when a generated token
+        equals pad_token_id (<unk>=0 in LLaMA vocabs)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dreamllm_tpu.generation.sampler import SamplingConfig, generate_text
+        from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params
+
+        cfg = LlamaConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+            max_position_embeddings=128, dtype=jnp.float32,
+        )
+        params = init_llama_params(jax.random.PRNGKey(3), cfg)
+        ids = jnp.asarray([[1, 7, 11]], jnp.int32)
+        lens = jnp.asarray([3], jnp.int32)
+        base = generate_text(params, cfg, ids, lens,
+                             SamplingConfig(greedy=True, max_new_tokens=8,
+                                            eos_token_id=999, pad_token_id=0))
+        toks = np.asarray(base["tokens"][0])
+        assert int(base["lengths"][0]) == 8  # no EOS hit: all 8 emitted
+        # now declare a token the model DID emit mid-stream as the pad id;
+        # greedy decode is unchanged, so lengths must still be 8
+        mid = int(toks[3])
+        out = generate_text(params, cfg, ids, lens,
+                            SamplingConfig(greedy=True, max_new_tokens=8,
+                                           eos_token_id=999, pad_token_id=mid))
+        np.testing.assert_array_equal(np.asarray(out["tokens"][0]), toks)
+        assert int(out["lengths"][0]) == 8, "mid-stream pad-id token uncounted"
