@@ -122,3 +122,104 @@ class MappedStream:
         # wrapped stream has them — hasattr() on the wrapper then answers
         # truthfully, which is what Trainer's protocol check relies on
         return getattr(self.stream, name)
+
+
+class PrefetchStream:
+    """Background-thread prefetch: overlap host batch building (tokenize /
+    pack / collate — expensive on a single-core host) with device compute.
+
+    The producer thread pulls from the wrapped stream into a bounded buffer
+    of ``depth`` batches; ``__next__`` pops. With a stateful inner stream the
+    resumable protocol stays EXACT: the producer snapshots the inner state
+    *after* building each batch and the pair travels through the buffer, so
+    ``state_dict()`` always describes the position right after the most
+    recently *delivered* batch — buffered-but-undelivered batches are
+    rebuilt after a resume, never skipped.
+    """
+
+    def __init__(self, stream, depth: int = 2):
+        import queue
+        import threading
+
+        self.stream = stream
+        self.depth = max(1, int(depth))
+        self._queue_cls = queue
+        self._threading = threading
+        self._stateful = hasattr(stream, "state_dict")
+        self._last_state = stream.state_dict() if self._stateful else None
+        self._buf: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        self._stop = threading.Event()
+        self._thread: "threading.Thread | None" = None
+
+    def _ensure_started(self):
+        if self._thread is None or not self._thread.is_alive():
+            self._stop.clear()
+            self._thread = self._threading.Thread(target=self._produce, daemon=True)
+            self._thread.start()
+
+    def _produce(self):
+        while not self._stop.is_set():
+            try:
+                item = next(self.stream)
+            except StopIteration:
+                self._buf.put(("__end__", None))
+                return
+            except Exception as e:  # surface in the consumer, not the thread
+                self._buf.put(("__err__", e))
+                return
+            state = self.stream.state_dict() if self._stateful else None
+            # bounded put, interruptible so close()/load_state_dict() can
+            # stop a producer blocked on a full buffer
+            while not self._stop.is_set():
+                try:
+                    self._buf.put((item, state), timeout=0.1)
+                    break
+                except self._queue_cls.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        self._ensure_started()
+        item, state = self._buf.get()
+        if isinstance(item, str) and item == "__end__":
+            raise StopIteration
+        if isinstance(item, str) and item == "__err__":
+            raise state
+        if self._stateful:
+            self._last_state = state
+        return item
+
+    def _halt(self):
+        self._stop.set()
+        t = self._thread
+        if t is not None:
+            t.join(timeout=5)
+        self._thread = None
+        while True:
+            try:
+                self._buf.get_nowait()
+            except self._queue_cls.Empty:
+                break
+
+    def close(self):
+        self._halt()
+
+    # resumable-stream protocol — exposed through __getattr__ so that
+    # hasattr() is False when the inner stream is stateless (a class-level
+    # def would make hasattr True and then blow up inside Trainer.save)
+    def _state_dict(self) -> dict:
+        return self._last_state
+
+    def _load_state_dict(self, state: dict) -> None:
+        self._halt()  # producer is strictly ahead; discard its lookahead
+        self.stream.load_state_dict(state)
+        self._last_state = self.stream.state_dict()
+
+    def __getattr__(self, name):
+        if name == "state_dict" and self.__dict__.get("_stateful"):
+            return self._state_dict
+        if name == "load_state_dict" and self.__dict__.get("_stateful"):
+            return self._load_state_dict
+        raise AttributeError(name)

@@ -215,12 +215,18 @@ def main(argv=None):
     )
 
     # ---- data ----
-    from dreamllm_tpu.data.stream import MappedStream
+    from dreamllm_tpu.data.stream import MappedStream, PrefetchStream
 
     sharded_stream = MappedStream(
         data_stream(config, cfg, tokenizer),
         lambda batch: jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh)),
     )
+    # overlap host batch building + device_put with the device step (the
+    # host has very few cores; depth 2 double-buffers). Resumable state is
+    # preserved exactly (see PrefetchStream).
+    depth = int(config["data"].get("prefetch", 2))
+    if depth > 0:
+        sharded_stream = PrefetchStream(sharded_stream, depth=depth)
 
     # ---- loop ----
     tcfg = TrainerConfig(**config["trainer"])

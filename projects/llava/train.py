@@ -49,7 +49,7 @@ def main(argv=None):
         use_flash=jax.default_backend() == "tpu",
     )
 
-    from dreamllm_tpu.data.stream import MappedStream
+    from dreamllm_tpu.data.stream import MappedStream, PrefetchStream
 
     def _shard(batch):
         batch.pop("images_dm", None)
@@ -58,6 +58,9 @@ def main(argv=None):
         return jax.tree.map(jax.device_put, batch, batch_shardings(batch, mesh))
 
     stream = MappedStream(data_stream(config, cfg, tokenizer), _shard)
+    depth = int(config["data"].get("prefetch", 2))
+    if depth > 0:
+        stream = PrefetchStream(stream, depth=depth)
 
     tcfg = TrainerConfig(**config["trainer"])
     mlog = MetricsLogger(run_dir, project="llava_tpu")

@@ -412,3 +412,72 @@ class TestGenerateTextExactLengths:
                                            eos_token_id=999, pad_token_id=mid))
         np.testing.assert_array_equal(np.asarray(out["tokens"][0]), toks)
         assert int(out["lengths"][0]) == 8, "mid-stream pad-id token uncounted"
+
+
+class TestPrefetchStream:
+    def _counting_stream(self):
+        class S:
+            def __init__(self):
+                self.i = 0
+
+            def __iter__(self):
+                return self
+
+            def __next__(self):
+                self.i += 1
+                return {"x": self.i}
+
+            def state_dict(self):
+                return {"i": self.i}
+
+            def load_state_dict(self, st):
+                self.i = int(st["i"])
+
+        return S()
+
+    def test_order_preserved(self):
+        from dreamllm_tpu.data.stream import PrefetchStream
+
+        p = PrefetchStream(self._counting_stream(), depth=3)
+        got = [next(p)["x"] for _ in range(10)]
+        assert got == list(range(1, 11))
+        p.close()
+
+    def test_state_tracks_delivered_not_prefetched(self):
+        """state_dict must describe the last DELIVERED batch even though the
+        producer has buffered ahead — a resume rebuilds the lookahead."""
+        import time
+
+        from dreamllm_tpu.data.stream import PrefetchStream
+
+        inner = self._counting_stream()
+        p = PrefetchStream(inner, depth=4)
+        for _ in range(3):
+            next(p)
+        time.sleep(0.3)  # let the producer run ahead into the buffer
+        assert inner.i > 3  # it DID prefetch
+        st = p.state_dict()
+        assert st == {"i": 3}
+        # resume into a fresh pipeline: continues at 4
+        inner2 = self._counting_stream()
+        p2 = PrefetchStream(inner2, depth=4)
+        p2.load_state_dict(st)
+        assert next(p2)["x"] == 4
+        p.close()
+        p2.close()
+
+    def test_stateless_inner_hides_protocol(self):
+        from dreamllm_tpu.data.stream import PrefetchStream
+
+        p = PrefetchStream(iter([{"x": 1}, {"x": 2}]), depth=2)
+        assert not hasattr(p, "state_dict")
+        assert next(p) == {"x": 1}
+        p.close()
+
+    def test_finite_stream_stopiteration(self):
+        from dreamllm_tpu.data.stream import PrefetchStream
+
+        p = PrefetchStream(iter([{"x": 1}]), depth=2)
+        assert next(p) == {"x": 1}
+        with pytest.raises(StopIteration):
+            next(p)
