@@ -20,7 +20,7 @@ opt_state = jax.jit(tx.init)(params)
 B, S = 4, 2048
 
 def loss_fn(p, ids, labels):
-    h = llama_forward(p, cfg, input_ids=ids, use_flash=True, remat=False)["last_hidden_state"]
+    h = llama_forward(p, cfg, input_ids=ids, use_flash=True, remat=True)["last_hidden_state"]
     logits = llama_logits(p, cfg, h)
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ll = jnp.take_along_axis(lp, labels[..., None], axis=-1)[..., 0]
