@@ -422,6 +422,10 @@ def generate_text_speculative(
         cond_fn, step_fn, state
     )
     toks = toks[:max_new][None]
-    lengths = jnp.sum(toks != cfg.pad_token_id, axis=-1)
+    # cnt is the exact emit count (same contract as generate_text): counting
+    # non-pad cells would drop a genuinely generated pad-id token (<unk>=0).
+    # first-token-EOS is the one case where cnt (a buffer cursor) overcounts:
+    # nothing was stored
+    lengths = jnp.where(first_eos, 0, jnp.minimum(cnt, max_new))[None]
     return {"tokens": toks, "lengths": lengths, "kv_cache": cache,
             "steps": iters, "accepted": accepted, "emitted": cnt}
