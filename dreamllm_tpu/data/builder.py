@@ -240,7 +240,7 @@ class DreamLLMBuilder:
         if i2t:
             # [bos] img_span caption [eos]; caption+eos learnable (:190-208)
             span = self.image_ids()
-            budget = self.cfg.max_seq_len - 2 - len(span)
+            budget = max(self.cfg.max_seq_len - 2 - len(span), 0)
             cap = cap[:budget]
             ids = [st.bos] + span + cap + [st.eos]
             labels = [IGNORE] * (1 + len(span)) + cap + [st.eos]
@@ -248,7 +248,7 @@ class DreamLLMBuilder:
             return self._finish(ids, labels, [self._img(s.image)], img_pos, [], [])
         # t2i: [bos] caption dream_span [eos]; all LM labels ignored (:209-225)
         span = self.dream_ids()
-        budget = self.cfg.max_seq_len - 2 - len(span)
+        budget = max(self.cfg.max_seq_len - 2 - len(span), 0)
         cap = cap[:budget]
         ids = [st.bos] + cap + span + [st.eos]
         labels = [IGNORE] * len(ids)

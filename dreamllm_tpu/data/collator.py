@@ -26,6 +26,17 @@ def collate(
     n_dream_queries: int = 64,
 ) -> dict:
     b = len(samples)
+    if seq_len is None or max_images is None or max_dreams is None:
+        # batch-content-derived shapes (and conditionally absent image keys)
+        # give every batch a new jit signature — fine for tests/one-offs,
+        # minutes-per-shape recompiles in a jitted train loop
+        from dreamllm_tpu.utils.logging import warning_once
+
+        warning_once(
+            "collate() called without pinned seq_len/max_images/max_dreams — "
+            "shapes (and pytree structure) will vary per batch, which forces "
+            "jit recompiles; pass all three for a compiled training loop"
+        )
     seq_len = seq_len or max(len(s.input_ids) for s in samples)
     max_images = max_images if max_images is not None else max(
         (len(s.images) for s in samples), default=0

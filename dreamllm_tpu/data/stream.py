@@ -40,17 +40,30 @@ class BatchStream:
     pack          — first-fit pack ``pack_block``× samples into seq_len rows.
     """
 
+    # consecutive per-sample failures before giving up: a systematic fault
+    # (wrong schema, dead decoder) must surface as an error, not an infinite
+    # warn loop (reference consecutive_failures breakers,
+    # unified_it_pair_webdataset.py:112-140)
+    max_consecutive_failures: int = 100
+
     def __init__(self, source, builder, batch_size: int, collate_kw: dict,
                  *, pack: bool = False, pack_block: int = 4,
-                 image_embed_len: int = 256, n_dream_queries: int = 64):
+                 image_embed_len: int | None = None,
+                 n_dream_queries: int | None = None):
         self.source = source
         self.builder = builder
         self.batch_size = batch_size
         self.collate_kw = dict(collate_kw)
         self.pack = pack
         self.pack_block = pack_block
-        self.image_embed_len = image_embed_len
-        self.n_dream_queries = n_dream_queries
+        # single source of truth: span-footprint checks in pack_samples must
+        # agree with collate's, so default both from collate_kw
+        self.image_embed_len = (
+            image_embed_len if image_embed_len is not None
+            else self.collate_kw.get("image_embed_len", 256))
+        self.n_dream_queries = (
+            n_dream_queries if n_dream_queries is not None
+            else self.collate_kw.get("n_dream_queries", 64))
         self._i = 0
         self._pending: list = []  # packed rows awaiting batching
 
@@ -60,11 +73,19 @@ class BatchStream:
     def _build(self, want: int) -> list:
         out = []
         n = len(self.source)
+        failures = 0
         while len(out) < want:
             try:
                 out.append(self.builder.build(self.source[self._i % n]))
+                failures = 0
             except Exception as e:  # per-sample fault tolerance
+                failures += 1
                 logger.warning("sample %d failed: %s", self._i, e)
+                if failures >= self.max_consecutive_failures:
+                    raise RuntimeError(
+                        f"{failures} consecutive sample failures — the data "
+                        "source or builder config is broken (last error: "
+                        f"{e!r})") from e
             finally:
                 self._i += 1
         return out
@@ -157,25 +178,30 @@ class PrefetchStream:
             self._thread = self._threading.Thread(target=self._produce, daemon=True)
             self._thread.start()
 
+    def _put_interruptible(self, pair) -> None:
+        # bounded put, interruptible so close()/load_state_dict() can stop a
+        # producer blocked on a full buffer; ALL puts (including the end/err
+        # sentinels) go through here — a blocking sentinel put would deadlock
+        # _halt's join and could land stale in a post-resume buffer
+        while not self._stop.is_set():
+            try:
+                self._buf.put(pair, timeout=0.1)
+                return
+            except self._queue_cls.Full:
+                continue
+
     def _produce(self):
         while not self._stop.is_set():
             try:
                 item = next(self.stream)
             except StopIteration:
-                self._buf.put(("__end__", None))
+                self._put_interruptible(("__end__", None))
                 return
             except Exception as e:  # surface in the consumer, not the thread
-                self._buf.put(("__err__", e))
+                self._put_interruptible(("__err__", e))
                 return
             state = self.stream.state_dict() if self._stateful else None
-            # bounded put, interruptible so close()/load_state_dict() can
-            # stop a producer blocked on a full buffer
-            while not self._stop.is_set():
-                try:
-                    self._buf.put((item, state), timeout=0.1)
-                    break
-                except self._queue_cls.Full:
-                    continue
+            self._put_interruptible((item, state))
 
     def __iter__(self):
         return self
@@ -192,10 +218,22 @@ class PrefetchStream:
         return item
 
     def _halt(self):
+        """Stop the producer and WAIT for it to exit before touching shared
+        state. Proceeding after a timed-out join would leave a zombie thread
+        advancing the inner stream underneath load_state_dict's rewind (and a
+        restart would then run two producers on one stream) — so the join is
+        unconditional; only a warning is emitted if it runs long (one batch
+        build on a slow host)."""
         self._stop.set()
         t = self._thread
-        if t is not None:
+        waited = 0.0
+        while t is not None and t.is_alive():
             t.join(timeout=5)
+            if t.is_alive():
+                waited += 5
+                logger.warning(
+                    "prefetch producer still finishing its in-flight batch "
+                    "(%.0fs) — waiting for a clean stop", waited)
         self._thread = None
         while True:
             try:

@@ -247,13 +247,21 @@ def encode_prompt_embeds(params: Params, cfg: DreamLLMConfig, tokenizer, prompt:
     return cond[:, 0]
 
 
-def unconditional_dream_hidden(params: Params, cfg: DreamLLMConfig) -> jnp.ndarray:
-    """LLM forward over the canonical dream sequence → [1, 64, H] uncond states."""
+def unconditional_dream_hidden(
+    params: Params, cfg: DreamLLMConfig, *, remat: bool = False
+) -> jnp.ndarray:
+    """LLM forward over the canonical dream sequence → [1, 64, H] uncond states.
+
+    Pass ``remat=True`` when called inside a rematerialized training loss —
+    the sequence is only ~68 tokens, but without remat all L layers'
+    activations for this side forward are saved for backward."""
     ids = canonical_dream_sequence(cfg)
     embeds = multimodal_embed(
         params, cfg, ids, dream_positions=jnp.asarray([[2]], jnp.int32)
     )
-    out = llama_forward(params["llm"], cfg.llm, inputs_embeds=embeds, use_flash=False)
+    out = llama_forward(
+        params["llm"], cfg.llm, inputs_embeds=embeds, use_flash=False, remat=remat
+    )
     cond, _ = extract_dream_hidden(
         out["last_hidden_state"], jnp.asarray([[2]], jnp.int32), cfg.n_dream_queries
     )
@@ -362,7 +370,7 @@ def dreamllm_forward(
         cond, valid = extract_dream_hidden(
             hidden, batch["dream_positions"], cfg.n_dream_queries
         )
-        uncond = unconditional_dream_hidden(params, cfg)  # [1, 64, H]
+        uncond = unconditional_dream_hidden(params, cfg, remat=remat)  # [1, 64, H]
         extras = {k: batch[k] for k in ("add_time_ids",) if batch.get(k) is not None}
         vm_loss, head_aux = head_loss_fn(
             head_params, batch["images_dm"], cond, uncond, valid, rng, **extras
@@ -370,8 +378,13 @@ def dreamllm_forward(
         aux.update(head_aux)
     aux["vm_loss"] = vm_loss
 
-    # NaN rerouting between the two loss terms (reference :1479-1488): if one
-    # branch NaNs (e.g. empty mask), fall back to the other.
+    # NaN rerouting between the two loss terms (reference :1479-1488). Scope:
+    # this keeps the forward VALUE finite (empty-mask edges are already safe
+    # by construction — max(count,1) denominators above). It does NOT scrub
+    # gradient-path NaNs: a where() on the value still backprops 0*NaN=NaN
+    # through the bad branch, so genuinely NaN gradients are caught one level
+    # up by make_train_step's isfinite(loss) & isfinite(grad_norm) gate,
+    # which drops that update (trainer logs update_skipped).
     lm_ok = jnp.isfinite(lm_loss)
     vm_ok = jnp.isfinite(vm_loss)
     lm_loss = jnp.where(lm_ok, lm_loss, 0.0)

@@ -481,3 +481,73 @@ class TestPrefetchStream:
         assert next(p) == {"x": 1}
         with pytest.raises(StopIteration):
             next(p)
+
+
+class TestBuilderStreamHardening:
+    def test_build_breaker_on_systematic_failure(self):
+        from dreamllm_tpu.data.stream import BatchStream
+
+        class Bad:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                raise TypeError("broken schema")
+
+        class B:
+            import numpy as _np
+            rng = _np.random.default_rng(0)
+
+            def build(self, s):
+                raise AssertionError("unreached")
+
+        s = BatchStream(Bad(), B(), 2, dict(seq_len=16))
+        s.max_consecutive_failures = 5
+        with pytest.raises(RuntimeError, match="consecutive sample failures"):
+            next(s)
+
+    def test_pair_budget_never_negative(self):
+        """max_seq_len smaller than the image span must drop the caption,
+        not keep it via a negative slice (ids would overflow and leave a
+        dangling partial patch run)."""
+        from dreamllm_tpu.data.builder import BuilderConfig, DreamLLMBuilder
+        from dreamllm_tpu.data.dataset_types import ImageTextPair
+
+        cfg = _tiny_cfg()
+        bcfg = BuilderConfig(
+            max_seq_len=8,  # < [bos] + image span (1+4+1) + caption + [eos]
+            image_embed_len=4, n_dream_queries=4,
+            special=cfg.special_tokens, max_images=1, max_dreams=1,
+            image_size=28, image_size_dm=16, i2t_probability=1.0,
+        )
+        b = DreamLLMBuilder(ToyTokenizer(vocab_size=cfg.llm.vocab_size), bcfg, seed=0)
+        img = np.zeros((28, 28, 3), np.uint8)
+        out = b.build(ImageTextPair(image=img, text="a very long caption " * 10))
+        assert len(out.input_ids) <= bcfg.max_seq_len
+        # t2i branch too
+        bcfg2 = BuilderConfig(
+            max_seq_len=8, image_embed_len=4, n_dream_queries=4,
+            special=cfg.special_tokens, max_images=1, max_dreams=1,
+            image_size=28, image_size_dm=16, i2t_probability=0.0,
+        )
+        b2 = DreamLLMBuilder(ToyTokenizer(vocab_size=cfg.llm.vocab_size), bcfg2, seed=0)
+        out2 = b2.build(ImageTextPair(image=img, text="a very long caption " * 10))
+        assert len(out2.input_ids) <= bcfg2.max_seq_len
+
+    def test_batchstream_embed_len_defaults_from_collate_kw(self):
+        from dreamllm_tpu.data.stream import BatchStream
+
+        class Src:
+            def __len__(self):
+                return 1
+
+            def __getitem__(self, i):
+                return None
+
+        class B:
+            import numpy as _np
+            rng = _np.random.default_rng(0)
+
+        s = BatchStream(Src(), B(), 2,
+                        dict(seq_len=64, image_embed_len=7, n_dream_queries=3))
+        assert s.image_embed_len == 7 and s.n_dream_queries == 3
