@@ -24,6 +24,50 @@ logger = logging.getLogger("dreamllm_tpu.data")
 _SHARD_ERRORS = (tarfile.TarError, OSError)
 
 
+class _PipeStream:
+    """Reader over a ``pipe:`` subprocess that surfaces the child's exit
+    status: a transfer command dying mid-stream (e.g. ``aws s3 cp`` exit 1
+    after a whole number of tar members) otherwise looks like clean EOF and
+    the truncated shard would be silently treated as complete."""
+
+    def __init__(self, proc, url: str):
+        self._proc = proc
+        self._url = url
+        self._raw = proc.stdout
+        self._checked = False
+
+    def read(self, n: int = -1) -> bytes:
+        data = self._raw.read(n)
+        if not data:  # EOF — now the exit status is meaningful
+            self._check()
+        return data
+
+    def _check(self) -> None:
+        if self._checked:
+            return
+        self._checked = True
+        rc = self._proc.wait(timeout=30)
+        if rc != 0:
+            raise OSError(f"{self._url!r} exited with status {rc} — stream truncated")
+
+    def readable(self) -> bool:  # tarfile/BufferedReader protocol
+        return True
+
+    def close(self) -> None:
+        try:
+            self._raw.close()
+        finally:
+            if not self._checked:
+                self._checked = True
+                if self._proc.poll() is None:
+                    self._proc.terminate()
+                try:
+                    self._proc.wait(timeout=10)
+                except Exception:  # noqa: BLE001
+                    self._proc.kill()
+                    self._proc.wait()
+
+
 def open_stream(url: str, timeout: float = 120.0):
     """gopen equivalent (reference third_party/webdataset gopen + megfile
     smart_open): open a shard URL as a streaming binary file object.
@@ -49,7 +93,7 @@ def open_stream(url: str, timeout: float = 120.0):
             url[len("pipe:"):], shell=True, stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
         )
-        return proc.stdout
+        return _PipeStream(proc, url)
     if url.startswith("s3://"):
         return open_stream(f"pipe:aws s3 cp {url} -", timeout)
     if url.startswith("gs://"):
@@ -191,9 +235,23 @@ class ShardStream:
 
     def _iterate(self, rng: random.Random) -> Iterator[Any]:
         buf: list[Any] = []
+        map_failures = 0
         for s in self._raw(rng):
             if self.map_fn is not None:
-                s = self.map_fn(s)
+                # same warn-and-continue contract as decode: one odd sample
+                # that survives filters must not kill an hours-long stream
+                try:
+                    s = self.map_fn(s)
+                    map_failures = 0
+                except Exception as e:  # noqa: BLE001
+                    map_failures += 1
+                    key = s.get("__key__") if isinstance(s, dict) else None
+                    logger.warning("map_fn failed (%s): %s", key, e)
+                    if map_failures >= self.max_consecutive_failures:
+                        raise RuntimeError(
+                            f"{map_failures} consecutive map_fn failures"
+                        ) from e
+                    continue
             if self.shuffle_buffer <= 1:
                 yield s
                 continue

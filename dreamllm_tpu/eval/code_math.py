@@ -460,7 +460,25 @@ def run_humaneval(
                 # rewrite replaces the prompt's function, but the prompt's
                 # PREAMBLE (imports/helpers before the signature) must stay —
                 # HumanEval prompts often open with `from typing import List`
-                completion = extract_code(completion[rewrite.start():])
+                code = completion
+                if "```" in code:
+                    # strip fences FIRST — slicing from the def and then
+                    # ast-parsing would choke on a trailing ``` line
+                    code = extract_code(code, markdown=True) or completion
+                try:
+                    # clean rewrite (imports + helpers + entry): keep it all
+                    ast.parse(code)
+                    completion = code
+                except SyntaxError:
+                    m_entry = re.search(
+                        rf"^def {re.escape(prob['entry_point'])}\b", code, re.M
+                    )
+                    # keep helper functions the model defined BEFORE the
+                    # entry point (slicing from the entry def alone would
+                    # NameError on them)
+                    m_first = re.search(r"^(?:def|class) \w+", code, re.M)
+                    starts = [m.start() for m in (m_entry, m_first) if m]
+                    completion = extract_code(code[min(starts):] if starts else code)
                 sig = re.search(
                     rf"^def {re.escape(prob['entry_point'])}\b",
                     prob["prompt"], re.M,

@@ -321,7 +321,7 @@ def run_mc_task(
     for r in rows:
         try:
             ctx, conts, ans = render(r)
-        except (KeyError, ValueError, TypeError) as e:
+        except (KeyError, ValueError, TypeError, IndexError) as e:
             # one malformed raw row (answer/choice drift, missing field)
             # must not kill a whole eval run
             n_skipped += 1
@@ -353,6 +353,12 @@ def squad_em_f1(prediction: str, golds: Sequence[str]) -> tuple[float, float]:
         g = normalize_answer(str(gold))
         em = max(em, float(pred == g))
         pt, gt = pred.split(), g.split()
+        if not pt or not gt:
+            # official SQuAD scoring: if either side normalizes to empty,
+            # f1 = em for that gold (otherwise an exact empty-vs-empty match
+            # would score em=1 with f1=0)
+            f1 = max(f1, float(pred == g))
+            continue
         common = 0
         gt_pool = list(gt)
         for t in pt:
@@ -657,21 +663,30 @@ def local_scorers(params, llm_cfg, tokenizer, *, max_new_tokens: int = 100,
     """(choose_fn, generate_fn) over in-process params via the framework's
     jitted logprob scorer and while_loop decoder.
 
-    ``normalize_by_length``: per-token-normalized choice logprob — the
-    reference's C3-style concat evaluator divides by choice length
-    (local_evaluator.py:55)."""
+    ``normalize_by_length``: CHARACTER-length-normalized choice logprob —
+    the reference's concat evaluator divides the summed logprob by
+    ``len(choice)`` in characters (local_evaluator.py:55), and the online
+    scorer here does the same, so the local path must match (token-count
+    normalization flips argmax on CJK choices where tokens != chars)."""
     import functools
 
     import jax
     import jax.numpy as jnp
 
-    from dreamllm_tpu.eval.nlp import multiple_choice
+    from dreamllm_tpu.eval.nlp import choice_logprobs, multiple_choice
     from dreamllm_tpu.generation.sampler import SamplingConfig, generate_text
 
-    choose = functools.partial(
-        multiple_choice, params, llm_cfg, tokenizer,
-        normalize_by_length=normalize_by_length,
-    )
+    if normalize_by_length:
+        def choose(context, continuations):
+            lps = choice_logprobs(params, llm_cfg, tokenizer, context,
+                                  list(continuations))
+            lps = [lp / max(len(c), 1) for lp, c in zip(lps, continuations)]
+            return int(np.argmax(lps))
+    else:
+        choose = functools.partial(
+            multiple_choice, params, llm_cfg, tokenizer,
+            normalize_by_length=False,
+        )
 
     scfg = SamplingConfig(max_new_tokens=max_new_tokens, greedy=True)
 

@@ -31,7 +31,10 @@ _NUMBER_WORDS = {
     "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9", "ten": "10",
 }
 _ARTICLES = {"a", "an", "the"}
-_PUNCT = re.compile(r"[;/\[\]\"{}()=+\\_><@`,?!.]")
+_PUNCT = re.compile(r"[;/\[\]\"{}()=+\\_><@`,?!]")
+# official vqaEval periodStrip: a period is removed only when NOT followed by
+# a digit — '2.5' keeps its decimal point, 'dog.' loses the period
+_PERIOD = re.compile(r"\.(?!\d)")
 
 
 def normalize_vqa_answer(ans: str) -> str:
@@ -40,6 +43,7 @@ def normalize_vqa_answer(ans: str) -> str:
     # must match 'well lit', not collapse to 'welllit')
     ans = ans.replace("-", " ")
     ans = _PUNCT.sub("", ans)
+    ans = _PERIOD.sub("", ans)
     ans = ans.replace(":", "")
     words = []
     for w in ans.split():

@@ -31,7 +31,16 @@ def extract_option_letter(prediction: str, options: dict[str, str] | None = None
     """Pull the chosen letter out of a free-form answer: leading letter,
     '(A)', 'A.', or a unique option-text match."""
     p = prediction.strip()
-    m = re.match(r"^\(?([A-D])\)?([.:\s]|$)", p, re.IGNORECASE)
+    # uppercase letter: any terminator. Lowercase: only with explicit option
+    # punctuation ('a.' / '(a)' / 'a:') — a bare lowercase 'a ' is almost
+    # always the English article ('a dog'), not option A
+    m = re.match(r"^\(?([A-D])\)?([.:\s]|$)", p)
+    if m:
+        return m.group(1)
+    m = re.match(r"^\(([a-d])\)|^([a-d])[.:]", p)
+    if m:
+        return (m.group(1) or m.group(2)).upper()
+    m = re.search(r"answer\s+is\s*:?\s*\(?([A-D])\)?(\b|$)", p, re.IGNORECASE)
     if m:
         return m.group(1).upper()
     if options:

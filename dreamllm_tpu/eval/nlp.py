@@ -43,7 +43,7 @@ def sequence_logprob(
     return total
 
 
-def multiple_choice(
+def choice_logprobs(
     params,
     cfg: LlamaConfig,
     tokenizer,
@@ -51,9 +51,10 @@ def multiple_choice(
     choices: Sequence[str],
     *,
     bos: int = 1,
-    normalize_by_length: bool = True,
-) -> int:
-    """Argmax-logprob choice (MMLU/HellaSwag-style)."""
+    normalize_by_length: bool = False,
+) -> np.ndarray:
+    """Per-choice continuation logprob vector (summed, or per-TOKEN mean with
+    ``normalize_by_length``)."""
     ctx_ids = [bos] + tokenizer.encode(context)
     rows, starts, lengths = [], [], []
     for c in choices:
@@ -69,7 +70,25 @@ def multiple_choice(
         params, cfg, jnp.asarray(ids), jnp.asarray(starts), jnp.asarray(lengths),
         normalize_by_length=normalize_by_length,
     )
-    return int(jnp.argmax(lp))
+    return np.asarray(lp)
+
+
+def multiple_choice(
+    params,
+    cfg: LlamaConfig,
+    tokenizer,
+    context: str,
+    choices: Sequence[str],
+    *,
+    bos: int = 1,
+    normalize_by_length: bool = True,
+) -> int:
+    """Argmax-logprob choice (MMLU/HellaSwag-style)."""
+    lp = choice_logprobs(
+        params, cfg, tokenizer, context, choices, bos=bos,
+        normalize_by_length=normalize_by_length,
+    )
+    return int(np.argmax(lp))
 
 
 def perplexity(params, cfg: LlamaConfig, ids: jnp.ndarray, lengths: jnp.ndarray) -> float:

@@ -59,13 +59,18 @@ class ResultsDB:
     def __exit__(self, *exc) -> None:
         self.close()
 
-    def model_id(self, name: str, path: str = "") -> int:
-        """Get-or-create (reference ensure_model_info_exist)."""
+    def find_model_id(self, name: str) -> int | None:
+        """Read-only lookup — queries must not mutate the store."""
         row = self.conn.execute(
             "SELECT id FROM models WHERE name = ?", (name,)
         ).fetchone()
-        if row:
-            return int(row[0])
+        return int(row[0]) if row else None
+
+    def model_id(self, name: str, path: str = "") -> int:
+        """Get-or-create (reference ensure_model_info_exist)."""
+        mid = self.find_model_id(name)
+        if mid is not None:
+            return mid
         cur = self.conn.execute(
             "INSERT INTO models (name, path, created) VALUES (?, ?, ?)",
             (name, path, time.time()),
@@ -94,7 +99,8 @@ class ResultsDB:
     ) -> int:
         """Store a run's scalar metrics; returns the run's eval_count."""
         mid = self.model_id(model)
-        count = eval_count or self.next_eval_count(model, dataset)
+        # `is None`, not truthiness: an explicit eval_count=0 must be honored
+        count = eval_count if eval_count is not None else self.next_eval_count(model, dataset)
         now = time.time()
         payload = json.dumps(dict(extra)) if extra else ""
         rows = [
@@ -123,8 +129,11 @@ class ResultsDB:
         return self.record(model, dataset, metrics, n=int(result.get("n", 0)))
 
     def latest(self, model: str, dataset: str) -> dict[str, float]:
-        """Metrics of the newest run for model/dataset."""
-        mid = self.model_id(model)
+        """Metrics of the newest run for model/dataset (read-only: an
+        unknown model returns {} instead of being created by the lookup)."""
+        mid = self.find_model_id(model)
+        if mid is None:
+            return {}
         rows = self.conn.execute(
             "SELECT metric, value FROM evaluations WHERE model_id = ? AND "
             "dataset = ? AND eval_count = (SELECT MAX(eval_count) FROM "
@@ -134,7 +143,9 @@ class ResultsDB:
         return {k: v for k, v in rows}
 
     def history(self, model: str, dataset: str, metric: str = "accuracy") -> list[tuple[int, float]]:
-        mid = self.model_id(model)
+        mid = self.find_model_id(model)
+        if mid is None:
+            return []
         rows = self.conn.execute(
             "SELECT eval_count, value FROM evaluations WHERE model_id = ? AND "
             "dataset = ? AND metric = ? ORDER BY eval_count",

@@ -171,13 +171,22 @@ def run_vqa(
         ids = np.zeros((b, maxlen), np.int32)
         lens = np.zeros((b,), np.int32)
         img_pos = np.full((b, 1), -1, np.int32)
-        imgs = np.zeros((b, 1, cfg.vision.image_size, cfg.vision.image_size, 3), np.float32)
         for j, (e, pos) in enumerate(encoded):
             ids[j, : len(e)] = e
             lens[j] = len(e)
             img_pos[j, 0] = pos
-            raw = jnp.asarray(chunk[j]["image"], jnp.float32)[None]
-            imgs[j, 0] = np.asarray(clip_preprocess(raw, cfg.vision.image_size)[0])
+        # preprocess the whole chunk in ONE device dispatch and keep the
+        # result on device: a per-sample eager resize + host fetch costs ~3
+        # tunnel round-trips and a ~600 KB pull PER SAMPLE on the remote TPU
+        raws = [np.asarray(chunk[j]["image"], np.float32) for j in range(b)]
+        if len({r.shape for r in raws}) == 1:
+            pre = clip_preprocess(jnp.asarray(np.stack(raws)), cfg.vision.image_size)
+        else:  # mixed raw sizes: one dispatch per size is unavoidable
+            pre = jnp.concatenate([
+                clip_preprocess(jnp.asarray(r)[None], cfg.vision.image_size)
+                for r in raws
+            ])
+        imgs = pre[:, None]  # [b, 1, S, S, 3], stays on device
 
         if num_beams > 1:
             # jitted like the greedy path: an eager beam loop dispatches
@@ -227,15 +236,26 @@ def score_predictions(preds: list[dict], metric: str) -> float:
 
         return float(np.mean([relaxed_accuracy(p["prediction"], p["answers"]) for p in preds]))
     if metric == "exact":
-        return float(np.mean([
-            p["prediction"].strip().lower() == str(p.get("label", "")).strip().lower()
-            for p in preds
-        ]))
+        from dreamllm_tpu.eval.mmbench import extract_option_letter
+
+        def _hit(p):
+            label = str(p.get("label", "")).strip()
+            pred = p["prediction"].strip()
+            if len(label) == 1 and label.upper() in "ABCD":
+                # letter-choice task (mmbench-style): 'A.' / 'The answer is
+                # A' / option-text answers must not be scored as wrong
+                letter = extract_option_letter(pred, p.get("options"))
+                return letter == label.upper()
+            return pred.lower() == label.lower()
+
+        return float(np.mean([_hit(p) for p in preds]))
     raise ValueError(metric)
 
 
 def merge_prediction_shards(paths: list[str], out_path: str) -> dict:
     """Merge per-host shard files (eval_dreamllm.py:46-47 merge_outputs)."""
+    if not paths:
+        raise ValueError("merge_prediction_shards: no shard files to merge")
     all_preds, task = [], None
     for p in paths:
         with open(p) as f:

@@ -54,30 +54,47 @@ def save_checkpoint(
     """
     path = _ckpt_dir(root, step)
     tmp = path + ".tmp"
-    if os.path.isdir(tmp):
+    main = jax.process_index() == 0
+    # host-side filesystem work is process-0-only on a shared filesystem:
+    # unsynchronized rmtree/json writes from every host race each other and
+    # the rename (orbax itself coordinates its collective saves internally)
+    if main and os.path.isdir(tmp):
         import shutil
 
         shutil.rmtree(tmp)  # leftover from a previous crashed save
+    _barrier("ckpt_tmp_clean")
     ckpt = ocp.PyTreeCheckpointer()
     for name, subtree in params.items():
         ckpt.save(os.path.join(tmp, name), subtree)
     if opt_state is not None:
         ckpt.save(os.path.join(tmp, "opt_state"), opt_state)
-    meta = {"step": step, "param_groups": sorted(params.keys())}
-    if extra_meta:
-        meta.update(extra_meta)
-    with open(os.path.join(tmp, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
-    if host_state is not None:
-        with open(os.path.join(tmp, "host_state.json"), "w") as f:
-            json.dump(host_state, f)
-    if jax.process_index() == 0:
+    if main:
+        meta = {"step": step, "param_groups": sorted(params.keys())}
+        if extra_meta:
+            meta.update(extra_meta)
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        if host_state is not None:
+            with open(os.path.join(tmp, "host_state.json"), "w") as f:
+                json.dump(host_state, f)
+    # every host must be done writing into tmp before the rename
+    _barrier("ckpt_pre_rename")
+    if main:
         if os.path.isdir(path):
             import shutil
 
             shutil.rmtree(path)  # re-saving the same step
         os.replace(tmp, path)
+    _barrier("ckpt_post_rename")
     return path
+
+
+def _barrier(name: str) -> None:
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
 
 
 def load_host_state(path: str) -> dict | None:

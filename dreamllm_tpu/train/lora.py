@@ -20,7 +20,6 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from dreamllm_tpu.models.llama import LlamaConfig
 
 DEFAULT_TARGETS = ("wq", "wk", "wv", "wo")
 
@@ -65,7 +64,7 @@ def apply_lora(params: dict, lora: dict, cfg: LoRAConfig) -> dict:
     return {**params, "layers": new_layers}
 
 
-def lora_loss_fn(base_params: dict, cfg_llm: LlamaConfig, lora_cfg: LoRAConfig, loss_fn):
+def lora_loss_fn(base_params: dict, lora_cfg: LoRAConfig, loss_fn):
     """Wrap a ``loss_fn(params, batch, rng)`` so it differentiates only the
     LoRA factors: base params are closed over (frozen by construction)."""
 

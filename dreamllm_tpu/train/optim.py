@@ -58,7 +58,11 @@ def make_lr_schedule(cfg: OptimizerConfig):
             progress = jnp.clip(step / decay_steps, 0.0, 1.0)
             cycle_pos = (progress * cfg.num_cycles) % 1.0
             c = 0.5 * (1.0 + jnp.cos(jnp.pi * cycle_pos))
-            return floor + (peak - floor) * c
+            lr = floor + (peak - floor) * c
+            # past the end, cycle_pos wraps to 0 (= full peak); HF's
+            # hard-restarts schedule returns the floor for progress >= 1
+            # (get_cosine_with_hard_restarts_schedule_with_warmup)
+            return jnp.where(progress >= 1.0, floor, lr)
     elif cfg.schedule == "polynomial":
         def main(step):
             progress = jnp.clip(step / decay_steps, 0.0, 1.0)

@@ -26,8 +26,13 @@ import optax
 BLOCK = 256
 
 
-def quantize_blockwise(x: jnp.ndarray, block: int = BLOCK):
-    """[*] fp array → (int8 codes [*], fp32 scales [ceil(n/block)])."""
+def quantize_blockwise(x: jnp.ndarray, block: int = BLOCK, *,
+                       floor_positive: bool = False):
+    """[*] fp array → (int8 codes [*], fp32 scales [ceil(n/block)]).
+
+    ``floor_positive``: a strictly-positive entry never rounds to code 0 —
+    used for the second moment, where a dequantized v of exactly 0 would
+    blow the Adam update up by ~1/eps."""
     flat = x.reshape(-1).astype(jnp.float32)
     n = flat.size
     pad = (-n) % block
@@ -36,6 +41,8 @@ def quantize_blockwise(x: jnp.ndarray, block: int = BLOCK):
     scale = jnp.max(jnp.abs(blocks), axis=1, keepdims=True)
     safe = jnp.where(scale == 0.0, 1.0, scale)
     codes = jnp.round(blocks / safe * 127.0).astype(jnp.int8)
+    if floor_positive:
+        codes = jnp.where((blocks > 0.0) & (codes == 0), jnp.int8(1), codes)
     return codes.reshape(-1)[: n + pad].reshape(x.shape[:0] + (-1,)), scale[:, 0]
 
 
@@ -77,12 +84,27 @@ def adamw_8bit(
         codes, scale = quantize_blockwise(x)
         return _Moment(codes, scale)
 
+    def _quant_v(x):
+        # v is quantized in SQRT space: grad^2 routinely spans >2.4 orders of
+        # magnitude within one 256-block, and a linear code zeroes everything
+        # below blockmax/254 (bnb uses a dynamic-tree codebook for the same
+        # reason). sqrt halves the dynamic range (zero threshold drops to
+        # blockmax/64516) and floor_positive keeps small-but-nonzero entries
+        # from dequantizing to exactly 0.
+        codes, scale = quantize_blockwise(
+            jnp.sqrt(jnp.maximum(x, 0.0)), floor_positive=True)
+        return _Moment(codes, scale)
+
+    def _dequant_v(vq, shape):
+        r = dequantize_blockwise(vq.codes, vq.scale, shape)
+        return r * r
+
     def init(params):
         zeros = jax.tree.map(lambda p: _quant(jnp.zeros(p.shape, jnp.float32)), params)
         return Adam8bitState(
             count=jnp.zeros((), jnp.int32),
             m=zeros,
-            v=jax.tree.map(lambda p: _quant(jnp.zeros(p.shape, jnp.float32)), params),
+            v=jax.tree.map(lambda p: _quant_v(jnp.zeros(p.shape, jnp.float32)), params),
         )
 
     def update(updates, state, params=None):
@@ -101,13 +123,13 @@ def adamw_8bit(
         def step(g, mq, vq, p, do_decay):
             g = g.astype(jnp.float32)
             m = dequantize_blockwise(mq.codes, mq.scale, g.shape)
-            v = dequantize_blockwise(vq.codes, vq.scale, g.shape)
+            v = _dequant_v(vq, g.shape)
             m = b1 * m + (1.0 - b1) * g
             v = b2 * v + (1.0 - b2) * g * g
             upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
             if do_decay and p is not None:
                 upd = upd + weight_decay * p.astype(jnp.float32)
-            return (-lr * upd).astype(g.dtype), _quant(m), _quant(v)
+            return (-lr * upd).astype(g.dtype), _quant(m), _quant_v(v)
 
         leaves_g, treedef = jax.tree.flatten(updates)
         leaves_m = treedef.flatten_up_to(state.m)

@@ -64,9 +64,11 @@ def main(argv=None):
     task = config.get("task", "mmlu_smoke")
     out_path = os.path.join(run_dir, f"{task}.json")
 
-    # C3-style concat evaluators length-normalize choice logprob
-    # (reference local_evaluator.py:55); other MC tasks use summed logprob
-    norm_len = config.get("normalize_by_length", task == "clue_c3")
+    # Concat-style evaluators length-normalize choice logprob by CHARACTER
+    # count (reference local_evaluator.py:55; wsc_concat likewise divides by
+    # len(choice)) — without it clue_wsc's longer substituted reading is
+    # systematically penalized. Other MC tasks use summed logprob.
+    norm_len = config.get("normalize_by_length", task in ("clue_c3", "clue_wsc"))
 
     server = config.get("server")
     if server:

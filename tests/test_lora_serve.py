@@ -39,7 +39,7 @@ class TestLoRA:
             logp = jax.nn.log_softmax(logits[:, :-1])
             return -jnp.mean(jnp.take_along_axis(logp, batch[:, 1:, None], axis=-1))
 
-        fn = lora_loss_fn(params, cfg, lcfg, base_loss)
+        fn = lora_loss_fn(params, lcfg, base_loss)
         g = jax.grad(fn)(lora, ids, None)
         # b factors get gradient (a's grad flows through b which is 0 -> a grad 0 at init)
         gb = float(sum(jnp.abs(x).sum() for x in
@@ -59,7 +59,7 @@ class TestLoRA:
             logp = jax.nn.log_softmax(logits[:, :-1])
             return -jnp.mean(jnp.take_along_axis(logp, batch[:, 1:, None], axis=-1))
 
-        fn = lora_loss_fn(params, cfg, lcfg, base_loss)
+        fn = lora_loss_fn(params, lcfg, base_loss)
         l0 = float(fn(lora, ids, None))
         for _ in range(5):
             g = jax.grad(fn)(lora, ids, None)

@@ -551,3 +551,165 @@ class TestBuilderStreamHardening:
         s = BatchStream(Src(), B(), 2,
                         dict(seq_len=64, image_embed_len=7, n_dream_queries=3))
         assert s.image_embed_len == 7 and s.n_dream_queries == 3
+
+
+class TestEvalDataReviewFixes:
+    def test_humaneval_markdown_rewrite_with_helper(self, tmp_path):
+        """A fenced full-function rewrite with a helper defined before the
+        entry point must pass (previously the trailing fence and the dropped
+        helper each made it fail)."""
+        from dreamllm_tpu.eval.code_math import run_humaneval
+
+        problems = [{
+            "task_id": "T/0",
+            "prompt": "def add2(a, b):\n    \"\"\"Add.\"\"\"\n",
+            "test": "def check(f):\n    assert f(1, 2) == 3\n",
+            "entry_point": "add2",
+        }]
+
+        def gen(prompt):
+            return ("Here is my solution:\n```python\n"
+                    "def _inc(x):\n    return x + 1\n\n"
+                    "def add2(a, b):\n    return _inc(a) + b - 1\n"
+                    "```\nHope this helps!")
+
+        out = run_humaneval(gen, problems, samples_per_task=1)
+        assert out["pass@1"] == 1.0, out
+
+    def test_pipe_stream_surfaces_truncation(self):
+        import tarfile
+
+        from dreamllm_tpu.data.webdataset import open_stream
+
+        # command emits partial bytes then fails: EOF must raise, not look
+        # like a clean end of stream
+        st = open_stream("pipe:printf 'partial'; exit 3")
+        with pytest.raises(OSError, match="status 3"):
+            while st.read(4):
+                pass
+        st.close()
+        # clean exit stays clean
+        st = open_stream("pipe:printf 'ok'")
+        data = b""
+        while True:
+            b_ = st.read(4)
+            if not b_:
+                break
+            data += b_
+        assert data == b"ok"
+        st.close()
+
+    def test_map_fn_warn_and_continue(self, tmp_path):
+        import io
+        import tarfile
+
+        from dreamllm_tpu.data.webdataset import ShardStream
+
+        tar = tmp_path / "s.tar"
+        with tarfile.open(tar, "w") as tf:
+            for i in range(4):
+                cap = f"cap{i}".encode()
+                ti = tarfile.TarInfo(f"{i}.txt")
+                ti.size = len(cap)
+                tf.addfile(ti, io.BytesIO(cap))
+
+        def bad_map(s):
+            if s["__key__"] == "1":
+                raise KeyError("odd sample")
+            return s["txt"]
+
+        import itertools
+
+        stream = ShardStream([str(tar)], shuffle_buffer=1, resample=False,
+                             map_fn=bad_map)
+        got = sorted(itertools.islice(iter(stream), 3))
+        assert got == ["cap0", "cap2", "cap3"]
+
+    def test_squad_both_empty_f1(self):
+        from dreamllm_tpu.eval.language import squad_em_f1
+
+        em, f1 = squad_em_f1("the", ["a the"])  # both normalize to ""
+        assert em == 1.0 and f1 == 1.0
+        em, f1 = squad_em_f1("word", ["the"])   # gold empty, pred not
+        assert em == 0.0 and f1 == 0.0
+
+    def test_results_db_reads_are_readonly(self, tmp_path):
+        from dreamllm_tpu.eval.results_db import ResultsDB
+
+        db = ResultsDB(str(tmp_path / "r.sqlite"))
+        assert db.latest("typo-model", "mmlu") == {}
+        assert db.history("typo-model", "mmlu") == []
+        # lookups must NOT have created a models row
+        assert db.find_model_id("typo-model") is None
+        # explicit eval_count=0 is honored
+        db.record("m", "mmlu", {"accuracy": 0.5}, eval_count=0)
+        rows = db.history("m", "mmlu")
+        assert rows == [(0, 0.5)]
+
+
+class TestOptimEvalReviewFixes:
+    def test_cosine_restarts_past_end_returns_floor(self):
+        from dreamllm_tpu.train.optim import OptimizerConfig, make_lr_schedule
+
+        cfg = OptimizerConfig(learning_rate=1e-3, warmup_steps=0,
+                              total_steps=100, schedule="cosine_restarts",
+                              num_cycles=2)
+        sched = make_lr_schedule(cfg)
+        assert float(sched(50)) > 0  # mid-training: alive
+        # at/past the end: floor, NOT a restart back to peak lr
+        assert float(sched(100)) < 1e-3 * 0.02
+        assert float(sched(10_000)) < 1e-3 * 0.02
+
+    def test_8bit_v_small_values_not_zeroed(self):
+        """v entries far below the block max must not dequantize to 0 (the
+        update would blow up by ~1/eps)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from dreamllm_tpu.train.optim8bit import adamw_8bit
+
+        tx = adamw_8bit(1e-3)
+        # one block where grad^2 spans 6 orders of magnitude
+        g = jnp.full((256,), 1e-3, jnp.float32).at[0].set(1.0)
+        p = jnp.zeros((256,), jnp.float32)
+        state = tx.init(p)
+        up1, state = tx.update(g, state, p)
+        up2, state = tx.update(g, state, p)
+        # with a zeroed v, |update| for the small-grad entries explodes to
+        # ~lr * m / eps ~ 1e2; healthy Adam keeps |update| <= ~lr
+        assert float(jnp.max(jnp.abs(up2))) < 5e-3, np.asarray(up2)[:4]
+
+    def test_mmbench_letter_not_english_article(self):
+        from dreamllm_tpu.eval.mmbench import extract_option_letter
+
+        opts = {"A": "cat", "B": "horse", "C": "dog", "D": "fish"}
+        assert extract_option_letter("a dog", opts) == "C"
+        assert extract_option_letter("A", opts) == "A"
+        assert extract_option_letter("(b)", opts) == "B"
+        assert extract_option_letter("c.", opts) == "C"
+        assert extract_option_letter("B. horse", opts) == "B"
+
+    def test_vqa_exact_metric_letter_choice(self):
+        from dreamllm_tpu.eval.vqa import score_predictions
+
+        preds = [
+            {"prediction": "A.", "label": "A"},
+            {"prediction": "The answer is B", "label": "B"},
+            {"prediction": "a dog", "label": "C",
+             "options": {"A": "cat", "B": "horse", "C": "dog", "D": "fish"}},
+            {"prediction": "plain text", "label": "plain text"},
+        ]
+        assert score_predictions(preds, "exact") == 1.0
+
+    def test_vqa_normalize_preserves_decimals(self):
+        from dreamllm_tpu.eval.metrics import normalize_vqa_answer
+
+        assert normalize_vqa_answer("2.5") == "2.5"
+        assert normalize_vqa_answer("a dog.") == "dog"
+
+    def test_merge_empty_shards_clear_error(self):
+        from dreamllm_tpu.eval.vqa import merge_prediction_shards
+
+        with pytest.raises(ValueError, match="no shard files"):
+            merge_prediction_shards([], "/tmp/never.json")
