@@ -189,6 +189,64 @@ def bench_prefill(hidden, inter, layers, heads, kv_heads, seq=2048, batch=1):
     return batch * seq / dt
 
 
+def bench_train(hidden=2048, inter=5504, layers=16, heads=16, kv_heads=16,
+                batch=4, seq=2048):
+    """One full train step (loss+grad+8-bit-AdamW update) on a ~1B LM —
+    the measured configuration of docs/TRAINING.md (remat, flash attention).
+    Returns (tok_s, mfu_pct)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from dreamllm_tpu.models.llama import (
+        LlamaConfig, init_llama_params, llama_forward, llama_logits,
+    )
+    from dreamllm_tpu.train.optim8bit import adamw_8bit
+
+    cfg = LlamaConfig(
+        vocab_size=32000, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=seq,
+        dtype=jnp.bfloat16,
+    )
+    params = jax.jit(lambda r: init_llama_params(r, cfg))(jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    tx = adamw_8bit(3e-4)
+    opt_state = jax.jit(tx.init)(params)
+
+    def loss_fn(p, ids):
+        h = llama_forward(p, cfg, input_ids=ids, use_flash=True, remat=True)[
+            "last_hidden_state"]
+        logits = llama_logits(p, cfg, h)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return -jnp.mean(jnp.take_along_axis(lp, ids[..., None], axis=-1))
+
+    @jax.jit
+    def step(p, o, ids):
+        loss, g = jax.value_and_grad(loss_fn)(p, ids)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, loss
+
+    def run(seed):
+        ids = jax.random.randint(jax.random.PRNGKey(seed), (batch, seq), 10, 31000)
+        nonlocal params, opt_state
+        params, opt_state, loss = step(params, opt_state, ids)
+        return float(loss)  # scalar fetch = the only reliable sync on axon
+
+    run(0)
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
+    tok_s = batch * seq / dt
+    mfu = 6 * n_params * batch * seq / dt / 197e12 * 100
+    return tok_s, mfu
+
+
 def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True, sdxl=False):
     """SD-2.1 (512px) or SDXL (1024px) UNet denoise step time.
 
@@ -523,6 +581,17 @@ def main():
             extra["decode_b8_int8_tok_s"] = round(tok_s88, 1)
         except Exception as e:
             extra["decode_b8_int8_error"] = str(e)[:200]
+
+    # train-step throughput (~1B LM, full step incl. 8-bit AdamW update).
+    # Runs last: its ~10 GB working set needs the decode params freed.
+    if tok_s is not None and backend == "tpu" and os.environ.get("BENCH_TRAIN", "1") == "1":
+        gc.collect()
+        try:
+            ttok, tmfu = bench_train()
+            extra["train_1b_tok_s"] = round(ttok, 0)
+            extra["train_1b_mfu_pct"] = round(tmfu, 1)
+        except Exception as e:
+            extra["train_error"] = str(e)[:200]
 
     value = round(tok_s, 2) if tok_s is not None else 0.0
     dtype_label = quant_label or "bf16"

@@ -298,7 +298,7 @@ def dreamllm_forward(
     head_params: Params | None = None,
     rng: jax.Array | None = None,
     use_flash: bool = True,
-    remat: bool = False,
+    remat: bool | str = False,
     mesh=None,
 ) -> tuple[jnp.ndarray, dict]:
     """Joint training forward (reference DreamLLMForCausalMLM.forward :1353).

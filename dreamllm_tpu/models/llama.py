@@ -319,7 +319,7 @@ def llama_forward(
     positions: jnp.ndarray | None = None,
     kv_cache: Params | None = None,
     use_flash: bool = True,
-    remat: bool = False,
+    remat: bool | str = False,
     output_hidden_states: bool = False,
     output_stats: bool = False,
     ring_axis: str | None = None,
@@ -416,7 +416,20 @@ def llama_forward(
         return y, ys
 
     if remat:
-        step = jax.checkpoint(step, prevent_cse=False)
+        # remat=True (or "full"): save nothing, recompute the whole layer in
+        # backward — minimum memory, backward matmul work ~4/3 of no-remat.
+        # remat="dots": save every dot output (q/k/v/o, gate/up/down) and
+        # recompute only elementwise + the flash kernel — removes the matmul
+        # recompute entirely for ~2·(5H+2I)·B·S·L bytes of stacked residuals.
+        # Replaces the reference's all-or-nothing gradient_checkpointing
+        # (modeling_dreamllm.py:994-1003) with a policy knob.
+        if remat == "dots":
+            policy = jax.checkpoint_policies.dots_saveable
+        elif remat is True or remat == "full":
+            policy = None
+        else:
+            raise ValueError(f"unknown remat policy: {remat!r}")
+        step = jax.checkpoint(step, prevent_cse=False, policy=policy)
 
     if kv_cache is not None:
         if quantized_cache:

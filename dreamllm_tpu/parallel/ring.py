@@ -137,7 +137,7 @@ def ring_llama_forward(
     segment_ids: jnp.ndarray | None = None,
     positions: jnp.ndarray | None = None,
     axis: str = "fsdp",
-    remat: bool = False,
+    remat: bool | str = False,
 ) -> jnp.ndarray:
     """Full decoder forward with the SEQUENCE sharded over ``axis``.
 

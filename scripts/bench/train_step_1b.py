@@ -1,10 +1,18 @@
-"""Train-step throughput on the real chip: 1.4B-class LM, remat, AdamW."""
+"""Train-step throughput on the real chip: 1.4B-class LM, remat, AdamW.
+
+Usage: python scripts/bench/train_step_1b.py [full|dots]
+  full (default) — save-nothing remat (recompute whole layers in backward)
+  dots           — save matmul outputs, recompute only elementwise + flash
+"""
+import sys
 import time
 import bench
 bench._enable_compile_cache()
 import jax, jax.numpy as jnp
 import numpy as np
 import optax
+
+REMAT = sys.argv[1] if len(sys.argv) > 1 else "full"
 from dreamllm_tpu.train.optim8bit import adamw_8bit
 from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward, llama_logits
 
@@ -20,7 +28,7 @@ opt_state = jax.jit(tx.init)(params)
 B, S = 4, 2048
 
 def loss_fn(p, ids, labels):
-    h = llama_forward(p, cfg, input_ids=ids, use_flash=True, remat=True)["last_hidden_state"]
+    h = llama_forward(p, cfg, input_ids=ids, use_flash=True, remat=REMAT)["last_hidden_state"]
     logits = llama_logits(p, cfg, h)
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ll = jnp.take_along_axis(lp, labels[..., None], axis=-1)[..., 0]

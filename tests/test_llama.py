@@ -137,6 +137,33 @@ class TestMisc:
         ]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
 
+    def test_remat_dots_policy_matches(self):
+        # remat="dots" (save matmul outputs) must match no-remat in both the
+        # forward values and the gradient.
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(1), cfg)
+        ids = jnp.asarray(np.arange(8)[None])
+
+        def loss(p, remat):
+            h = llama_forward(p, cfg, input_ids=ids, use_flash=False, remat=remat)[
+                "last_hidden_state"
+            ]
+            return jnp.mean(h.astype(jnp.float32) ** 2)
+
+        (la, ga) = jax.value_and_grad(loss)(params, False)
+        (lb, gb) = jax.value_and_grad(loss)(params, "dots")
+        np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+        # grads match up to f32 reassociation noise at the loss's scale
+        scale = max(float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(ga))
+        jax.tree.map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-6 * max(scale, 1.0)
+            ),
+            ga, gb,
+        )
+        with pytest.raises(ValueError):
+            llama_forward(params, cfg, input_ids=ids, use_flash=False, remat="typo")
+
     def test_output_hidden_states(self):
         cfg = LlamaConfig(**TINY)
         params = init_llama_params(jax.random.PRNGKey(1), cfg)
