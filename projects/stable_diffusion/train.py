@@ -88,9 +88,9 @@ def main(argv=None):
 
     def embed_caption(text: str) -> np.ndarray:
         # crc32, not builtin hash(): PYTHONHASHSEED salting would make the
-    # embedding differ across processes/resumes (same pitfall documented
-    # in data/tokenization.py ToyTokenizer)
-    g = np.random.default_rng(zlib.crc32(text.encode()) % 2**31)
+        # embedding differ across processes/resumes (same pitfall documented
+        # in data/tokenization.py ToyTokenizer)
+        g = np.random.default_rng(zlib.crc32(text.encode()) % 2**31)
         return g.standard_normal((cond_len, cond_dim)).astype(np.float32)
 
     def stream():

@@ -1,0 +1,50 @@
+"""Every project entry point and config must parse and import.
+
+Regression guard: projects/stable_diffusion/train.py shipped for a while
+with an IndentationError because nothing imported it — entry points that
+only run under a launcher need at least a compile check.
+"""
+from __future__ import annotations
+
+import ast
+import importlib
+import pathlib
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+PROJECT_FILES = sorted(
+    p for p in (ROOT / "projects").rglob("*.py") if "__pycache__" not in p.parts
+)
+SCRIPT_FILES = sorted(
+    p for p in (ROOT / "scripts").rglob("*.py") if "__pycache__" not in p.parts
+)
+
+
+@pytest.mark.parametrize(
+    "path", PROJECT_FILES + SCRIPT_FILES,
+    ids=lambda p: str(p.relative_to(ROOT)),
+)
+def test_parses(path):
+    ast.parse(path.read_text(), filename=str(path))
+
+
+ENTRY_MODULES = [
+    "projects.dreamllm.train",
+    "projects.dreamllm.inference",
+    "projects.dreamllm.eval_nlp",
+    "projects.dreamllm.eval_t2i",
+    "projects.dreamllm.eval_vqa",
+    "projects.dreamllm_sdxl.train",
+    "projects.llava.train",
+    "projects.stable_diffusion.train",
+    "projects.stable_diffusion.sample",
+]
+
+
+@pytest.mark.parametrize("mod", ENTRY_MODULES)
+def test_imports(mod):
+    try:
+        importlib.import_module(mod)
+    except ModuleNotFoundError as e:
+        pytest.skip(f"module not present: {e}")
