@@ -66,10 +66,10 @@ def make_train_step(
     ``remat``: True/"full" = recompute whole layers in backward (min memory);
     "dots" = save per-layer matmul outputs, recompute only elementwise + the
     flash kernel, costing ~2·(5H+2I)·B·S·L extra bytes of stacked residuals.
-    Measured on v5e (0.94B, b4 s2048, flash): full 9.1k tok/s vs dots 9.0k —
-    the step is not recompute-bound at these shapes, so "full" stays the
-    default; the knob matters when a profile shows backward recompute
-    dominating (bigger H/I, shorter S).
+    Measured on v5e (0.94B, b4 s2048, flash, block-layout 8-bit AdamW):
+    full 11.7k tok/s vs dots 11.3k — the step is not recompute-bound at
+    these shapes, so "full" stays the default; the knob matters when a
+    profile shows backward recompute dominating (bigger H/I, shorter S).
 
     ``skip_nonfinite``: the reference's NaN/Inf loss filter (trainer.py:
     768-777) moved INSIDE the jitted step — on a non-finite loss or grad
