@@ -60,6 +60,52 @@ def sample_token(logits: jnp.ndarray, rng: jax.Array, cfg: SamplingConfig) -> jn
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
 
 
+def sample_token_per_row(
+    logits: jnp.ndarray,       # [B, V]
+    rng: jax.Array,
+    greedy: jnp.ndarray,       # [B] bool
+    temperature: jnp.ndarray,  # [B] f32
+    top_k: jnp.ndarray,        # [B] i32 (0 = off)
+    top_p: jnp.ndarray,        # [B] f32 (1.0 = off)
+) -> jnp.ndarray:
+    """``sample_token`` with PER-ROW sampling parameters — each row applies
+    its own greedy/temperature/top-k/top-p. This is what lets the
+    continuous-batching engine serve requests with different sampling
+    settings in ONE compiled decode (vLLM-class per-request params; the
+    reference's serve path fixes one setting per process). Row semantics
+    match the scalar path exactly: a row with greedy=True returns its
+    argmax; top-k cuts below the k-th largest (ties kept), then top-p keeps
+    the smallest prefix of the (post-top-k) sorted distribution reaching
+    ``top_p`` (always at least top-1).
+
+    The full path sorts [B, V] logits (top-k threshold + top-p cumsum);
+    a ``lax.cond`` skips ALL of it at runtime when every row is greedy, so
+    pure-greedy serving keeps the plain-argmax decode cost."""
+    _, v = logits.shape
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def _sampled():
+        l = logits / jnp.maximum(temperature, 1e-6)[:, None]
+        sorted_l = jnp.sort(l, axis=-1)[:, ::-1]  # descending
+        k = jnp.clip(top_k, 0, v)
+        k_on = (k > 0)[:, None]
+        kth = jnp.take_along_axis(sorted_l, jnp.maximum(k - 1, 0)[:, None], axis=-1)
+        lk = jnp.where(k_on & (l < kth), -jnp.inf, l)
+        # top-p over the post-top-k sorted values (a row's top-k cut tail is
+        # already below kth, so masking positions >= k reproduces the re-sort)
+        idx = jnp.arange(v, dtype=jnp.int32)[None, :]
+        sorted_k = jnp.where(k_on & (idx >= k[:, None]), -jnp.inf, sorted_l)
+        probs = jax.nn.softmax(sorted_k, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_mask = cum - probs >= top_p[:, None]
+        cutoff = jnp.where(cutoff_mask, jnp.inf, sorted_k).min(axis=-1, keepdims=True)
+        lk = jnp.where((top_p < 1.0)[:, None] & (lk < cutoff), -jnp.inf, lk)
+        sampled = jax.random.categorical(rng, lk, axis=-1).astype(jnp.int32)
+        return jnp.where(greedy, greedy_tok, sampled)
+
+    return jax.lax.cond(jnp.all(greedy), lambda: greedy_tok, _sampled)
+
+
 def generate_text(
     params,
     llm_cfg: LlamaConfig,

@@ -36,7 +36,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dreamllm_tpu.generation.sampler import SamplingConfig, sample_token
+from dreamllm_tpu.generation.sampler import (
+    SamplingConfig,
+    sample_token_per_row,
+)
 from dreamllm_tpu.models.llama import (
     LlamaConfig,
     init_kv_cache,
@@ -73,6 +76,12 @@ def init_engine_state(llm_cfg: LlamaConfig, ecfg: EngineConfig, rng=None) -> dic
         "active": jnp.zeros((ecfg.slots,), bool),
         "emitted": jnp.zeros((ecfg.slots,), jnp.int32),
         "budget": jnp.zeros((ecfg.slots,), jnp.int32),
+        # per-slot sampling params (vLLM-class per-request sampling in one
+        # compiled decode); placeholders — insert_fn sets the real values
+        "greedy": jnp.ones((ecfg.slots,), bool),
+        "temperature": jnp.ones((ecfg.slots,), jnp.float32),
+        "top_k": jnp.zeros((ecfg.slots,), jnp.int32),
+        "top_p": jnp.ones((ecfg.slots,), jnp.float32),
         "rng": rng if rng is not None else jax.random.PRNGKey(0),
     }
 
@@ -94,7 +103,7 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
         return init_kv_cache(llm_cfg, 1, S, dtype=dtype)
 
     @partial(jax.jit, donate_argnums=(1,))
-    def prefill_chunk_fn(params, cache, ids, clen, start, rng):
+    def prefill_chunk_fn(params, cache, ids, clen, start, rng, samp):
         """Append ONE P-token chunk (right-padded, ``clen`` real) to a
         prefill cache at absolute offset ``start``. Prompts longer than P
         prefill as a host loop of these — every non-final chunk is full, so
@@ -116,12 +125,16 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
             out["last_hidden_state"], jnp.maximum(clen - 1, 0)[:, None, None], axis=1
         )
         logits = llama_logits(params, llm_cfg, last)[:, 0]
-        first = sample_token(logits, rng, scfg)
+        first = sample_token_per_row(
+            logits, rng, samp["greedy"][None], samp["temperature"][None],
+            samp["top_k"][None], samp["top_p"][None],
+        )
         return out["kv_cache"], first[0]
 
     @partial(jax.jit, donate_argnums=(0,))
-    def insert_fn(state, pre_cache, plen, slot, first_tok, budget):
-        """Claim lane ``slot``: copy the prefilled K/V + reset lane metadata."""
+    def insert_fn(state, pre_cache, plen, slot, first_tok, budget, samp):
+        """Claim lane ``slot``: copy the prefilled K/V + reset lane metadata
+        (including the lane's per-request sampling params)."""
         cache = dict(state["cache"])
         for name in ("k", "v", "k_scale", "v_scale"):
             if name in cache:
@@ -145,6 +158,10 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
             "active": state["active"].at[slot].set(~eos_now & (budget > 0)),
             "emitted": state["emitted"].at[slot].set(0),
             "budget": state["budget"].at[slot].set(budget),
+            "greedy": state["greedy"].at[slot].set(samp["greedy"]),
+            "temperature": state["temperature"].at[slot].set(samp["temperature"]),
+            "top_k": state["top_k"].at[slot].set(samp["top_k"]),
+            "top_p": state["top_p"].at[slot].set(samp["top_p"]),
             "rng": state["rng"],
         }
 
@@ -172,7 +189,12 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
             # inactive lanes neither advance nor count (their seg write was 0)
             cache["index"] = jnp.where(active, idx0 + 1, idx0)
             logits = llama_logits(params, llm_cfg, out["last_hidden_state"])[:, 0]
-            nxt = sample_token(logits, sub, scfg)
+            # per-slot sampling params are constant within a chunk (insert
+            # happens only at chunk boundaries) — closed over, not carried
+            nxt = sample_token_per_row(
+                logits, sub, state["greedy"], state["temperature"],
+                state["top_k"], state["top_p"],
+            )
             emit = jnp.where(active, cur, scfg.pad_token_id)
             emitted = emitted + active.astype(jnp.int32)
             hit_stop = jnp.zeros_like(active)
@@ -193,7 +215,10 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
         carry, (toks, valid) = jax.lax.scan(step, carry, None, length=K)
         cache, cur, active, emitted, budget, rng = carry
         new_state = {"cache": cache, "cur_tok": cur, "active": active,
-                     "emitted": emitted, "budget": budget, "rng": rng}
+                     "emitted": emitted, "budget": budget, "rng": rng,
+                     "greedy": state["greedy"],
+                     "temperature": state["temperature"],
+                     "top_k": state["top_k"], "top_p": state["top_p"]}
         # per-step validity mask travels with the tokens: routing by mask
         # (not by == pad_token_id) keeps a genuinely generated pad-id token
         # (<unk> is id 0 in LLaMA vocabs) in the output stream.
@@ -215,11 +240,12 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
 
 class _Request:
     __slots__ = ("ids", "max_new_tokens", "tokens", "done", "slot", "stream",
-                 "error", "chunk_joined", "chunk_last")
+                 "error", "chunk_joined", "chunk_last", "samp")
 
-    def __init__(self, ids, max_new_tokens, stream=None):
+    def __init__(self, ids, max_new_tokens, stream=None, samp=None):
         self.ids = ids
         self.max_new_tokens = max_new_tokens
+        self.samp = samp  # per-request sampling params (host floats/ints)
         self.tokens: list[int] = []
         self.done = threading.Event()
         self.slot = -1
@@ -324,11 +350,32 @@ class ContinuousBatchingEngine:
         max_new_tokens: int = 128,
         timeout: float | None = 600.0,
         stream: Callable[[int], None] | None = None,
+        greedy: bool | None = None,
+        temperature: float | None = None,
+        top_k: int | None = None,
+        top_p: float | None = None,
     ) -> list[int]:
         """Block until the request finishes; returns generated token ids
         (EOS excluded). Prompts prefill in chunks; longer than the lane
-        (max_len - 1) truncates from the LEFT (keep recent context)."""
-        req = _Request(list(prompt_ids), max_new_tokens, stream)
+        (max_len - 1) truncates from the LEFT (keep recent context).
+
+        ``greedy``/``temperature``/``top_k``/``top_p`` override the engine's
+        SamplingConfig FOR THIS REQUEST only — lanes with different sampling
+        settings decode together in the same compiled chunk (per-row
+        sampling; ``sample_token_per_row``). Passing any of
+        temperature/top_k/top_p implies ``greedy=False`` unless ``greedy``
+        is given explicitly."""
+        s = self.scfg
+        if greedy is None:
+            greedy = (s.greedy if temperature is None and top_k is None
+                      and top_p is None else False)
+        samp = {
+            "greedy": bool(greedy),
+            "temperature": float(s.temperature if temperature is None else temperature),
+            "top_k": int(s.top_k if top_k is None else top_k),
+            "top_p": float(s.top_p if top_p is None else top_p),
+        }
+        req = _Request(list(prompt_ids), max_new_tokens, stream, samp)
         if not req.ids:
             raise ValueError("empty prompt (prepend a BOS token)")
         with self._submit_lock:
@@ -358,6 +405,16 @@ class ContinuousBatchingEngine:
         plen = len(ids)
         self._admit_count += 1
         rng = jax.random.fold_in(self._rng0, self._admit_count)
+        samp = req.samp or {
+            "greedy": self.scfg.greedy, "temperature": self.scfg.temperature,
+            "top_k": self.scfg.top_k, "top_p": self.scfg.top_p,
+        }
+        samp_dev = {
+            "greedy": jnp.asarray(samp["greedy"], bool),
+            "temperature": jnp.asarray(samp["temperature"], jnp.float32),
+            "top_k": jnp.asarray(samp["top_k"], jnp.int32),
+            "top_p": jnp.asarray(samp["top_p"], jnp.float32),
+        }
         # chunked prefill: host loop of P-token compiled appends — prompts
         # longer than prefill_len no longer truncate to it
         pre_cache = self.prefill_fn.empty_cache()
@@ -369,13 +426,14 @@ class ContinuousBatchingEngine:
             pre_cache, first = self.prefill_fn(
                 self.params, pre_cache, jnp.asarray(padded),
                 jnp.asarray([len(chunk)], jnp.int32), jnp.int32(start), rng,
+                samp_dev,
             )
         slot = self._free.pop()
         try:
             budget = min(req.max_new_tokens, self.ecfg.max_len - plen)
             self.state = self.insert_fn(
                 self.state, pre_cache, jnp.int32(plen), slot, first,
-                jnp.int32(budget),
+                jnp.int32(budget), samp_dev,
             )
         except Exception as e:
             self._free.append(slot)  # don't leak the lane on a failed insert

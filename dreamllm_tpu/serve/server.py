@@ -75,8 +75,19 @@ class ModelServer:
             bos = getattr(tok, "bos_token_id", 1)
         if bos is not None and (not ids or ids[0] != bos):
             ids = [bos] + list(ids)
+        kw = {}
+        # per-request sampling rides the engine's per-row sampler — lanes
+        # with different settings share one compiled decode
+        if "greedy" in req:
+            kw["greedy"] = bool(req["greedy"])
+        if "temperature" in req:
+            kw["temperature"] = float(req["temperature"])
+        if "top_k" in req:
+            kw["top_k"] = int(req["top_k"])
+        if "top_p" in req:
+            kw["top_p"] = float(req["top_p"])
         out = self._engine.submit(
-            ids, max_new_tokens=int(req.get("max_new_tokens", 128))
+            ids, max_new_tokens=int(req.get("max_new_tokens", 128)), **kw
         )
         return tok.decode(out).strip()
 

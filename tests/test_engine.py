@@ -251,6 +251,11 @@ def test_engine_backed_http_server(small):
         for p, got in zip(["a", "bb", "ccc", "dddd"], outs):
             ref = _ref_tokens(cfg, params, [1] + tok.encode(p), 5)
             assert got == tok.decode(ref).strip()
+        # per-request sampling fields ride through the JSON contract to the
+        # engine's per-row sampler (greedy neighbors stay unaffected — the
+        # parity assertions above already ran concurrently in other lanes)
+        sampled = client.generate("hi", max_new_tokens=5, temperature=1.2, top_k=6)
+        assert isinstance(sampled, str)
     finally:
         server.stop()
 
@@ -352,6 +357,65 @@ def test_engine_routes_pad_id_tokens(small):
     try:
         got = eng.submit([1, 17], max_new_tokens=3, timeout=120)
         assert got.count(0) >= 3  # pad-id tokens delivered, not dropped
+    finally:
+        eng.stop()
+
+
+def test_sample_token_per_row_semantics():
+    """Per-row sampler: greedy rows return argmax regardless of neighbors;
+    top-k / top-p rows only ever sample inside their own truncated support."""
+    from dreamllm_tpu.generation.sampler import sample_token_per_row
+
+    v = 16
+    base = jnp.asarray(
+        [3.0, 2.5, 2.0, 0.0] + [-5.0] * (v - 4), jnp.float32
+    )
+    logits = jnp.stack([base, base, base, base])
+    greedy = jnp.asarray([True, False, False, False])
+    temp = jnp.asarray([1.0, 1.0, 1.0, 0.25], jnp.float32)
+    top_k = jnp.asarray([0, 2, 0, 0], jnp.int32)
+    top_p = jnp.asarray([1.0, 1.0, 0.5, 1.0], jnp.float32)
+    seen = [set() for _ in range(4)]
+    for i in range(60):
+        toks = np.asarray(sample_token_per_row(
+            logits, jax.random.PRNGKey(i), greedy, temp, top_k, top_p))
+        for r in range(4):
+            seen[r].add(int(toks[r]))
+    assert seen[0] == {0}                      # greedy row: argmax only
+    assert seen[1] <= {0, 1}                   # top-k=2: top-2 support only
+    # top-p=0.5: softmax(base) gives p(top-1)≈0.493 < 0.5, so the smallest
+    # prefix reaching 0.5 is the top-2 — exactly {0, 1}
+    assert seen[2] == {0, 1}
+    assert seen[3] <= {0, 1, 2, 3} and len(seen[3]) >= 2  # sharpened but free
+
+
+def test_engine_per_request_sampling(small):
+    """A greedy request stays token-identical to the reference while a
+    temperature-sampled request decodes in the SAME chunks; the sampled
+    one returns the full budget of in-vocab tokens."""
+    cfg, params = small
+    eng = _engine(cfg, params, slots=2).start()
+    results = {}
+
+    def greedy_worker():
+        results["greedy"] = eng.submit([1, 17, 23, 42], max_new_tokens=12)
+
+    def sampled_worker():
+        results["sampled"] = eng.submit(
+            [1, 99, 3], max_new_tokens=10, temperature=1.3, top_k=8)
+
+    try:
+        ts = [threading.Thread(target=greedy_worker),
+              threading.Thread(target=sampled_worker)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert results["greedy"] == _ref_tokens(cfg, params, [1, 17, 23, 42], 12)
+        # the sampled lane may hit EOS early (it samples freely) but must
+        # finish cleanly within its budget
+        assert "sampled" in results and len(results["sampled"]) <= 10
+        assert all(0 <= t < cfg.vocab_size for t in results["sampled"])
     finally:
         eng.stop()
 

@@ -324,9 +324,9 @@ class TestServeEngineShutdown:
         class Spy:
             empty_cache = staticmethod(orig.empty_cache)
 
-            def __call__(self, params, cache, ids, clen, start, rng):
+            def __call__(self, params, cache, ids, clen, start, rng, samp):
                 seen.setdefault("chunks", []).append(np.asarray(ids)[0])
-                return orig(params, cache, ids, clen, start, rng)
+                return orig(params, cache, ids, clen, start, rng, samp)
 
         eng.prefill_fn = Spy()
         from dreamllm_tpu.serve.engine import _Request
