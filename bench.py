@@ -183,16 +183,26 @@ def bench_engine(hidden, inter, layers, heads, kv_heads, n_requests=32,
     ecfg = EngineConfig(slots=slots, prefill_len=128, max_len=512, chunk_steps=16)
     eng = ContinuousBatchingEngine(params, cfg, scfg, ecfg).start()
     rng = np.random.default_rng(0)
+    # a DIFFERENT prompt per request, generated up-front on ONE thread:
+    # np.random.Generator is not thread-safe, and racing threads could read
+    # overlapping state and emit duplicate prompts — which the tunnel's
+    # execution cache would then serve without running, inflating the number
+    prompts = [[1] + rng.integers(10, 31000, 127).tolist()
+               for _ in range(n_requests + 1)]
+    errors: list[Exception] = []
 
     def one(i, out):
-        # a different prompt per request: identical (program, args) pairs can
-        # be served from an execution cache in this tunnelled environment
-        ids = [1] + rng.integers(10, 31000, 127).tolist()
-        out[i] = eng.submit(ids, max_new_tokens=new_tokens, timeout=3000)
+        try:
+            out[i] = eng.submit(prompts[i + 1], max_new_tokens=new_tokens,
+                                timeout=3000)
+        except Exception as e:  # threading swallows exceptions — surface them
+            errors.append(e)
 
     try:
         w = {}
         one(-1, w)  # warmup: compiles prefill/insert/decode-chunk
+        if errors:
+            raise errors[0]
         outs = {}
         threads = [threading.Thread(target=one, args=(i, outs))
                    for i in range(n_requests)]
@@ -202,6 +212,11 @@ def bench_engine(hidden, inter, layers, heads, kv_heads, n_requests=32,
         for t in threads:
             t.join()
         dt = time.perf_counter() - t0
+        if errors or len(outs) != n_requests:
+            # a silently missing request would just deflate tok/s — report
+            # engine_error instead of recording a wrong measurement
+            raise errors[0] if errors else RuntimeError(
+                f"only {len(outs)}/{n_requests} requests completed")
         total = sum(len(v) for v in outs.values())
         return total / dt
     finally:

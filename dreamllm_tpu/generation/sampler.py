@@ -91,10 +91,12 @@ def sample_token_per_row(
         k_on = (k > 0)[:, None]
         kth = jnp.take_along_axis(sorted_l, jnp.maximum(k - 1, 0)[:, None], axis=-1)
         lk = jnp.where(k_on & (l < kth), -jnp.inf, l)
-        # top-p over the post-top-k sorted values (a row's top-k cut tail is
-        # already below kth, so masking positions >= k reproduces the re-sort)
-        idx = jnp.arange(v, dtype=jnp.int32)[None, :]
-        sorted_k = jnp.where(k_on & (idx >= k[:, None]), -jnp.inf, sorted_l)
+        # top-p over the post-top-k sorted values. Mask by VALUE (< kth),
+        # exactly like the unsorted cut above — masking by position (>= k)
+        # would drop entries TIED with the k-th largest from the top-p mass
+        # while lk keeps them, shrinking the cumsum support and cutting
+        # tokens the scalar sample_token path keeps.
+        sorted_k = jnp.where(k_on & (sorted_l < kth), -jnp.inf, sorted_l)
         probs = jax.nn.softmax(sorted_k, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         cutoff_mask = cum - probs >= top_p[:, None]

@@ -190,9 +190,13 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
             cache["index"] = jnp.where(active, idx0 + 1, idx0)
             logits = llama_logits(params, llm_cfg, out["last_hidden_state"])[:, 0]
             # per-slot sampling params are constant within a chunk (insert
-            # happens only at chunk boundaries) — closed over, not carried
+            # happens only at chunk boundaries) — closed over, not carried.
+            # Inactive lanes count as greedy: their sampled token is never
+            # emitted (and the lane never reactivates), so a FINISHED
+            # sampled request must not keep defeating the all-greedy
+            # fast path (lane params are only rewritten at the next insert).
             nxt = sample_token_per_row(
-                logits, sub, state["greedy"], state["temperature"],
+                logits, sub, state["greedy"] | ~active, state["temperature"],
                 state["top_k"], state["top_p"],
             )
             emit = jnp.where(active, cur, scfg.pad_token_id)
@@ -375,6 +379,18 @@ class ContinuousBatchingEngine:
             "top_k": int(s.top_k if top_k is None else top_k),
             "top_p": float(s.top_p if top_p is None else top_p),
         }
+        # these reach a compiled sampler and (via the HTTP contract) are
+        # CLIENT-controlled: reject values that poison the row instead of
+        # returning max_new_tokens copies of <unk> (top_p<=0 masks every
+        # logit to -inf; JSON accepts NaN for temperature)
+        import math
+
+        if not math.isfinite(samp["temperature"]) or samp["temperature"] < 0:
+            raise ValueError(f"temperature must be finite and >= 0, got {samp['temperature']}")
+        if not (0.0 < samp["top_p"] <= 1.0) or math.isnan(samp["top_p"]):
+            raise ValueError(f"top_p must be in (0, 1], got {samp['top_p']}")
+        if samp["top_k"] < 0:
+            raise ValueError(f"top_k must be >= 0, got {samp['top_k']}")
         req = _Request(list(prompt_ids), max_new_tokens, stream, samp)
         if not req.ids:
             raise ValueError("empty prompt (prepend a BOS token)")

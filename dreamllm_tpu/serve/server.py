@@ -153,6 +153,11 @@ class ModelServer:
                             self._send(200, {"logprobs": [float(x) for x in lps]})
                         else:
                             self._send(404, {"error": "not found"})
+                except ValueError as e:
+                    # invalid client input (e.g. out-of-range sampling
+                    # params rejected by engine.submit) — client error,
+                    # not a server fault
+                    self._send(400, {"error": str(e)})
                 except Exception as e:
                     logger.exception("request failed")
                     self._send(500, {"error": str(e)})

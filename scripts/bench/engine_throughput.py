@@ -21,9 +21,11 @@ ecfg = EngineConfig(slots=8, prefill_len=128, max_len=512, chunk_steps=16)
 eng = ContinuousBatchingEngine(params, cfg, scfg, ecfg).start()
 
 rng = np.random.default_rng(0)
+# pre-generate on one thread: np.random.Generator is not thread-safe, and
+# duplicate prompts would be served from the tunnel's execution cache
+prompts = [[1] + rng.integers(10, 31000, 127).tolist() for _ in range(64)]
 def one_request(i, out):
-    ids = [1] + rng.integers(10, 31000, 127).tolist()
-    out[i] = eng.submit(ids, max_new_tokens=128, timeout=3000)
+    out[i] = eng.submit(prompts[i], max_new_tokens=128, timeout=3000)
 
 # warmup: compile prefill/insert/chunk
 w = {}

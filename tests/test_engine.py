@@ -286,6 +286,26 @@ def test_engine_overlong_prompt_left_truncates(small):
         eng.stop()
 
 
+def test_engine_rejects_bad_sampling_params(small):
+    """Client-controlled sampling params are range-checked at submit: top_p
+    <= 0 would mask every logit to -inf (max_new_tokens copies of <unk>),
+    NaN temperature would poison the row — both must fail fast."""
+    cfg, params = small
+    eng = _engine(cfg, params).start()
+    try:
+        with pytest.raises(ValueError, match="top_p"):
+            eng.submit([1, 5], max_new_tokens=2, top_p=0.0)
+        with pytest.raises(ValueError, match="temperature"):
+            eng.submit([1, 5], max_new_tokens=2, temperature=float("nan"))
+        with pytest.raises(ValueError, match="top_k"):
+            eng.submit([1, 5], max_new_tokens=2, top_k=-3)
+        # the engine still serves after rejected submits
+        assert eng.submit([1, 5], max_new_tokens=2) == _ref_tokens(
+            cfg, params, [1, 5], 2)
+    finally:
+        eng.stop()
+
+
 def test_engine_rejects_bad_config_and_empty_prompt(small):
     cfg, params = small
     with pytest.raises(ValueError, match="multiple of prefill_len"):
@@ -387,6 +407,30 @@ def test_sample_token_per_row_semantics():
     # prefix reaching 0.5 is the top-2 — exactly {0, 1}
     assert seen[2] == {0, 1}
     assert seen[3] <= {0, 1, 2, 3} and len(seen[3]) >= 2  # sharpened but free
+
+
+def test_sample_token_per_row_matches_scalar_on_kth_ties():
+    """Ties at the k-th largest logit: the scalar path keeps ALL tied
+    entries (cut is `l < kth`), and the per-row path's top-p mass must be
+    computed over the same tied support — the combined top-k=2 + top-p=0.6
+    support is {0,1,2,3}, not just {0}."""
+    from dreamllm_tpu.generation.sampler import (
+        SamplingConfig, sample_token, sample_token_per_row,
+    )
+
+    v = 12
+    row = jnp.asarray([3.0, 2.0, 2.0, 2.0] + [-9.0] * (v - 4), jnp.float32)
+    scfg = SamplingConfig(greedy=False, temperature=1.0, top_k=2, top_p=0.6)
+    scalar_seen, row_seen = set(), set()
+    for i in range(80):
+        rng = jax.random.PRNGKey(i)
+        scalar_seen.add(int(np.asarray(sample_token(row[None], rng, scfg))[0]))
+        row_seen.add(int(np.asarray(sample_token_per_row(
+            row[None], rng,
+            jnp.asarray([False]), jnp.asarray([1.0], jnp.float32),
+            jnp.asarray([2], jnp.int32), jnp.asarray([0.6], jnp.float32)))[0]))
+    assert scalar_seen == row_seen, (scalar_seen, row_seen)
+    assert row_seen == {0, 1, 2, 3}
 
 
 def test_engine_per_request_sampling(small):
