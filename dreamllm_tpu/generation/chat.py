@@ -110,3 +110,54 @@ def chat(
     n = int(out["lengths"][0])
     return {"text": tokenizer.decode(np.asarray(out["tokens"][0, :n]).tolist()),
             "images": []}
+
+
+def make_chat_fn(
+    params,
+    cfg: DreamLLMConfig,
+    tokenizer,
+    *,
+    head_params=None,
+    head_cfg=None,
+    template: str = "vicuna_v1.1",
+    interleaved: InterleavedConfig | None = None,
+):
+    """Close over model state → the ``ModelServer(chat_fn=...)`` contract:
+
+        (messages: list[dict], images: list[HWC arrays], req: dict)
+        → {"text": str, "images": [float arrays]}
+
+    ``req`` carries the per-request knobs from the JSON body
+    (max_new_tokens / greedy / temperature / top_k / top_p / seed /
+    template); sampling values are range-checked before they reach the
+    compiled sampler. This is the multimodal serving entry the reference
+    never shipped (its serve shim is text-only, language_eval tools/serve).
+    """
+    from dreamllm_tpu.generation.sampler import validate_sampling
+
+    def chat_fn(messages, images, req: dict) -> dict:
+        msgs = [
+            m if isinstance(m, Message)
+            else Message(m["role"], m.get("content", ""))
+            for m in messages
+        ]
+        explicit = any(k in req for k in ("temperature", "top_k", "top_p"))
+        greedy = bool(req.get("greedy", not explicit))
+        temperature = float(req.get("temperature", 1.0))
+        top_k = int(req.get("top_k", 0))
+        top_p = float(req.get("top_p", 1.0))
+        validate_sampling(temperature, top_k, top_p)
+        scfg = SamplingConfig(
+            greedy=greedy, temperature=temperature, top_k=top_k, top_p=top_p,
+            max_new_tokens=int(req.get("max_new_tokens", 128)),
+            eos_token_id=cfg.special_tokens.eos,
+        )
+        return chat(
+            params, cfg, tokenizer, msgs, images,
+            sampling=scfg, template=str(req.get("template", template)),
+            head_params=head_params, head_cfg=head_cfg,
+            interleaved=interleaved,
+            rng=jax.random.PRNGKey(int(req.get("seed", 0))),
+        )
+
+    return chat_fn

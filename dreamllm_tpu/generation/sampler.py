@@ -39,6 +39,22 @@ class SamplingConfig:
     stop_tokens: tuple[int, ...] = ()
 
 
+def validate_sampling(temperature: float, top_k: int, top_p: float) -> None:
+    """Reject sampling params that poison a row instead of failing loudly:
+    ``top_p <= 0`` masks every logit to -inf (the output degenerates to
+    token 0 forever), JSON-supplied NaN temperature poisons the logits.
+    Serving paths call this on CLIENT-controlled values before they reach
+    a compiled sampler (engine.submit, the /chat handler)."""
+    import math
+
+    if not math.isfinite(temperature) or temperature < 0:
+        raise ValueError(f"temperature must be finite and >= 0, got {temperature}")
+    if math.isnan(top_p) or not (0.0 < top_p <= 1.0):
+        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+    if top_k < 0:
+        raise ValueError(f"top_k must be >= 0, got {top_k}")
+
+
 def sample_token(logits: jnp.ndarray, rng: jax.Array, cfg: SamplingConfig) -> jnp.ndarray:
     """Sample next token ids from [B, V] logits."""
     if cfg.greedy:

@@ -380,17 +380,10 @@ class ContinuousBatchingEngine:
             "top_p": float(s.top_p if top_p is None else top_p),
         }
         # these reach a compiled sampler and (via the HTTP contract) are
-        # CLIENT-controlled: reject values that poison the row instead of
-        # returning max_new_tokens copies of <unk> (top_p<=0 masks every
-        # logit to -inf; JSON accepts NaN for temperature)
-        import math
+        # CLIENT-controlled — reject values that poison the row
+        from dreamllm_tpu.generation.sampler import validate_sampling
 
-        if not math.isfinite(samp["temperature"]) or samp["temperature"] < 0:
-            raise ValueError(f"temperature must be finite and >= 0, got {samp['temperature']}")
-        if not (0.0 < samp["top_p"] <= 1.0) or math.isnan(samp["top_p"]):
-            raise ValueError(f"top_p must be in (0, 1], got {samp['top_p']}")
-        if samp["top_k"] < 0:
-            raise ValueError(f"top_k must be >= 0, got {samp['top_k']}")
+        validate_sampling(samp["temperature"], samp["top_k"], samp["top_p"])
         req = _Request(list(prompt_ids), max_new_tokens, stream, samp)
         if not req.ids:
             raise ValueError("empty prompt (prepend a BOS token)")

@@ -7,7 +7,14 @@ stdlib ``http.server`` — same JSON contract:
 
     POST /generate  {"prompt": str, "max_new_tokens": int, ...} → {"text": str}
     POST /logprob   {"context": str, "continuations": [str]}    → {"logprobs": [...]}
+    POST /chat      {"messages": [{"role","content"}], "images": [b64], ...}
+                                         → {"text": str, "images": [b64 PNG]}
     GET  /health                                                → {"ok": true}
+
+Beyond the reference: ``chat_fn=`` (see ``generation.chat.make_chat_fn``)
+serves MULTIMODAL chat — image inputs ride the JSON body base64-encoded,
+``<image>`` placeholders in message content mark their positions, and an
+interleaved-capable model can answer WITH images (returned base64).
 
 The server owns one model. Three /generate execution modes, by construction
 argument:
@@ -44,9 +51,11 @@ class ModelServer:
         batch_window_ms: float = 10.0,
         engine=None,               # ContinuousBatchingEngine (serve/engine.py)
         tokenizer=None,            # required with engine=
+        chat_fn: Callable[[list, list, dict], dict] | None = None,
     ):
         self.generate_fn = generate_fn
         self.logprob_fn = logprob_fn
+        self._chat_fn = chat_fn
         self.host, self.port = host, port
         self._lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
@@ -142,6 +151,22 @@ class ModelServer:
                         text = server._batcher.submit(prompt)
                         self._send(200, {"text": text})
                         return
+                    if self.path == "/chat" and server._chat_fn is not None:
+                        from dreamllm_tpu.utils.image import (
+                            base64_to_image,
+                            image_to_base64,
+                        )
+
+                        msgs = req.pop("messages", [])
+                        imgs = [base64_to_image(s) for s in req.pop("images", [])]
+                        with server._lock:  # model is a single resource
+                            out = server._chat_fn(msgs, imgs, req)
+                        self._send(200, {
+                            "text": out["text"],
+                            "images": [image_to_base64(a)
+                                       for a in out.get("images", [])],
+                        })
+                        return
                     with server._lock:  # model is a single resource
                         if self.path == "/generate" and server.generate_fn:
                             text = server.generate_fn(req.pop("prompt", ""), req)
@@ -208,6 +233,22 @@ class OnlineClient:
 
     def generate(self, prompt: str, **kw) -> str:
         return self._post("/generate", {"prompt": prompt, **kw})["text"]
+
+    def chat(self, messages: list, images: list = (), **kw) -> dict:
+        """Multimodal chat turn. ``messages``: [{"role","content"}] with
+        ``<image>`` placeholders; ``images``: HWC arrays (base64-encoded on
+        the wire) or pre-encoded base64 strings. Returns {"text", "images"}
+        with any generated images decoded back to uint8 HWC arrays."""
+        from dreamllm_tpu.utils.image import base64_to_image, image_to_base64
+
+        payload_images = [
+            img if isinstance(img, str) else image_to_base64(img)
+            for img in images
+        ]
+        out = self._post("/chat", {"messages": list(messages),
+                                   "images": payload_images, **kw})
+        out["images"] = [base64_to_image(s) for s in out.get("images", [])]
+        return out
 
     def logprob(self, context: str, continuations: list[str]) -> list[float]:
         return self._post("/logprob", {"context": context, "continuations": continuations})[

@@ -64,6 +64,40 @@ class TestChat:
         assert isinstance(out["text"], str)
 
 
+class TestChatServer:
+    def test_multimodal_chat_over_http(self):
+        """/chat serves a multimodal turn end-to-end: base64 image in the
+        JSON body, <image> placeholder in the message, text out — and the
+        result matches the in-process chat() call exactly."""
+        from dreamllm_tpu.generation.chat import make_chat_fn
+        from dreamllm_tpu.serve import ModelServer, OnlineClient
+
+        params = init_dreamllm_params(jax.random.PRNGKey(0), CFG)
+        tok = DecToy()
+        server = ModelServer(chat_fn=make_chat_fn(params, CFG, tok), port=0).start()
+        try:
+            client = OnlineClient(f"http://127.0.0.1:{server.port}")
+            img = (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(np.uint8)
+            msgs = [{"role": "user", "content": "describe <image>"}]
+            out = client.chat(msgs, images=[img], max_new_tokens=4)
+            assert isinstance(out["text"], str) and out["images"] == []
+            ref = chat(
+                params, CFG, tok, [Message("user", "describe <image>")],
+                images=[img],
+                sampling=SamplingConfig(greedy=True, max_new_tokens=4,
+                                        eos_token_id=CFG.special_tokens.eos),
+            )
+            assert out["text"] == ref["text"]
+            # invalid sampling params → HTTP 400, not a poisoned row
+            import urllib.error
+
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                client.chat(msgs, images=[img], max_new_tokens=2, top_p=0.0)
+            assert ei.value.code == 400
+        finally:
+            server.stop()
+
+
 class TestPrefetch:
     def test_device_prefetch_order_and_completeness(self):
         items = [{"x": np.full((2,), i)} for i in range(7)]
