@@ -8,6 +8,7 @@ decode-then-diffuse loop so the assistant can answer WITH images.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Sequence
 
 import jax
@@ -20,6 +21,7 @@ from dreamllm_tpu.generation.interleaved import InterleavedConfig, generate_inte
 from dreamllm_tpu.generation.sampler import SamplingConfig, generate_text
 from dreamllm_tpu.models.clip import clip_preprocess
 from dreamllm_tpu.models.dreamllm import DreamLLMConfig, multimodal_embed
+from dreamllm_tpu.utils.errors import ClientError
 
 IMAGE_PLACEHOLDER = "<image>"
 
@@ -36,7 +38,7 @@ def encode_chat_prompt(
     prompt = render_prompt(TEMPLATES[template], list(messages))
     parts = prompt.split(IMAGE_PLACEHOLDER)
     if len(parts) - 1 != len(images):
-        raise ValueError(
+        raise ClientError(
             f"{len(parts) - 1} <image> placeholders but {len(images)} images"
         )
     ids: list[int] = [st.bos]
@@ -85,11 +87,23 @@ def chat(
     ids, pix, pos = encode_chat_prompt(tokenizer, cfg, messages, images, template)
 
     if head_params is not None and head_cfg is not None:
-        icfg = interleaved or InterleavedConfig(
-            sampling=sampling or SamplingConfig(
-                greedy=True, eos_token_id=cfg.special_tokens.eos
+        if interleaved is not None and sampling is not None:
+            # per-request sampling overrides the construction-time defaults;
+            # the request's token budget is honored but capped at the
+            # server-configured budget (it bounds the KV-cache allocation)
+            icfg = dataclasses.replace(
+                interleaved,
+                sampling=sampling,
+                max_new_tokens=min(
+                    sampling.max_new_tokens, interleaved.max_new_tokens
+                ),
             )
-        )
+        else:
+            icfg = interleaved or InterleavedConfig(
+                sampling=sampling or SamplingConfig(
+                    greedy=True, eos_token_id=cfg.special_tokens.eos
+                )
+            )
         out = generate_interleaved(
             params, cfg, head_params, head_cfg, ids, icfg, rng,
             prompt_images=pix, prompt_image_positions=pos,
@@ -121,6 +135,7 @@ def make_chat_fn(
     head_cfg=None,
     template: str = "vicuna_v1.1",
     interleaved: InterleavedConfig | None = None,
+    max_new_tokens_limit: int = 1024,
 ):
     """Close over model state → the ``ModelServer(chat_fn=...)`` contract:
 
@@ -147,14 +162,27 @@ def make_chat_fn(
         top_k = int(req.get("top_k", 0))
         top_p = float(req.get("top_p", 1.0))
         validate_sampling(temperature, top_k, top_p)
+        # max_new_tokens sizes the KV cache and token buffers — an
+        # unbounded client value would OOM the chip, so clamp to the
+        # server-configured limit and reject nonsense
+        mnt = int(req.get("max_new_tokens", 128))
+        if not 1 <= mnt <= max_new_tokens_limit:
+            raise ClientError(
+                f"max_new_tokens must be in [1, {max_new_tokens_limit}], got {mnt}"
+            )
+        tmpl = str(req.get("template", template))
+        if tmpl not in TEMPLATES:
+            raise ClientError(
+                f"unknown template {tmpl!r}; available: {sorted(TEMPLATES)}"
+            )
         scfg = SamplingConfig(
             greedy=greedy, temperature=temperature, top_k=top_k, top_p=top_p,
-            max_new_tokens=int(req.get("max_new_tokens", 128)),
+            max_new_tokens=mnt,
             eos_token_id=cfg.special_tokens.eos,
         )
         return chat(
             params, cfg, tokenizer, msgs, images,
-            sampling=scfg, template=str(req.get("template", template)),
+            sampling=scfg, template=tmpl,
             head_params=head_params, head_cfg=head_cfg,
             interleaved=interleaved,
             rng=jax.random.PRNGKey(int(req.get("seed", 0))),

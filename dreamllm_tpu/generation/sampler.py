@@ -44,15 +44,18 @@ def validate_sampling(temperature: float, top_k: int, top_p: float) -> None:
     ``top_p <= 0`` masks every logit to -inf (the output degenerates to
     token 0 forever), JSON-supplied NaN temperature poisons the logits.
     Serving paths call this on CLIENT-controlled values before they reach
-    a compiled sampler (engine.submit, the /chat handler)."""
+    a compiled sampler (engine.submit, the /chat handler). Raises
+    ``ClientError`` (a ValueError) so the HTTP layer maps it to 400."""
     import math
 
+    from dreamllm_tpu.utils.errors import ClientError
+
     if not math.isfinite(temperature) or temperature < 0:
-        raise ValueError(f"temperature must be finite and >= 0, got {temperature}")
+        raise ClientError(f"temperature must be finite and >= 0, got {temperature}")
     if math.isnan(top_p) or not (0.0 < top_p <= 1.0):
-        raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+        raise ClientError(f"top_p must be in (0, 1], got {top_p}")
     if top_k < 0:
-        raise ValueError(f"top_k must be >= 0, got {top_k}")
+        raise ClientError(f"top_k must be >= 0, got {top_k}")
 
 
 def sample_token(logits: jnp.ndarray, rng: jax.Array, cfg: SamplingConfig) -> jnp.ndarray:

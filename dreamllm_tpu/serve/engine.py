@@ -386,7 +386,9 @@ class ContinuousBatchingEngine:
         validate_sampling(samp["temperature"], samp["top_k"], samp["top_p"])
         req = _Request(list(prompt_ids), max_new_tokens, stream, samp)
         if not req.ids:
-            raise ValueError("empty prompt (prepend a BOS token)")
+            from dreamllm_tpu.utils.errors import ClientError
+
+            raise ClientError("empty prompt (prepend a BOS token)")
         with self._submit_lock:
             if self._stopped:
                 raise RuntimeError("engine stopped")
@@ -464,6 +466,24 @@ class ContinuousBatchingEngine:
         self._free.append(slot)
         req.done.set()
 
+    @staticmethod
+    def _deliver(req, row_toks, row_valid) -> None:
+        """Append one chunk row's valid tokens to ``req`` (+ stream them).
+        A raising stream callback must not kill the scheduler thread: it is
+        logged once and streaming is disabled for that request — tokens
+        still accumulate and the submitter gets them on completion."""
+        for t, ok in zip(row_toks, row_valid):
+            if not ok:
+                continue
+            t = int(t)
+            req.tokens.append(t)
+            if req.stream:
+                try:
+                    req.stream(t)
+                except Exception:
+                    logger.exception("stream callback failed; disabling")
+                    req.stream = None
+
     def _route(self, toks: np.ndarray, valid: np.ndarray, chunk_idx: int) -> None:
         """Distribute a chunk's [B, K] tokens to their requests. Routing is
         by the per-step validity mask, NOT by comparing against the pad id —
@@ -474,13 +494,7 @@ class ContinuousBatchingEngine:
         for slot, req in list(self._by_slot.items()):
             if req.chunk_joined > chunk_idx:
                 continue
-            for t, ok in zip(toks[slot], valid[slot]):
-                if not ok:
-                    continue
-                t = int(t)
-                req.tokens.append(t)
-                if req.stream:
-                    req.stream(t)
+            self._deliver(req, toks[slot], valid[slot])
 
     def _fail_all(self, exc: Exception) -> None:
         """A scheduler-loop error poisons every in-flight request visibly
@@ -586,12 +600,7 @@ class ContinuousBatchingEngine:
                 still = []
                 for r in self._retired:
                     if r.chunk_joined <= chunk_idx <= r.chunk_last:
-                        for t, ok in zip(toks_np[r.slot], valid_np[r.slot]):
-                            if ok:
-                                t = int(t)
-                                r.tokens.append(t)
-                                if r.stream:
-                                    r.stream(t)
+                        self._deliver(r, toks_np[r.slot], valid_np[r.slot])
                     if chunk_idx >= r.chunk_last:
                         r.done.set()
                     else:

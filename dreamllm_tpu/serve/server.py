@@ -33,6 +33,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable
 
+from dreamllm_tpu.utils.errors import ClientError
 from dreamllm_tpu.utils.logging import get_logger
 
 logger = get_logger("dreamllm_tpu.serve")
@@ -178,12 +179,14 @@ class ModelServer:
                             self._send(200, {"logprobs": [float(x) for x in lps]})
                         else:
                             self._send(404, {"error": "not found"})
-                except ValueError as e:
-                    # invalid client input (e.g. out-of-range sampling
-                    # params rejected by engine.submit) — client error,
-                    # not a server fault
+                except ClientError as e:
+                    # invalid client input (out-of-range sampling params,
+                    # unknown template, placeholder mismatch) — 400, no
+                    # server-side stack trace needed
                     self._send(400, {"error": str(e)})
                 except Exception as e:
+                    # everything else — including a plain ValueError from a
+                    # model-side shape bug — is a server fault: log it
                     logger.exception("request failed")
                     self._send(500, {"error": str(e)})
 

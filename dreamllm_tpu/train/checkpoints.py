@@ -26,6 +26,7 @@ import re
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 
@@ -174,8 +175,55 @@ def load_opt_state(path: str, like: Any = None) -> Any:
     src = os.path.join(path, "opt_state")
     if like is not None:
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, like)
-        return ckpt.restore(src, args=ocp.args.PyTreeRestore(target))
+        try:
+            out = ckpt.restore(src, args=ocp.args.PyTreeRestore(target))
+        except Exception:
+            out = ckpt.restore(src)
+        # layout migration: 8-bit moment codes used to be stored flat
+        # int8 [padded_n]; they are now block-shaped [n_blocks, 256]
+        # (train/optim8bit.py _Moment). Orbax restores the SAVED shapes
+        # even with a target, so reshape element-count-preserving
+        # mismatches onto the template layout here.
+        like_shapes = [getattr(l, "shape", None) for l in jax.tree.leaves(like)]
+        out_shapes = [getattr(l, "shape", None) for l in jax.tree.leaves(out)]
+        if like_shapes != out_shapes:
+            out = _migrate_opt_state(out, like)
+        return out
     return ckpt.restore(src)
+
+
+def _migrate_opt_state(raw: Any, like: Any) -> Any:
+    """Fit a restored opt-state onto ``like``'s tree, reshaping leaves whose
+    element count matches but whose layout changed (flat→block int8 codes).
+
+    Leaf ORDER must correspond between the two trees: orbax restores
+    NamedTuples as dicts, but both flatten fields in the same order here
+    (optax state fields are alphabetical-stable for these states), and every
+    pairing is verified by element count + dtype before use."""
+    like_leaves, treedef = jax.tree.flatten(like)
+    raw_leaves = jax.tree.leaves(raw)
+    if len(raw_leaves) != len(like_leaves):
+        raise ValueError(
+            f"cannot migrate opt state: {len(raw_leaves)} leaves saved vs "
+            f"{len(like_leaves)} expected"
+        )
+    out = []
+    for l, r in zip(like_leaves, raw_leaves):
+        a = jnp.asarray(r)
+        if a.shape != l.shape:
+            if a.size != l.size:
+                raise ValueError(
+                    f"cannot migrate opt-state leaf {a.shape}->{l.shape}: "
+                    "element counts differ"
+                )
+            a = a.reshape(l.shape)
+        if a.dtype != l.dtype:
+            raise ValueError(
+                f"cannot migrate opt-state leaf: dtype {a.dtype} != {l.dtype}"
+            )
+        sharding = getattr(l, "sharding", None)
+        out.append(jax.device_put(a, sharding) if sharding is not None else a)
+    return jax.tree.unflatten(treedef, out)
 
 
 def checkpoint_step(path: str) -> int:

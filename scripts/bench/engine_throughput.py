@@ -27,12 +27,13 @@ prompts = [[1] + rng.integers(10, 31000, 127).tolist() for _ in range(64)]
 def one_request(i, out):
     out[i] = eng.submit(prompts[i], max_new_tokens=128, timeout=3000)
 
-# warmup: compile prefill/insert/chunk
-w = {}
-one_request(0, w)
-print("warmup done:", len(w[0]), "tokens")
-
 N = 32
+# warmup: compile prefill/insert/chunk — on a prompt OUTSIDE the measured
+# set (the measured run would otherwise resubmit it and could be served
+# from the tunnel's execution cache, inflating tok/s)
+w = {}
+one_request(N, w)
+print("warmup done:", len(w[N]), "tokens")
 outs = {}
 threads = [threading.Thread(target=one_request, args=(i, outs)) for i in range(N)]
 t0 = time.perf_counter()

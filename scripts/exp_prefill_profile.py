@@ -16,14 +16,21 @@ import time
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
 
 
-def timed(fn, args, reps=5, label=""):
+def timed(fn, make_args, reps=5, label=""):
+    """``make_args(i)`` must return fresh inputs per rep: identical
+    (program, args) reruns can be served from the axon tunnel's execution
+    cache without touching the chip (CLAUDE.md), which would time the
+    tunnel instead of the compute."""
+    import jax
     import numpy as np
 
+    args = jax.block_until_ready(make_args(0))
     t0 = time.perf_counter()
     np.asarray(fn(*args))
     print(f"  [{label}] compile {time.perf_counter()-t0:.1f}s", flush=True)
     ts = []
-    for _ in range(reps):
+    for i in range(1, reps + 1):
+        args = jax.block_until_ready(make_args(i))
         t0 = time.perf_counter()
         np.asarray(fn(*args))
         ts.append(time.perf_counter() - t0)
@@ -48,7 +55,8 @@ def main():
         return (jax.random.normal(r, (L, H, I), jnp.float32) * 0.02).astype(jnp.bfloat16)
 
     W = mk_w(key)
-    x0 = jax.random.normal(key, (B * S, H), jnp.bfloat16)
+    mk_x = jax.jit(lambda r: jax.random.normal(r, (B * S, H), jnp.bfloat16))
+    x_i = lambda i: mk_x(jax.random.fold_in(key, i))
 
     @jax.jit
     def raw(W, x):
@@ -58,7 +66,7 @@ def main():
         acc, _ = jax.lax.scan(body, jnp.float32(0), W)
         return acc
 
-    dt = timed(raw, (W, x0), label="raw-matmul")
+    dt = timed(raw, lambda i: (W, x_i(i)), label="raw-matmul")
     fl = 2 * B * S * H * I * L
     print(f"raw matmul scan: {dt*1e3:.1f} ms -> {fl/dt/1e12:.1f} TFLOP/s", flush=True)
     del W; import gc; gc.collect()
@@ -80,7 +88,7 @@ def main():
         h, _ = jax.lax.scan(body, x, p)
         return jnp.sum(h.astype(jnp.float32))
 
-    dt = timed(mlp_scan, (mlp, x0), label="mlp")
+    dt = timed(mlp_scan, lambda i: (mlp, x_i(i)), label="mlp")
     fl = 2 * B * S * (3 * H * I) * L
     print(f"mlp scan: {dt*1e3:.1f} ms -> {fl/dt/1e12:.1f} TFLOP/s", flush=True)
     del mlp; gc.collect()
@@ -95,7 +103,7 @@ def main():
         return {"wqkv": z(ks[0], (L, H, 3 * H)), "wo": z(ks[1], (L, H, H))}
 
     att = mk_attn(key)
-    x3 = jax.random.normal(key, (B, S, H), jnp.bfloat16)
+    mk_x3 = jax.jit(lambda r: jax.random.normal(r, (B, S, H), jnp.bfloat16))
 
     @jax.jit
     def attn_scan(p, x):
@@ -110,7 +118,7 @@ def main():
         h, _ = jax.lax.scan(body, x, p)
         return jnp.sum(h.astype(jnp.float32))
 
-    dt = timed(attn_scan, (att, x3), label="attn")
+    dt = timed(attn_scan, lambda i: (att, mk_x3(jax.random.fold_in(key, i))), label="attn")
     fl = (2 * B * S * (4 * H * H) + 4 * B * HQ * S * S * HD * 0.5) * L
     print(f"attn scan: {dt*1e3:.1f} ms -> {fl/dt/1e12:.1f} TFLOP/s (matmul+flash)", flush=True)
     del att; gc.collect()
@@ -124,14 +132,14 @@ def main():
         max_position_embeddings=S, dtype=jnp.bfloat16,
     )
     params = jax.jit(lambda r: init_llama_params(r, cfg))(key)
-    ids = jax.random.randint(key, (B, S), 10, 31000)
+    mk_ids = jax.jit(lambda r: jax.random.randint(r, (B, S), 10, 31000))
 
     @jax.jit
     def fwd(p, ids):
         h = llama_forward(p, cfg, input_ids=ids, use_flash=True)["last_hidden_state"]
         return jnp.sum(h.astype(jnp.float32))
 
-    dt = timed(fwd, (params, ids), label="full")
+    dt = timed(fwd, lambda i: (params, mk_ids(jax.random.fold_in(key, i))), label="full")
     fl = 2 * B * S * (4 * H * H + 3 * H * I) * L + 4 * B * HQ * S * S * HD * 0.5 * L
     print(f"full prefill: {dt*1e3:.1f} ms -> {S/dt:.0f} tok/s, {fl/dt/1e12:.1f} TFLOP/s model-flops")
 

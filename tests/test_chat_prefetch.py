@@ -63,6 +63,32 @@ class TestChat:
                    sampling=SamplingConfig(greedy=True, max_new_tokens=4, eos_token_id=-1))
         assert isinstance(out["text"], str)
 
+    def test_interleaved_gets_per_request_sampling(self, monkeypatch):
+        """A server built with a fixed InterleavedConfig must still honor
+        per-request sampling: chat() merges the request's SamplingConfig
+        (and caps its token budget at the server-configured one)."""
+        import dreamllm_tpu.generation.chat as chat_mod
+        from dreamllm_tpu.generation.interleaved import InterleavedConfig
+
+        captured = {}
+
+        def fake_generate(params, cfg, head_params, head_cfg, ids, icfg, rng, **kw):
+            captured["icfg"] = icfg
+            return {"segments": [], "images": []}
+
+        monkeypatch.setattr(chat_mod, "generate_interleaved", fake_generate)
+        params = init_dreamllm_params(jax.random.PRNGKey(0), CFG)
+        server_icfg = InterleavedConfig(max_new_tokens=64, num_inference_steps=3)
+        req_sampling = SamplingConfig(greedy=False, temperature=0.7,
+                                      max_new_tokens=500, eos_token_id=-1)
+        chat(params, CFG, DecToy(), [Message("user", "draw a cat")],
+             sampling=req_sampling, head_params={"x": 1}, head_cfg=object(),
+             interleaved=server_icfg)
+        got = captured["icfg"]
+        assert got.sampling is req_sampling
+        assert got.max_new_tokens == 64          # capped at the server budget
+        assert got.num_inference_steps == 3      # server knobs preserved
+
 
 class TestChatServer:
     def test_multimodal_chat_over_http(self):
@@ -94,6 +120,47 @@ class TestChatServer:
             with pytest.raises(urllib.error.HTTPError) as ei:
                 client.chat(msgs, images=[img], max_new_tokens=2, top_p=0.0)
             assert ei.value.code == 400
+            # unbounded / nonsense token budgets are rejected before they
+            # size a KV cache; unknown templates are a 400, not a 500
+            for bad in ({"max_new_tokens": 10**8}, {"max_new_tokens": 0},
+                        {"max_new_tokens": -3}, {"template": "nope"}):
+                with pytest.raises(urllib.error.HTTPError) as ei:
+                    client.chat(msgs, images=[img], **bad)
+                assert ei.value.code == 400, bad
+        finally:
+            server.stop()
+
+    def test_server_fault_is_500_client_error_is_400(self):
+        """Only ClientError maps to 400; a plain ValueError from the model
+        fn is a server fault → logged 500 (regression: blanket ValueError
+        → 400 used to mask model-side bugs as client errors)."""
+        import urllib.error
+        import urllib.request
+        import json as _json
+
+        from dreamllm_tpu.serve import ModelServer
+        from dreamllm_tpu.utils.errors import ClientError
+
+        def gen(prompt, req):
+            if prompt == "clienterr":
+                raise ClientError("bad knob")
+            raise ValueError("model-side shape bug")
+
+        server = ModelServer(generate_fn=gen, port=0).start()
+        try:
+            def post(prompt):
+                r = urllib.request.Request(
+                    f"http://127.0.0.1:{server.port}/generate",
+                    data=_json.dumps({"prompt": prompt}).encode(),
+                    headers={"Content-Type": "application/json"})
+                urllib.request.urlopen(r, timeout=30)
+
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post("clienterr")
+            assert ei.value.code == 400
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                post("anything")
+            assert ei.value.code == 500
         finally:
             server.stop()
 

@@ -215,6 +215,27 @@ def test_engine_streaming_callback(small):
         eng.stop()
 
 
+def test_engine_raising_stream_callback_does_not_kill_scheduler(small):
+    """A stream callback that raises is disabled (logged) — the request
+    still completes with all its tokens, and the engine keeps serving."""
+    cfg, params = small
+    eng = _engine(cfg, params).start()
+    try:
+        calls = []
+
+        def bad_stream(t):
+            calls.append(t)
+            raise RuntimeError("client went away")
+
+        got = eng.submit([1, 17, 23], max_new_tokens=8, stream=bad_stream)
+        assert len(got) == 8 and len(calls) == 1  # disabled after first raise
+        # engine survived: a follow-up request is served normally
+        again = eng.submit([1, 30, 40], max_new_tokens=4)
+        assert len(again) == 4
+    finally:
+        eng.stop()
+
+
 class _ByteTokenizer:
     """Toy tokenizer: one token per byte-ish char code (bounded to vocab)."""
 

@@ -98,3 +98,31 @@ def test_make_optimizer_8bit_with_freeze_mask():
     p2, _ = step(params, state)
     assert not np.allclose(np.asarray(p2["a"]), 1.0)
     np.testing.assert_array_equal(np.asarray(p2["frozen"]), 1.0)
+
+
+def test_flat_code_checkpoint_migrates_to_block_layout(tmp_path):
+    """Opt states checkpointed before the block-layout change stored moment
+    codes flat int8 [padded_n]; load_opt_state must migrate them onto the
+    new [n_blocks, 256] template instead of failing the resume."""
+    import orbax.checkpoint as ocp
+
+    from dreamllm_tpu.train.checkpoints import load_opt_state
+    from dreamllm_tpu.train.optim8bit import adamw_8bit
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 300, dtype=jnp.float32)}
+    tx = adamw_8bit(1e-2)
+    state = tx.init(params)
+    g = {"w": jnp.ones((300,), jnp.float32) * 0.1}
+    _, state = jax.jit(lambda s: tx.update(g, s, params))(state)
+
+    old_format = jax.tree.map(
+        lambda x: np.asarray(x).reshape(-1) if x.dtype == np.int8 else np.asarray(x),
+        state,
+    )
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(str(tmp_path / "ck" / "opt_state"), old_format)
+
+    restored = load_opt_state(str(tmp_path / "ck"), like=state)
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
