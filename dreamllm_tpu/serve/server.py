@@ -73,7 +73,10 @@ class ModelServer:
                 generate_batch_fn, max_batch=max_batch, window_ms=batch_window_ms
             )
 
-    def _engine_generate(self, prompt: str, req: dict) -> str:
+    def _engine_prepare(self, prompt: str, req: dict):
+        """→ (prompt_ids, submit kwargs). Validates client sampling params
+        up front (raises ClientError) so the streaming path can reject a bad
+        request with a clean 400 BEFORE any SSE bytes go out."""
         tok = self._tokenizer
         ids = tok.encode(prompt)
         # this repo's tokenizer adapters expose .special.bos (HFTokenizer /
@@ -85,7 +88,7 @@ class ModelServer:
             bos = getattr(tok, "bos_token_id", 1)
         if bos is not None and (not ids or ids[0] != bos):
             ids = [bos] + list(ids)
-        kw = {}
+        kw = {"max_new_tokens": int(req.get("max_new_tokens", 128))}
         # per-request sampling rides the engine's per-row sampler — lanes
         # with different settings share one compiled decode
         if "greedy" in req:
@@ -96,10 +99,67 @@ class ModelServer:
             kw["top_k"] = int(req["top_k"])
         if "top_p" in req:
             kw["top_p"] = float(req["top_p"])
-        out = self._engine.submit(
-            ids, max_new_tokens=int(req.get("max_new_tokens", 128)), **kw
-        )
-        return tok.decode(out).strip()
+        from dreamllm_tpu.generation.sampler import validate_sampling
+
+        validate_sampling(kw.get("temperature", 1.0), kw.get("top_k", 0),
+                          kw.get("top_p", 1.0))
+        return ids, kw
+
+    def _engine_generate(self, prompt: str, req: dict) -> str:
+        ids, kw = self._engine_prepare(prompt, req)
+        out = self._engine.submit(ids, **kw)
+        return self._tokenizer.decode(out).strip()
+
+    def _engine_generate_stream(self, prompt: str, req: dict, write_event) -> None:
+        """Drive one engine request, emitting SSE events as tokens land.
+
+        The engine's stream callback fires on the SCHEDULER thread — writing
+        to the socket there would stall every lane on one slow client, so
+        tokens hop through a queue and THIS handler thread does the socket
+        writes. Events: {"delta": text} per decoded increment, then
+        {"done": true, "text": full} (or {"error": msg})."""
+        import queue
+
+        tok = self._tokenizer
+        ids, kw = self._engine_prepare(prompt, req)
+        q: queue.Queue = queue.Queue()
+        result: dict = {}
+
+        def run():
+            try:
+                result["tokens"] = self._engine.submit(ids, stream=q.put, **kw)
+            except Exception as e:  # surfaced as an SSE error event below
+                result["error"] = e
+            finally:
+                q.put(None)
+
+        worker = threading.Thread(target=run, daemon=True)
+        worker.start()
+        toks: list[int] = []
+        sent = ""
+        alive = True  # client still connected; a failed write stops
+        # emission but the loop keeps draining so the worker can finish
+        # (in-flight engine requests have no cancel)
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            toks.append(int(item))
+            full = tok.decode(toks)
+            delta = full[len(sent):]
+            sent = full
+            if delta and alive:
+                try:
+                    write_event({"delta": delta})
+                except OSError:
+                    alive = False
+        worker.join()
+        if not alive:
+            return
+        if "error" in result:
+            write_event({"error": str(result["error"])})
+        else:
+            write_event({"done": True, "text": tok.decode(result["tokens"]).strip()})
 
     def _handler(self):
         server = self
@@ -122,6 +182,28 @@ class ModelServer:
                 else:
                     self._send(404, {"error": "not found"})
 
+            def _sse(self, prompt: str, req: dict):
+                """Server-sent-events streaming for the engine path.
+                Sampling params are validated BEFORE headers go out so a bad
+                request still gets a JSON 400."""
+                try:
+                    server._engine_prepare(prompt, req)  # raises ClientError
+                except ClientError as e:
+                    self._send(400, {"error": str(e)})
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.send_header("Connection", "close")
+                self.end_headers()
+
+                def write_event(payload: dict):
+                    self.wfile.write(
+                        b"data: " + json.dumps(payload).encode() + b"\n\n")
+                    self.wfile.flush()
+
+                server._engine_generate_stream(prompt, req, write_event)
+
             def do_POST(self):
                 try:
                     n = int(self.headers.get("Content-Length", 0))
@@ -133,6 +215,9 @@ class ModelServer:
                     if self.path == "/generate" and server._engine is not None:
                         # continuous batching: the engine schedules lanes
                         # itself; handler threads block on their own request
+                        if req.get("stream"):
+                            self._sse(req.pop("prompt", ""), req)
+                            return
                         text = server._engine_generate(req.pop("prompt", ""), req)
                         self._send(200, {"text": text})
                         return
@@ -236,6 +321,29 @@ class OnlineClient:
 
     def generate(self, prompt: str, **kw) -> str:
         return self._post("/generate", {"prompt": prompt, **kw})["text"]
+
+    def generate_stream(self, prompt: str, **kw):
+        """Yield text deltas as the engine decodes (SSE). The final event
+        carries the complete text; iterate, or ``"".join(...)`` for the
+        assembled stream. Requires an engine-backed server."""
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url + "/generate",
+            data=json.dumps({"prompt": prompt, "stream": True, **kw}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            for raw in r:
+                line = raw.strip()
+                if not line.startswith(b"data: "):
+                    continue
+                event = json.loads(line[len(b"data: "):])
+                if "error" in event:
+                    raise RuntimeError(event["error"])
+                if event.get("done"):
+                    return
+                yield event["delta"]
 
     def chat(self, messages: list, images: list = (), **kw) -> dict:
         """Multimodal chat turn. ``messages``: [{"role","content"}] with

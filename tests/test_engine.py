@@ -302,6 +302,41 @@ def test_engine_backed_http_server(small):
         server.stop()
 
 
+def test_engine_http_sse_streaming(small):
+    """stream=true on the engine /generate yields SSE deltas that assemble
+    to exactly the non-streamed greedy text; bad params are still a 400
+    (rejected before any SSE bytes), and streams run concurrently."""
+    import urllib.error
+
+    from dreamllm_tpu.serve import ModelServer, OnlineClient
+
+    cfg, params = small
+    eng = _engine(cfg, params)
+    tok = _ByteTokenizer()
+    server = ModelServer(engine=eng, tokenizer=tok, port=0).start()
+    try:
+        client = OnlineClient(f"http://127.0.0.1:{server.port}")
+        deltas = list(client.generate_stream("hello", max_new_tokens=8))
+        assert len(deltas) > 1  # actually incremental, not one blob
+        ref = tok.decode(_ref_tokens(cfg, params, [1] + tok.encode("hello"), 8))
+        assert "".join(deltas) == ref  # final strip() only affects edges
+        # invalid sampling on the streaming path → clean JSON 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            list(client.generate_stream("x", max_new_tokens=4, top_p=0.0))
+        assert ei.value.code == 400
+        # two concurrent streams don't interleave each other's tokens
+        import concurrent.futures as cf
+
+        with cf.ThreadPoolExecutor(2) as ex:
+            f1 = ex.submit(lambda: "".join(client.generate_stream("aa", max_new_tokens=6)))
+            f2 = ex.submit(lambda: "".join(client.generate_stream("bbbb", max_new_tokens=6)))
+            for prompt, fut in (("aa", f1), ("bbbb", f2)):
+                ref = tok.decode(_ref_tokens(cfg, params, [1] + tok.encode(prompt), 6))
+                assert fut.result() == ref
+    finally:
+        server.stop()
+
+
 def test_engine_chunked_prefill_long_prompt(small):
     """A prompt longer than prefill_len prefills in chunks and still matches
     the one-shot reference token-for-token."""
