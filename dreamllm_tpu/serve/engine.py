@@ -59,6 +59,13 @@ class EngineConfig:
     chunk_steps: int = 8       # decode steps per compiled dispatch
     cache_dtype: str = "bfloat16"   # or "int8" (halved KV HBM)
     bos_token_id: int | None = 1    # kept at position 0 when left-truncating
+    # LRU prompt-prefix KV cache (0 = off). Requests sharing a token-exact
+    # prefix of >= prefill_len tokens (a chat system prompt, few-shot
+    # header) skip the prefill compute for the cached full chunks — only
+    # the final (possibly partial) chunk runs. Each entry stores one
+    # lane-size KV copy in HBM (7B bf16 @ max_len 1024 ≈ 0.5 GB/entry), so
+    # size this to the number of distinct system prompts, not request rate.
+    prefix_cache_entries: int = 0
 
 
 # ---------------------------------------------------------------------------
@@ -306,6 +313,20 @@ class ContinuousBatchingEngine:
         self.active_history: deque[int] = deque(maxlen=4096)
         self._rng0 = jax.random.PRNGKey(0)
         self._admit_count = 0
+        # prompt-prefix KV cache: token-tuple -> lane-size pre_cache copy
+        # (scheduler-thread only). The snapshot must be a REAL device copy —
+        # a jitted identity can alias the input buffer (jit's
+        # unchanged-output fast path), which the donating prefill call would
+        # then invalidate. +0 forces materialized outputs; without donation
+        # those are fresh allocations. All cache leaves are numeric.
+        from collections import OrderedDict
+
+        self._prefix_cache: "OrderedDict[tuple, dict]" = OrderedDict()
+        self._copy_cache = jax.jit(
+            lambda c: jax.tree.map(lambda x: x + jnp.zeros((), x.dtype), c)
+        )
+        self.prefix_hits = 0
+        self.prefix_misses = 0
 
     # -- public API --------------------------------------------------------
 
@@ -427,10 +448,53 @@ class ContinuousBatchingEngine:
             "top_p": jnp.asarray(samp["top_p"], jnp.float32),
         }
         # chunked prefill: host loop of P-token compiled appends — prompts
-        # longer than prefill_len no longer truncate to it
-        pre_cache = self.prefill_fn.empty_cache()
+        # longer than prefill_len no longer truncate to it.
+        # Prefix cache: a stored full-chunk prefix (k*P tokens, k*P < plen)
+        # skips those chunks' compute — K/V rows don't depend on the
+        # request's rng/sampling (those only pick `first` from the FINAL
+        # chunk's logits, which always runs), so reuse is exact.
+        pre_cache, start0 = None, 0
+        n_entries = self.ecfg.prefix_cache_entries
+        # usable prefix length of THIS prompt, floored to full chunks (the
+        # final — possibly partial — chunk must always run to produce `first`)
+        store_at = ((plen - 1) // P) * P if n_entries else 0
+        if n_entries and store_at:
+            # An entry stored for a LONGER prefix serves any chunk-aligned
+            # prefix of itself: its rows beyond the match are stale but get
+            # overwritten by this prompt's remaining prefill chunks or
+            # masked by the lane's seg metadata at insert. So match each
+            # entry on the longest common chunk-aligned prefix.
+            best_k, best_key = 0, None
+            for key in self._prefix_cache:
+                m = min(len(key), store_at) // P
+                for k in range(m, best_k, -1):
+                    if tuple(ids[: k * P]) == key[: k * P]:
+                        best_k, best_key = k, key
+                        break
+            if best_k:
+                self._prefix_cache.move_to_end(best_key)
+                # copy: the loop below donates pre_cache into prefill
+                pre_cache = self._copy_cache(self._prefix_cache[best_key])
+                start0 = best_k * P
+                self.prefix_hits += 1
+        if pre_cache is None:
+            pre_cache = self.prefill_fn.empty_cache()
+            if n_entries:
+                self.prefix_misses += 1
         first = None
-        for start in range(0, plen, P):
+        for start in range(start0, plen, P):
+            if store_at and start == store_at:
+                # store this prompt's own longest full-chunk prefix — unless
+                # an existing entry already covers it (is an extension of it)
+                key = tuple(ids[:store_at])
+                covered = any(
+                    len(k2) >= store_at and k2[:store_at] == key
+                    for k2 in self._prefix_cache
+                )
+                if not covered:
+                    self._prefix_cache[key] = self._copy_cache(pre_cache)
+                    while len(self._prefix_cache) > n_entries:
+                        self._prefix_cache.popitem(last=False)  # evict LRU
             chunk = ids[start : start + P]
             padded = np.zeros((1, P), np.int32)
             padded[0, : len(chunk)] = chunk

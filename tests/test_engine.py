@@ -101,6 +101,7 @@ def _engine(cfg, params, **kw):
         slots=kw.pop("slots", 2), prefill_len=16, max_len=64,
         chunk_steps=kw.pop("chunk_steps", 4),
         cache_dtype=kw.pop("cache_dtype", "bfloat16"),
+        prefix_cache_entries=kw.pop("prefix_cache_entries", 0),
     )
     return ContinuousBatchingEngine(params, cfg, scfg, ecfg)
 
@@ -551,5 +552,67 @@ def test_engine_slot_recycling_no_leak(small):
             p = [1, 40 + wave]
             assert eng.submit(p, max_new_tokens=5) == _ref_tokens(cfg, params, p, 5)
         assert sorted(eng._free) == [0, 1]
+    finally:
+        eng.stop()
+
+
+def test_engine_prefix_cache_exact_and_bounded(small):
+    """Prefix caching: requests sharing a token-exact full-chunk prefix skip
+    its prefill but stay token-identical to the uncached reference; the LRU
+    stays bounded; a cached entry survives later donating calls."""
+    cfg, params = small
+    eng = _engine(cfg, params, prefix_cache_entries=2)  # P=16
+    eng.start()
+    try:
+        sys_prompt = [1] + list(range(20, 51))        # 32 tokens = 2 chunks
+        a = sys_prompt + [60, 61, 62]
+        b = sys_prompt + [70, 71]
+        got_a = eng.submit(a, max_new_tokens=8)
+        assert eng.prefix_hits == 0 and eng.prefix_misses == 1
+        got_b = eng.submit(b, max_new_tokens=8)       # hits the 32-tok prefix
+        assert eng.prefix_hits == 1
+        assert got_a == _ref_tokens(cfg, params, a, 8)
+        assert got_b == _ref_tokens(cfg, params, b, 8)
+        # resubmitting A hits too (entry not corrupted by B's prefill
+        # donations) and stays exact
+        assert eng.submit(a, max_new_tokens=8) == got_a
+        assert eng.prefix_hits == 2
+        # LRU bound: distinct prefixes evict the oldest, never grow past cap
+        for base in (100, 105, 110):
+            eng.submit([1] + [base] * 33, max_new_tokens=2)
+        assert len(eng._prefix_cache) <= 2
+        # short prompts (< one full chunk + 1) bypass the cache entirely
+        hits = eng.prefix_hits
+        eng.submit([1, 5, 9], max_new_tokens=2)
+        eng.submit([1, 5, 9], max_new_tokens=2)
+        assert eng.prefix_hits == hits
+    finally:
+        eng.stop()
+
+
+def test_engine_prefix_cache_partial_match_extends(small):
+    """A hit on a SHORTER cached prefix still stores this prompt's own
+    longer prefix, and outputs stay exact."""
+    cfg, params = small
+    eng = _engine(cfg, params, prefix_cache_entries=4)
+    eng.start()
+    try:
+        head16 = [1] + list(range(20, 35))            # exactly one chunk
+        eng.submit(head16 + [40], max_new_tokens=2)   # stores 16-tok prefix
+        long_prompt = head16 + list(range(40, 56)) + [90, 91]  # 32-tok prefix
+        got = eng.submit(long_prompt, max_new_tokens=8)
+        assert eng.prefix_hits == 1                   # reused the 16-tok entry
+        assert got == _ref_tokens(cfg, params, long_prompt, 8)
+        assert any(len(k) == 32 for k in eng._prefix_cache)  # extended store
+        got2 = eng.submit(long_prompt + [99], max_new_tokens=8)
+        assert eng.prefix_hits == 2                   # now hits the 32-tok one
+        assert got2 == _ref_tokens(cfg, params, long_prompt + [99], 8)
+        # the REVERSE: a request sharing only the first chunk of a longer
+        # stored entry still hits it (stale rows past the match sit at
+        # future positions during prefill and get seg-masked at insert)
+        short = head16 + [77, 78, 79]
+        got3 = eng.submit(short, max_new_tokens=8)
+        assert eng.prefix_hits == 3
+        assert got3 == _ref_tokens(cfg, params, short, 8)
     finally:
         eng.stop()
