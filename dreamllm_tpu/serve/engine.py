@@ -479,8 +479,8 @@ class ContinuousBatchingEngine:
                 self.prefix_hits += 1
         if pre_cache is None:
             pre_cache = self.prefill_fn.empty_cache()
-            if n_entries:
-                self.prefix_misses += 1
+            if n_entries and store_at:  # don't count cache-inapplicable
+                self.prefix_misses += 1  # (too-short) prompts as misses
         first = None
         for start in range(start0, plen, P):
             if store_at and start == store_at:
@@ -492,6 +492,12 @@ class ContinuousBatchingEngine:
                     for k2 in self._prefix_cache
                 )
                 if not covered:
+                    # the new longer entry serves every chunk-aligned prefix
+                    # of itself — drop stored entries it covers (each holds
+                    # a lane-size HBM buffer; a redundant one wastes a slot)
+                    for k2 in [k2 for k2 in self._prefix_cache
+                               if len(k2) < store_at and key[: len(k2)] == k2]:
+                        del self._prefix_cache[k2]
                     self._prefix_cache[key] = self._copy_cache(pre_cache)
                     while len(self._prefix_cache) > n_entries:
                         self._prefix_cache.popitem(last=False)  # evict LRU

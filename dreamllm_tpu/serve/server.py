@@ -110,18 +110,24 @@ class ModelServer:
         out = self._engine.submit(ids, **kw)
         return self._tokenizer.decode(out).strip()
 
-    def _engine_generate_stream(self, prompt: str, req: dict, write_event) -> None:
+    def _engine_generate_stream(self, ids: list[int], kw: dict, write_event) -> None:
         """Drive one engine request, emitting SSE events as tokens land.
 
         The engine's stream callback fires on the SCHEDULER thread — writing
         to the socket there would stall every lane on one slow client, so
         tokens hop through a queue and THIS handler thread does the socket
         writes. Events: {"delta": text} per decoded increment, then
-        {"done": true, "text": full} (or {"error": msg})."""
+        {"done": true, "text": full} (or {"error": msg}).
+
+        Incremental detokenization is NOT prefix-stable in general: byte-
+        level BPE decodes a half-emitted multi-byte character to U+FFFD,
+        and the next token rewrites it. Deltas are therefore held back
+        while the decode ends in U+FFFD (or the prefix shifted), and any
+        residue flushes before the final done event — streamed deltas
+        always assemble to the authoritative text."""
         import queue
 
         tok = self._tokenizer
-        ids, kw = self._engine_prepare(prompt, req)
         q: queue.Queue = queue.Queue()
         result: dict = {}
 
@@ -145,21 +151,31 @@ class ModelServer:
             if item is None:
                 break
             toks.append(int(item))
+            if not alive:
+                continue  # drain silently — no decode work for a dead client
             full = tok.decode(toks)
+            if full.endswith("�") or not full.startswith(sent):
+                continue  # incomplete multi-byte char; wait for more tokens
             delta = full[len(sent):]
-            sent = full
-            if delta and alive:
+            if delta:
                 try:
                     write_event({"delta": delta})
+                    sent = full
                 except OSError:
                     alive = False
         worker.join()
         if not alive:
             return
-        if "error" in result:
-            write_event({"error": str(result["error"])})
-        else:
-            write_event({"done": True, "text": tok.decode(result["tokens"]).strip()})
+        try:
+            if "error" in result:
+                write_event({"error": str(result["error"])})
+                return
+            full = tok.decode(result["tokens"])
+            if full.startswith(sent) and len(full) > len(sent):
+                write_event({"delta": full[len(sent):]})  # flush residue
+            write_event({"done": True, "text": full.strip()})
+        except OSError:
+            pass  # client left between the last delta and the final event
 
     def _handler(self):
         server = self
@@ -185,9 +201,11 @@ class ModelServer:
             def _sse(self, prompt: str, req: dict):
                 """Server-sent-events streaming for the engine path.
                 Sampling params are validated BEFORE headers go out so a bad
-                request still gets a JSON 400."""
+                request still gets a JSON 400; once headers are sent, any
+                failure becomes an SSE error event — never a second HTTP
+                status line injected into the stream."""
                 try:
-                    server._engine_prepare(prompt, req)  # raises ClientError
+                    ids, kw = server._engine_prepare(prompt, req)
                 except ClientError as e:
                     self._send(400, {"error": str(e)})
                     return
@@ -202,7 +220,14 @@ class ModelServer:
                         b"data: " + json.dumps(payload).encode() + b"\n\n")
                     self.wfile.flush()
 
-                server._engine_generate_stream(prompt, req, write_event)
+                try:
+                    server._engine_generate_stream(ids, kw, write_event)
+                except Exception as e:
+                    logger.exception("stream failed")
+                    try:
+                        write_event({"error": str(e)})
+                    except OSError:
+                        pass
 
             def do_POST(self):
                 try:

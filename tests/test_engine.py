@@ -607,12 +607,60 @@ def test_engine_prefix_cache_partial_match_extends(small):
         got2 = eng.submit(long_prompt + [99], max_new_tokens=8)
         assert eng.prefix_hits == 2                   # now hits the 32-tok one
         assert got2 == _ref_tokens(cfg, params, long_prompt + [99], 8)
-        # the REVERSE: a request sharing only the first chunk of a longer
-        # stored entry still hits it (stale rows past the match sit at
-        # future positions during prefill and get seg-masked at insert)
+        # storing the covering 32-token entry evicted the redundant 16-token
+        # one (each entry is a lane-size HBM buffer)
+        assert all(len(k) == 32 for k in eng._prefix_cache)
+        # the REVERSE: a request sharing only the first chunk of the LONGER
+        # stored entry hits it — this prefills on top of the entry's stale
+        # tail rows, which sit at future positions (causally masked) and get
+        # seg-masked at insert; output must stay exact
         short = head16 + [77, 78, 79]
         got3 = eng.submit(short, max_new_tokens=8)
         assert eng.prefix_hits == 3
         assert got3 == _ref_tokens(cfg, params, short, 8)
     finally:
         eng.stop()
+
+
+def test_engine_sse_holds_back_incomplete_chars(small):
+    """Byte-level-BPE-style tokenizers decode a half-emitted character to
+    U+FFFD; the SSE path must hold those deltas back and still assemble to
+    the authoritative final text (no � ever reaches the client)."""
+    from dreamllm_tpu.serve import ModelServer, OnlineClient
+
+    class PairTokenizer:
+        """Decodes token PAIRS to one char; a trailing odd token is an
+        incomplete character (U+FFFD), like a split UTF-8 sequence."""
+
+        bos_token_id = 1
+
+        def encode(self, text):
+            out = []
+            for c in text:
+                out += [2 + (ord(c) % 50), 60 + (ord(c) % 50)]
+            return out
+
+        def decode(self, ids):
+            s = "".join(
+                chr(97 + (ids[i] + ids[i + 1]) % 26)
+                for i in range(0, len(ids) - 1, 2)
+            )
+            if len(ids) % 2:
+                s += "�"
+            return s
+
+    cfg, params = small
+    eng = _engine(cfg, params)
+    server = ModelServer(engine=eng, tokenizer=PairTokenizer(), port=0).start()
+    try:
+        client = OnlineClient(f"http://127.0.0.1:{server.port}")
+        deltas = list(client.generate_stream("hi", max_new_tokens=9))
+        # incomplete characters are held back mid-stream; only the FINAL
+        # residue flush may carry one (the authoritative text genuinely
+        # ends mid-character at an odd token budget — so does the
+        # non-streamed path's output)
+        assert all("�" not in d for d in deltas[:-1])
+        whole = client.generate("hi", max_new_tokens=9)
+        assert "".join(deltas).strip() == whole
+    finally:
+        server.stop()
