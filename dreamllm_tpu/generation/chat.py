@@ -136,6 +136,7 @@ def make_chat_fn(
     template: str = "vicuna_v1.1",
     interleaved: InterleavedConfig | None = None,
     max_new_tokens_limit: int = 1024,
+    engine=None,
 ):
     """Close over model state → the ``ModelServer(chat_fn=...)`` contract:
 
@@ -147,8 +148,22 @@ def make_chat_fn(
     template); sampling values are range-checked before they reach the
     compiled sampler. This is the multimodal serving entry the reference
     never shipped (its serve shim is text-only, language_eval tools/serve).
+
+    ``engine=`` routes decode through a ``ContinuousBatchingEngine`` via its
+    embeds-prompt lanes (``submit(prompt_embeds=...)``): concurrent chat
+    requests batch together mid-decode instead of serializing under the
+    server lock (the returned chat_fn is marked ``concurrent``). The engine
+    must share the LLM weights the embeddings are computed from. Text-out
+    only — image OUTPUT (``head_params``) needs the interleaved driver and
+    keeps the locked path.
     """
     from dreamllm_tpu.generation.sampler import validate_sampling
+
+    if engine is not None and head_params is not None:
+        raise ValueError(
+            "engine-routed chat is text-out only; image output "
+            "(head_params) requires the locked interleaved path"
+        )
 
     def chat_fn(messages, images, req: dict) -> dict:
         msgs = [
@@ -175,6 +190,16 @@ def make_chat_fn(
             raise ClientError(
                 f"unknown template {tmpl!r}; available: {sorted(TEMPLATES)}"
             )
+        if engine is not None:
+            ids, pix, pos = encode_chat_prompt(tokenizer, cfg, msgs, images, tmpl)
+            embeds = multimodal_embed(params, cfg, ids,
+                                      images=pix, image_positions=pos)
+            out_ids = engine.submit(
+                prompt_embeds=np.asarray(embeds[0]), max_new_tokens=mnt,
+                greedy=greedy, temperature=temperature, top_k=top_k,
+                top_p=top_p,
+            )
+            return {"text": tokenizer.decode(out_ids).strip(), "images": []}
         scfg = SamplingConfig(
             greedy=greedy, temperature=temperature, top_k=top_k, top_p=top_p,
             max_new_tokens=mnt,
@@ -188,4 +213,7 @@ def make_chat_fn(
             rng=jax.random.PRNGKey(int(req.get("seed", 0))),
         )
 
+    # the engine serializes device access itself; concurrent handler threads
+    # may enter (their embed computations are independent dispatches)
+    chat_fn.concurrent = engine is not None
     return chat_fn

@@ -109,8 +109,7 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
         # lane-sized (S) so k/v rows copy straight into the engine lane
         return init_kv_cache(llm_cfg, 1, S, dtype=dtype)
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def prefill_chunk_fn(params, cache, ids, clen, start, rng, samp):
+    def _prefill_body(params, cache, clen, start, rng, samp, **inp):
         """Append ONE P-token chunk (right-padded, ``clen`` real) to a
         prefill cache at absolute offset ``start``. Prompts longer than P
         prefill as a host loop of these — every non-final chunk is full, so
@@ -124,9 +123,9 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
         seg = (jnp.arange(P, dtype=jnp.int32)[None] < clen[:, None]).astype(jnp.int32)
         cache = dict(cache, index=jnp.asarray(start, jnp.int32))
         out = llama_forward(
-            params, llm_cfg, input_ids=ids,
+            params, llm_cfg,
             segment_ids=seg, positions=jnp.where(seg == 1, pos, 0),
-            kv_cache=cache,
+            kv_cache=cache, **inp,
         )
         last = jnp.take_along_axis(
             out["last_hidden_state"], jnp.maximum(clen - 1, 0)[:, None, None], axis=1
@@ -137,6 +136,20 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
             samp["top_k"][None], samp["top_p"][None],
         )
         return out["kv_cache"], first[0]
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def prefill_chunk_fn(params, cache, ids, clen, start, rng, samp):
+        return _prefill_body(params, cache, clen, start, rng, samp,
+                             input_ids=ids)
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def prefill_embeds_chunk_fn(params, cache, embeds, clen, start, rng, samp):
+        """Embeds-prompt twin of ``prefill_chunk_fn`` — serves multimodal
+        prompts (CLIP features / dream queries spliced upstream by
+        ``multimodal_embed``) through the same engine lanes. Decode after
+        the prompt is token-driven, so only prefill needs this variant."""
+        return _prefill_body(params, cache, clen, start, rng, samp,
+                             inputs_embeds=embeds.astype(llm_cfg.dtype))
 
     @partial(jax.jit, donate_argnums=(0,))
     def insert_fn(state, pre_cache, plen, slot, first_tok, budget, samp):
@@ -241,6 +254,7 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
         return new_state, toks.T, valid.T, active.astype(jnp.int32)
 
     prefill_chunk_fn.empty_cache = empty_prefill_cache
+    prefill_chunk_fn.embeds = prefill_embeds_chunk_fn
     return prefill_chunk_fn, insert_fn, decode_chunk_fn
 
 
@@ -250,11 +264,12 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
 
 
 class _Request:
-    __slots__ = ("ids", "max_new_tokens", "tokens", "done", "slot", "stream",
-                 "error", "chunk_joined", "chunk_last", "samp")
+    __slots__ = ("ids", "embeds", "max_new_tokens", "tokens", "done", "slot",
+                 "stream", "error", "chunk_joined", "chunk_last", "samp")
 
-    def __init__(self, ids, max_new_tokens, stream=None, samp=None):
+    def __init__(self, ids, max_new_tokens, stream=None, samp=None, embeds=None):
         self.ids = ids
+        self.embeds = embeds  # [S, H] prompt embeddings (multimodal prompts)
         self.max_new_tokens = max_new_tokens
         self.samp = samp  # per-request sampling params (host floats/ints)
         self.tokens: list[int] = []
@@ -371,7 +386,7 @@ class ContinuousBatchingEngine:
 
     def submit(
         self,
-        prompt_ids: list[int],
+        prompt_ids: list[int] | None = None,
         max_new_tokens: int = 128,
         timeout: float | None = 600.0,
         stream: Callable[[int], None] | None = None,
@@ -379,10 +394,18 @@ class ContinuousBatchingEngine:
         temperature: float | None = None,
         top_k: int | None = None,
         top_p: float | None = None,
+        prompt_embeds=None,
     ) -> list[int]:
         """Block until the request finishes; returns generated token ids
         (EOS excluded). Prompts prefill in chunks; longer than the lane
         (max_len - 1) truncates from the LEFT (keep recent context).
+
+        ``prompt_embeds`` ([S, H], instead of ``prompt_ids``) serves a
+        MULTIMODAL prompt — pre-spliced embeddings from
+        ``multimodal_embed`` (CLIP features, dream queries) prefill through
+        a dedicated compiled program and then decode exactly like any other
+        lane. Embeds prompts bypass the prompt-prefix cache (keys are token
+        tuples).
 
         ``greedy``/``temperature``/``top_k``/``top_p`` override the engine's
         SamplingConfig FOR THIS REQUEST only — lanes with different sampling
@@ -405,11 +428,21 @@ class ContinuousBatchingEngine:
         from dreamllm_tpu.generation.sampler import validate_sampling
 
         validate_sampling(samp["temperature"], samp["top_k"], samp["top_p"])
-        req = _Request(list(prompt_ids), max_new_tokens, stream, samp)
-        if not req.ids:
-            from dreamllm_tpu.utils.errors import ClientError
+        from dreamllm_tpu.utils.errors import ClientError
 
-            raise ClientError("empty prompt (prepend a BOS token)")
+        if prompt_embeds is not None:
+            if prompt_ids is not None:
+                raise ValueError("pass prompt_ids OR prompt_embeds, not both")
+            embeds = np.asarray(prompt_embeds)
+            if embeds.ndim != 2 or embeds.shape[0] < 1:
+                raise ClientError(
+                    f"prompt_embeds must be [S>=1, H], got {embeds.shape}"
+                )
+            req = _Request([], max_new_tokens, stream, samp, embeds=embeds)
+        else:
+            req = _Request(list(prompt_ids or []), max_new_tokens, stream, samp)
+            if not req.ids:
+                raise ClientError("empty prompt (prepend a BOS token)")
         with self._submit_lock:
             if self._stopped:
                 raise RuntimeError("engine stopped")
@@ -429,12 +462,19 @@ class ContinuousBatchingEngine:
         # survives at position 0 — LLaMA-family models are calibrated with it
         # present (same rule as batching.make_batched_generate_fn)
         cap = self.ecfg.max_len - 1
-        ids = req.ids
-        if len(ids) > cap:
-            bos = self.ecfg.bos_token_id
-            head = [ids[0]] if bos is not None and ids[0] == bos else []
-            ids = head + ids[-(cap - len(head)):]
-        plen = len(ids)
+        ids, emb = req.ids, req.embeds
+        if emb is not None:
+            if emb.shape[0] > cap:
+                # keep the first row (BOS embedding) + most recent context,
+                # mirroring the ids path's truncation rule
+                emb = np.concatenate([emb[:1], emb[-(cap - 1):]], axis=0)
+            plen = emb.shape[0]
+        else:
+            if len(ids) > cap:
+                bos = self.ecfg.bos_token_id
+                head = [ids[0]] if bos is not None and ids[0] == bos else []
+                ids = head + ids[-(cap - len(head)):]
+            plen = len(ids)
         self._admit_count += 1
         rng = jax.random.fold_in(self._rng0, self._admit_count)
         samp = req.samp or {
@@ -454,7 +494,8 @@ class ContinuousBatchingEngine:
         # request's rng/sampling (those only pick `first` from the FINAL
         # chunk's logits, which always runs), so reuse is exact.
         pre_cache, start0 = None, 0
-        n_entries = self.ecfg.prefix_cache_entries
+        # embeds prompts bypass the prefix cache (keys are token tuples)
+        n_entries = 0 if emb is not None else self.ecfg.prefix_cache_entries
         # usable prefix length of THIS prompt, floored to full chunks (the
         # final — possibly partial — chunk must always run to produce `first`)
         store_at = ((plen - 1) // P) * P if n_entries else 0
@@ -501,14 +542,24 @@ class ContinuousBatchingEngine:
                     self._prefix_cache[key] = self._copy_cache(pre_cache)
                     while len(self._prefix_cache) > n_entries:
                         self._prefix_cache.popitem(last=False)  # evict LRU
-            chunk = ids[start : start + P]
-            padded = np.zeros((1, P), np.int32)
-            padded[0, : len(chunk)] = chunk
-            pre_cache, first = self.prefill_fn(
-                self.params, pre_cache, jnp.asarray(padded),
-                jnp.asarray([len(chunk)], jnp.int32), jnp.int32(start), rng,
-                samp_dev,
-            )
+            if emb is not None:
+                chunk = emb[start : start + P]
+                padded_e = np.zeros((1, P, emb.shape[1]), emb.dtype)
+                padded_e[0, : len(chunk)] = chunk
+                pre_cache, first = self.prefill_fn.embeds(
+                    self.params, pre_cache, jnp.asarray(padded_e),
+                    jnp.asarray([len(chunk)], jnp.int32), jnp.int32(start),
+                    rng, samp_dev,
+                )
+            else:
+                chunk = ids[start : start + P]
+                padded = np.zeros((1, P), np.int32)
+                padded[0, : len(chunk)] = chunk
+                pre_cache, first = self.prefill_fn(
+                    self.params, pre_cache, jnp.asarray(padded),
+                    jnp.asarray([len(chunk)], jnp.int32), jnp.int32(start), rng,
+                    samp_dev,
+                )
         slot = self._free.pop()
         try:
             budget = min(req.max_new_tokens, self.ecfg.max_len - plen)

@@ -270,8 +270,12 @@ class ModelServer:
 
                         msgs = req.pop("messages", [])
                         imgs = [base64_to_image(s) for s in req.pop("images", [])]
-                        with server._lock:  # model is a single resource
+                        if getattr(server._chat_fn, "concurrent", False):
+                            # engine-routed chat batches its own requests
                             out = server._chat_fn(msgs, imgs, req)
+                        else:
+                            with server._lock:  # model is a single resource
+                                out = server._chat_fn(msgs, imgs, req)
                         self._send(200, {
                             "text": out["text"],
                             "images": [image_to_base64(a)

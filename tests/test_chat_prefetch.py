@@ -187,3 +187,52 @@ class TestPrefetch:
         assert next(it) == 1
         with pytest.raises(RuntimeError):
             list(it)
+
+
+class TestEngineChat:
+    def test_engine_backed_multimodal_chat(self):
+        """make_chat_fn(engine=...) serves image+text chat through the
+        continuous-batching engine's embeds lanes: responses match the
+        in-process chat() exactly, concurrent requests are accepted without
+        the server lock, and image OUTPUT configs are rejected up front."""
+        import concurrent.futures as cf
+
+        from dreamllm_tpu.generation.chat import make_chat_fn
+        from dreamllm_tpu.serve import ModelServer, OnlineClient
+        from dreamllm_tpu.serve.engine import ContinuousBatchingEngine, EngineConfig
+
+        params = init_dreamllm_params(jax.random.PRNGKey(0), CFG)
+        tok = DecToy()
+        eng = ContinuousBatchingEngine(
+            params["llm"], CFG.llm,
+            SamplingConfig(greedy=True, max_new_tokens=0,
+                           eos_token_id=CFG.special_tokens.eos, pad_token_id=0),
+            EngineConfig(slots=2, prefill_len=16, max_len=64, chunk_steps=4),
+        )
+        chat_fn = make_chat_fn(params, CFG, tok, engine=eng)
+        assert chat_fn.concurrent
+        server = ModelServer(chat_fn=chat_fn, engine=eng, tokenizer=tok,
+                             port=0).start()
+        try:
+            client = OnlineClient(f"http://127.0.0.1:{server.port}")
+            img = (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(np.uint8)
+            msgs = [{"role": "user", "content": "describe <image>"}]
+            out = client.chat(msgs, images=[img], max_new_tokens=6)
+            ref = chat(
+                params, CFG, tok, [Message("user", "describe <image>")],
+                images=[img],
+                sampling=SamplingConfig(greedy=True, max_new_tokens=6,
+                                        eos_token_id=CFG.special_tokens.eos),
+            )
+            assert out["text"] == ref["text"]
+            # concurrent multimodal chats (engine batches them, no lock)
+            with cf.ThreadPoolExecutor(2) as ex:
+                outs = list(ex.map(
+                    lambda _: client.chat(msgs, images=[img], max_new_tokens=6),
+                    range(2),
+                ))
+            assert all(o["text"] == ref["text"] for o in outs)
+        finally:
+            server.stop()
+        with pytest.raises(ValueError):
+            make_chat_fn(params, CFG, tok, engine=eng, head_params={"x": 1})

@@ -664,3 +664,23 @@ def test_engine_sse_holds_back_incomplete_chars(small):
         assert "".join(deltas).strip() == whole
     finally:
         server.stop()
+
+
+def test_engine_embeds_prompt_matches_ids_prompt(small):
+    """submit(prompt_embeds=token_embeddings(ids)) is token-identical to
+    submit(ids) — the multimodal prompt path shares the lane machinery."""
+    cfg, params = small
+    eng = _engine(cfg, params).start()
+    try:
+        prompt = [1, 17, 23, 42, 55]
+        ref = eng.submit(prompt, max_new_tokens=10)
+        embeds = np.asarray(params["embed_tokens"])[np.asarray(prompt)]
+        got = eng.submit(prompt_embeds=embeds, max_new_tokens=10)
+        assert got == ref == _ref_tokens(cfg, params, prompt, 10)
+        # chunked: a prompt longer than prefill_len (16) via embeds
+        long_p = [1] + list(range(5, 40))
+        ref2 = eng.submit(long_p, max_new_tokens=8)
+        emb2 = np.asarray(params["embed_tokens"])[np.asarray(long_p)]
+        assert eng.submit(prompt_embeds=emb2, max_new_tokens=8) == ref2
+    finally:
+        eng.stop()
