@@ -164,6 +164,12 @@ def make_chat_fn(
             "engine-routed chat is text-out only; image output "
             "(head_params) requires the locked interleaved path"
         )
+    if engine is not None:
+        # compile the embeds prefill (and the rest) NOW: the engine's
+        # scheduler thread is the only dispatcher, and a lazy first-use
+        # compile of the multimodal prefill would freeze every live decode
+        # lane for the full (remote) compile
+        engine.warmup(embeds=True)
 
     def chat_fn(messages, images, req: dict) -> dict:
         msgs = [
@@ -192,14 +198,23 @@ def make_chat_fn(
             )
         if engine is not None:
             ids, pix, pos = encode_chat_prompt(tokenizer, cfg, msgs, images, tmpl)
-            embeds = multimodal_embed(params, cfg, ids,
-                                      images=pix, image_positions=pos)
-            out_ids = engine.submit(
-                prompt_embeds=np.asarray(embeds[0]), max_new_tokens=mnt,
-                greedy=greedy, temperature=temperature, top_k=top_k,
-                top_p=top_p,
-            )
-            return {"text": tokenizer.decode(out_ids).strip(), "images": []}
+            kw = dict(max_new_tokens=mnt, greedy=greedy,
+                      temperature=temperature, top_k=top_k, top_p=top_p,
+                      seed=int(req["seed"]) if "seed" in req else None)
+            if pix is None:
+                # text-only turns ride the token-id lanes: they keep the
+                # engine's prompt-prefix cache (keys are token tuples) and
+                # ship S ints instead of S×H floats
+                out_ids = engine.submit(np.asarray(ids[0]).tolist(), **kw)
+            else:
+                # embeds stay on device — multimodal_embed's output feeds
+                # the engine's embeds prefill without a host round-trip
+                embeds = multimodal_embed(params, cfg, ids,
+                                          images=pix, image_positions=pos)
+                out_ids = engine.submit(prompt_embeds=embeds[0], **kw)
+            # no .strip(): the locked chat() path below doesn't strip either,
+            # and the two must return identical text for identical requests
+            return {"text": tokenizer.decode(out_ids), "images": []}
         scfg = SamplingConfig(
             greedy=greedy, temperature=temperature, top_k=top_k, top_p=top_p,
             max_new_tokens=mnt,

@@ -86,6 +86,7 @@ def sample_token_per_row(
     temperature: jnp.ndarray,  # [B] f32
     top_k: jnp.ndarray,        # [B] i32 (0 = off)
     top_p: jnp.ndarray,        # [B] f32 (1.0 = off)
+    row_rngs: jax.Array | None = None,   # [B] keys — per-row sampling streams
 ) -> jnp.ndarray:
     """``sample_token`` with PER-ROW sampling parameters — each row applies
     its own greedy/temperature/top-k/top-p. This is what lets the
@@ -121,7 +122,16 @@ def sample_token_per_row(
         cutoff_mask = cum - probs >= top_p[:, None]
         cutoff = jnp.where(cutoff_mask, jnp.inf, sorted_k).min(axis=-1, keepdims=True)
         lk = jnp.where((top_p < 1.0)[:, None] & (lk < cutoff), -jnp.inf, lk)
-        sampled = jax.random.categorical(rng, lk, axis=-1).astype(jnp.int32)
+        if row_rngs is not None:
+            # per-row keys: each lane samples from its OWN stream (the
+            # engine derives them from (request seed, sample index), making
+            # a request's sampled output reproducible regardless of which
+            # slot it landed in or what else was decoding)
+            sampled = jax.vmap(
+                lambda k, row: jax.random.categorical(k, row)
+            )(row_rngs, lk).astype(jnp.int32)
+        else:
+            sampled = jax.random.categorical(rng, lk, axis=-1).astype(jnp.int32)
         return jnp.where(greedy, greedy_tok, sampled)
 
     return jax.lax.cond(jnp.all(greedy), lambda: greedy_tok, _sampled)

@@ -51,6 +51,16 @@ from dreamllm_tpu.utils.logging import get_logger
 logger = get_logger("dreamllm_tpu.serve.engine")
 
 
+def _stream_key(seed, idx):
+    """Key for sample ``idx`` of a request's sampling stream. Derived from
+    (request seed, sample index) only — NOT from engine state — so a
+    request's sampled output is reproducible regardless of slot placement,
+    admission order, or co-tenant lanes. Called inside jit (building the
+    base key eagerly at import would initialize a backend)."""
+    base = jax.random.PRNGKey(0x5EED)
+    return jax.random.fold_in(jax.random.fold_in(base, seed), idx)
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     slots: int = 8              # concurrent cache lanes
@@ -89,6 +99,10 @@ def init_engine_state(llm_cfg: LlamaConfig, ecfg: EngineConfig, rng=None) -> dic
         "temperature": jnp.ones((ecfg.slots,), jnp.float32),
         "top_k": jnp.zeros((ecfg.slots,), jnp.int32),
         "top_p": jnp.ones((ecfg.slots,), jnp.float32),
+        # per-slot sampling-stream seed: row keys derive from
+        # (seed, sample index), so a request's sampled output is
+        # reproducible regardless of slot placement or co-tenants
+        "seed": jnp.zeros((ecfg.slots,), jnp.uint32),
         "rng": rng if rng is not None else jax.random.PRNGKey(0),
     }
 
@@ -131,9 +145,12 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
             out["last_hidden_state"], jnp.maximum(clen - 1, 0)[:, None, None], axis=1
         )
         logits = llama_logits(params, llm_cfg, last)[:, 0]
+        # sample index 0 of this request's stream (decode continues at 1)
+        first_key = _stream_key(samp["seed"], jnp.uint32(0))
         first = sample_token_per_row(
             logits, rng, samp["greedy"][None], samp["temperature"][None],
             samp["top_k"][None], samp["top_p"][None],
+            row_rngs=first_key[None],
         )
         return out["kv_cache"], first[0]
 
@@ -182,6 +199,7 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
             "temperature": state["temperature"].at[slot].set(samp["temperature"]),
             "top_k": state["top_k"].at[slot].set(samp["top_k"]),
             "top_p": state["top_p"].at[slot].set(samp["top_p"]),
+            "seed": state["seed"].at[slot].set(samp["seed"]),
             "rng": state["rng"],
         }
 
@@ -215,12 +233,17 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
             # emitted (and the lane never reactivates), so a FINISHED
             # sampled request must not keep defeating the all-greedy
             # fast path (lane params are only rewritten at the next insert).
+            emitted = emitted + active.astype(jnp.int32)
+            # the token sampled now is sample index `emitted` of the lane's
+            # stream (prefill sampled index 0) — keys from (seed, index)
+            row_keys = jax.vmap(_stream_key)(
+                state["seed"], emitted.astype(jnp.uint32)
+            )
             nxt = sample_token_per_row(
                 logits, sub, state["greedy"] | ~active, state["temperature"],
-                state["top_k"], state["top_p"],
+                state["top_k"], state["top_p"], row_rngs=row_keys,
             )
             emit = jnp.where(active, cur, scfg.pad_token_id)
-            emitted = emitted + active.astype(jnp.int32)
             hit_stop = jnp.zeros_like(active)
             for t in scfg.stop_tokens:
                 hit_stop = hit_stop | (emit == t)
@@ -242,7 +265,8 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
                      "emitted": emitted, "budget": budget, "rng": rng,
                      "greedy": state["greedy"],
                      "temperature": state["temperature"],
-                     "top_k": state["top_k"], "top_p": state["top_p"]}
+                     "top_k": state["top_k"], "top_p": state["top_p"],
+                     "seed": state["seed"]}
         # per-step validity mask travels with the tokens: routing by mask
         # (not by == pad_token_id) keeps a genuinely generated pad-id token
         # (<unk> is id 0 in LLaMA vocabs) in the output stream.
@@ -353,6 +377,46 @@ class ContinuousBatchingEngine:
         self._thread.start()
         return self
 
+    def warmup(self, embeds: bool = False) -> "ContinuousBatchingEngine":
+        """AOT-compile the engine's programs (``jit.lower().compile()`` — no
+        execution, no donation) so the first request doesn't pay the remote
+        compile while live lanes wait. The scheduler thread is the only
+        dispatcher; a lazily-compiled program (the embeds prefill
+        especially — nothing else exercises it) would otherwise block every
+        in-flight decode for the full compile. Call before serving;
+        ``embeds=True`` also compiles the multimodal prefill program."""
+        P, S = self.ecfg.prefill_len, self.ecfg.max_len
+        sds = lambda t: jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
+        params_s = sds(self.params)
+        cache_s = sds(self.prefill_fn.empty_cache())
+        state_s = sds(self.state)
+        rng_s = sds(jax.random.PRNGKey(0))
+        samp_s = {
+            "greedy": jax.ShapeDtypeStruct((), np.bool_),
+            "temperature": jax.ShapeDtypeStruct((), np.float32),
+            "top_k": jax.ShapeDtypeStruct((), np.int32),
+            "top_p": jax.ShapeDtypeStruct((), np.float32),
+            "seed": jax.ShapeDtypeStruct((), np.uint32),
+        }
+        i32 = jax.ShapeDtypeStruct((), np.int32)
+        ids_s = jax.ShapeDtypeStruct((1, P), np.int32)
+        clen_s = jax.ShapeDtypeStruct((1,), np.int32)
+        self.prefill_fn.lower(
+            params_s, cache_s, ids_s, clen_s, i32, rng_s, samp_s).compile()
+        self.insert_fn.lower(
+            state_s, cache_s, i32, 0, i32, i32, samp_s).compile()
+        self.decode_chunk_fn.lower(params_s, state_s).compile()
+        if embeds:
+            # prompt embeddings arrive in the model's param dtype
+            # (multimodal_embed output); a mismatched warmup dtype would
+            # compile a program the real calls never hit
+            emb_s = jax.ShapeDtypeStruct(
+                (1, P, self.llm_cfg.hidden_size), self.llm_cfg.dtype)
+            self.prefill_fn.embeds.lower(
+                params_s, cache_s, emb_s, clen_s, i32, rng_s, samp_s).compile()
+        return self
+
     def stop(self) -> None:
         """Stop the loop and fail anything not finished — stranding queued
         or in-flight requests would block each submitter for its full
@@ -395,6 +459,7 @@ class ContinuousBatchingEngine:
         top_k: int | None = None,
         top_p: float | None = None,
         prompt_embeds=None,
+        seed: int | None = None,
     ) -> list[int]:
         """Block until the request finishes; returns generated token ids
         (EOS excluded). Prompts prefill in chunks; longer than the lane
@@ -422,6 +487,10 @@ class ContinuousBatchingEngine:
             "temperature": float(s.temperature if temperature is None else temperature),
             "top_k": int(s.top_k if top_k is None else top_k),
             "top_p": float(s.top_p if top_p is None else top_p),
+            # per-request sampling-stream seed: same (seed, prompt, params)
+            # → same sampled output, independent of slot placement or
+            # co-tenants. None → a per-admission unique seed.
+            "seed": None if seed is None else int(seed) & 0xFFFFFFFF,
         }
         # these reach a compiled sampler and (via the HTTP contract) are
         # CLIENT-controlled — reject values that poison the row
@@ -433,10 +502,23 @@ class ContinuousBatchingEngine:
         if prompt_embeds is not None:
             if prompt_ids is not None:
                 raise ValueError("pass prompt_ids OR prompt_embeds, not both")
-            embeds = np.asarray(prompt_embeds)
+            # keep device arrays on device — fetching [S, H] floats to host
+            # only to re-upload them chunk-by-chunk costs two full prompt
+            # transfers through the tunnel per request
+            embeds = (prompt_embeds if isinstance(prompt_embeds, jax.Array)
+                      else np.asarray(prompt_embeds))
             if embeds.ndim != 2 or embeds.shape[0] < 1:
                 raise ClientError(
                     f"prompt_embeds must be [S>=1, H], got {embeds.shape}"
+                )
+            if embeds.shape[0] > self.ecfg.max_len - 1:
+                # ids prompts left-truncate, but an embeds prompt's span
+                # structure (image patches, dream queries) is opaque here —
+                # a silent cut could hand the model half an image
+                raise ClientError(
+                    f"prompt_embeds length {embeds.shape[0]} exceeds the "
+                    f"lane capacity {self.ecfg.max_len - 1}; shorten the "
+                    "prompt (embeds prompts are not auto-truncated)"
                 )
             req = _Request([], max_new_tokens, stream, samp, embeds=embeds)
         else:
@@ -464,11 +546,7 @@ class ContinuousBatchingEngine:
         cap = self.ecfg.max_len - 1
         ids, emb = req.ids, req.embeds
         if emb is not None:
-            if emb.shape[0] > cap:
-                # keep the first row (BOS embedding) + most recent context,
-                # mirroring the ids path's truncation rule
-                emb = np.concatenate([emb[:1], emb[-(cap - 1):]], axis=0)
-            plen = emb.shape[0]
+            plen = emb.shape[0]  # overlong embeds were rejected at submit
         else:
             if len(ids) > cap:
                 bos = self.ecfg.bos_token_id
@@ -479,13 +557,20 @@ class ContinuousBatchingEngine:
         rng = jax.random.fold_in(self._rng0, self._admit_count)
         samp = req.samp or {
             "greedy": self.scfg.greedy, "temperature": self.scfg.temperature,
-            "top_k": self.scfg.top_k, "top_p": self.scfg.top_p,
+            "top_k": self.scfg.top_k, "top_p": self.scfg.top_p, "seed": None,
         }
+        # no explicit seed → a per-admission unique stream (concurrent
+        # identical sampled prompts should not produce identical outputs
+        # unless the client pins a seed)
+        seed = samp.get("seed")
+        if seed is None:
+            seed = self._admit_count
         samp_dev = {
             "greedy": jnp.asarray(samp["greedy"], bool),
             "temperature": jnp.asarray(samp["temperature"], jnp.float32),
             "top_k": jnp.asarray(samp["top_k"], jnp.int32),
             "top_p": jnp.asarray(samp["top_p"], jnp.float32),
+            "seed": jnp.asarray(seed, jnp.uint32),
         }
         # chunked prefill: host loop of P-token compiled appends — prompts
         # longer than prefill_len no longer truncate to it.
@@ -543,12 +628,15 @@ class ContinuousBatchingEngine:
                     while len(self._prefix_cache) > n_entries:
                         self._prefix_cache.popitem(last=False)  # evict LRU
             if emb is not None:
-                chunk = emb[start : start + P]
-                padded_e = np.zeros((1, P, emb.shape[1]), emb.dtype)
-                padded_e[0, : len(chunk)] = chunk
+                clen = min(P, plen - start)
+                # device-side chunking: slice + pad are dispatched ops, not
+                # host round-trips (emb may live on device the whole time)
+                chunk = jnp.asarray(emb[start : start + P])
+                if clen < P:
+                    chunk = jnp.pad(chunk, ((0, P - clen), (0, 0)))
                 pre_cache, first = self.prefill_fn.embeds(
-                    self.params, pre_cache, jnp.asarray(padded_e),
-                    jnp.asarray([len(chunk)], jnp.int32), jnp.int32(start),
+                    self.params, pre_cache, chunk[None],
+                    jnp.asarray([clen], jnp.int32), jnp.int32(start),
                     rng, samp_dev,
                 )
             else:

@@ -99,6 +99,8 @@ class ModelServer:
             kw["top_k"] = int(req["top_k"])
         if "top_p" in req:
             kw["top_p"] = float(req["top_p"])
+        if "seed" in req:
+            kw["seed"] = int(req["seed"])  # reproducible sampling stream
         from dreamllm_tpu.generation.sampler import validate_sampling
 
         validate_sampling(kw.get("temperature", 1.0), kw.get("top_k", 0),

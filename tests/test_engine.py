@@ -684,3 +684,28 @@ def test_engine_embeds_prompt_matches_ids_prompt(small):
         assert eng.submit(prompt_embeds=emb2, max_new_tokens=8) == ref2
     finally:
         eng.stop()
+
+
+def test_engine_seeded_sampling_reproducible(small):
+    """submit(seed=) pins the request's sampling stream: same seed → same
+    output regardless of slot placement or co-tenant traffic; different
+    seed → a different stream. Keys derive from (seed, sample index), not
+    engine state."""
+    cfg, params = small
+    eng = _engine(cfg, params).start()
+    try:
+        p = [1, 17, 23, 42]
+        a = eng.submit(p, max_new_tokens=16, temperature=1.5, seed=7)
+        # interleave other traffic so the repeat lands in a different
+        # scheduling context (slot churn, different admit counter)
+        eng.submit([1, 88, 3], max_new_tokens=6)
+        b = eng.submit(p, max_new_tokens=16, temperature=1.5, seed=7)
+        c = eng.submit(p, max_new_tokens=16, temperature=1.5, seed=8)
+        assert a == b
+        assert a != c  # 16 draws over a 128-vocab at T=1.5: collision ~0
+        # unseeded sampled requests get per-admission streams (not identical)
+        d = eng.submit(p, max_new_tokens=16, temperature=1.5)
+        e = eng.submit(p, max_new_tokens=16, temperature=1.5)
+        assert d != e
+    finally:
+        eng.stop()
