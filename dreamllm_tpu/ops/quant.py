@@ -49,6 +49,35 @@ class QTensor:
         return self.q.dtype
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class LoRATensor:
+    """A weight with an UNMERGED low-rank adapter: ``y = x @ base +
+    (x @ a) @ b * scale``. ``base`` may be a raw array, a QTensor, or a
+    Q4Tensor — this is the QLoRA formulation: the frozen base stays
+    quantized (int8/int4 HBM footprint) and the merged bf16 weight is
+    never materialized. As a pytree, scan slices base/a/b along the
+    stacked-layer axis together, so it drops into the decoder's
+    scan-over-layers unchanged (like QTensor)."""
+
+    base: object          # array | QTensor | Q4Tensor, logical [.., in, out]
+    a: jnp.ndarray        # [.., in, r]
+    b: jnp.ndarray        # [.., r, out]
+    scale: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+
+    @property
+    def shape(self):
+        return self.base.shape
+
+    @property
+    def ndim(self):
+        return self.base.ndim
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+
 def quantize_int8(w: jnp.ndarray) -> QTensor:
     """Per-output-channel symmetric quantization: the reduction runs over the
     contraction ('in') axis only, so stacked-layer weights [L, in, out] get
@@ -71,6 +100,11 @@ def matmul(x: jnp.ndarray, w: Any) -> jnp.ndarray:
     For stacked-layer weights sliced by scan, the QTensor slice keeps its
     scale row, so this works inside lax.scan unchanged.
     """
+    if isinstance(w, LoRATensor):
+        # QLoRA path: quantized (or raw) base matmul + rank-r correction;
+        # the merged full-rank weight is never materialized
+        lo = (x @ w.a.astype(x.dtype)) @ w.b.astype(x.dtype)
+        return matmul(x, w.base) + lo * jnp.asarray(w.scale, x.dtype)
     if isinstance(w, QTensor):
         wq = w.q.astype(x.dtype)
         y = x @ wq

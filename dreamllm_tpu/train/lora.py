@@ -42,12 +42,14 @@ def init_lora_params(rng: jax.Array, params: dict, cfg: LoRAConfig) -> dict:
     out = {}
     keys = jax.random.split(rng, len(cfg.targets))
     for k, t in zip(keys, cfg.targets):
-        w = layers[t]  # [L, in, out]
+        w = layers[t]  # [L, in, out] — raw array OR QTensor/Q4Tensor (QLoRA)
         L, din, dout = w.shape
+        # factors train in a float dtype even over an int-quantized base
+        dt = w.dtype if jnp.issubdtype(w.dtype, jnp.floating) else jnp.float32
         a = jax.random.normal(k, (L, din, cfg.rank), jnp.float32) * (din**-0.5)
         out[t] = {
-            "a": a.astype(w.dtype),
-            "b": jnp.zeros((L, cfg.rank, dout), w.dtype),
+            "a": a.astype(dt),
+            "b": jnp.zeros((L, cfg.rank, dout), dt),
         }
     return {"layers": out}
 
@@ -64,12 +66,43 @@ def apply_lora(params: dict, lora: dict, cfg: LoRAConfig) -> dict:
     return {**params, "layers": new_layers}
 
 
-def lora_loss_fn(base_params: dict, lora_cfg: LoRAConfig, loss_fn):
+def attach_lora(params: dict, lora: dict, cfg: LoRAConfig) -> dict:
+    """Wrap each target weight in a :class:`~dreamllm_tpu.ops.quant.
+    LoRATensor` — the adapter stays UNMERGED and the forward computes
+    ``x @ base + (x @ a) @ b · scale`` at every projection (ops/quant.
+    matmul dispatch). Unlike :func:`apply_lora` this works over a
+    QUANTIZED base (QTensor/Q4Tensor): the QLoRA formulation — the frozen
+    base keeps its int8/int4 HBM footprint and the merged bf16 weight is
+    never materialized."""
+    from dreamllm_tpu.ops.quant import LoRATensor
+
+    new_layers = dict(params["layers"])
+    for t, f in lora["layers"].items():
+        new_layers[t] = LoRATensor(
+            base=params["layers"][t], a=f["a"], b=f["b"], scale=cfg.scale
+        )
+    return {**params, "layers": new_layers}
+
+
+def lora_loss_fn(base_params: dict, lora_cfg: LoRAConfig, loss_fn,
+                 merge: bool = True):
     """Wrap a ``loss_fn(params, batch, rng)`` so it differentiates only the
-    LoRA factors: base params are closed over (frozen by construction)."""
+    LoRA factors: base params are closed over (frozen by construction).
+
+    ``merge=False`` uses :func:`attach_lora` instead of materializing the
+    merged weights — REQUIRED when the base is quantized (QLoRA), and
+    cheaper in memory either way (the rank-r path adds two thin matmuls
+    per projection instead of a full-size weight copy)."""
 
     def fn(lora, batch, rng):
-        merged = apply_lora(base_params, lora, lora_cfg)
-        return loss_fn(merged, batch, rng)
+        combine = apply_lora if merge else attach_lora
+        return loss_fn(combine(base_params, lora, lora_cfg), batch, rng)
 
     return fn
+
+
+def qlora_loss_fn(quantized_base: dict, lora_cfg: LoRAConfig, loss_fn):
+    """QLoRA: differentiate LoRA factors over a frozen int8/int4 base
+    (``ops.quant.quantize_llama_params`` / int4 variant). Equivalent to
+    ``lora_loss_fn(..., merge=False)`` — named for discoverability."""
+    return lora_loss_fn(quantized_base, lora_cfg, loss_fn, merge=False)

@@ -192,3 +192,94 @@ class TestServe:
         # 5 prompts through a batch-2 compiled fn: chunked, no assert
         out = fn([f"p {i}" for i in range(5)])
         assert len(out) == 5
+
+
+class TestQLoRA:
+    def test_attach_matches_merge_on_raw_base(self):
+        """Unmerged (attach_lora / LoRATensor dispatch) forward equals the
+        merged apply_lora forward on a float base."""
+        from dreamllm_tpu.train.lora import attach_lora
+
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(0), cfg)
+        lcfg = LoRAConfig(rank=4)
+        lora = init_lora_params(jax.random.PRNGKey(1), params, lcfg)
+        # non-zero b so the delta is real
+        lora["layers"]["wq"]["b"] = (
+            jax.random.normal(jax.random.PRNGKey(2),
+                              lora["layers"]["wq"]["b"].shape) * 0.05
+        )
+        ids = jnp.asarray([[1, 9, 14, 25]], jnp.int32)
+        merged = llama_forward(apply_lora(params, lora, lcfg), cfg,
+                               input_ids=ids)["last_hidden_state"]
+        attached = llama_forward(attach_lora(params, lora, lcfg), cfg,
+                                 input_ids=ids)["last_hidden_state"]
+        np.testing.assert_allclose(np.asarray(merged), np.asarray(attached),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_qlora_trains_over_int8_base(self):
+        """QLoRA: the frozen base stays int8 (QTensor), only LoRA factors
+        get gradients, and a few steps reduce the loss through the full
+        scan-over-layers decoder forward."""
+        import optax
+
+        from dreamllm_tpu.ops.quant import QTensor, quantize_llama_params
+        from dreamllm_tpu.train.lora import qlora_loss_fn
+
+        cfg = LlamaConfig(**TINY)
+        base = quantize_llama_params(init_llama_params(jax.random.PRNGKey(0), cfg))
+        assert isinstance(base["layers"]["wq"], QTensor)
+        lcfg = LoRAConfig(rank=4)
+        lora = init_lora_params(jax.random.PRNGKey(1), base, lcfg)
+        assert lora["layers"]["wq"]["a"].dtype == jnp.float32  # not int8
+
+        ids = jnp.asarray([[1, 9, 14, 25, 3, 7, 22, 18]], jnp.int32)
+
+        def lm_loss(p, batch, rng):
+            h = llama_forward(p, cfg, input_ids=batch[:, :-1])["last_hidden_state"]
+            logits = llama_logits(p, cfg, h)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            tgt = batch[:, 1:]
+            return -jnp.mean(jnp.take_along_axis(logp, tgt[..., None], axis=-1))
+
+        fn = qlora_loss_fn(base, lcfg, lm_loss)
+        tx = optax.adam(1e-2)
+        opt = tx.init(lora)
+        l0 = None
+        for i in range(5):
+            loss, g = jax.value_and_grad(fn)(lora, ids, None)
+            if l0 is None:
+                l0 = float(loss)
+            up, opt = tx.update(g, opt, lora)
+            lora = optax.apply_updates(lora, up)
+        assert float(loss) < l0, (float(loss), l0)
+        # the base was untouched (still the same int8 tensors)
+        assert isinstance(base["layers"]["wq"], QTensor)
+
+    def test_qlora_serving_decode(self):
+        """Attached adapters over an int8 base decode through generate_text
+        (LoRATensor rides the decode scan + KV cache path)."""
+        from dreamllm_tpu.generation.sampler import SamplingConfig, generate_text
+        from dreamllm_tpu.ops.quant import quantize_llama_params
+        from dreamllm_tpu.train.lora import attach_lora
+
+        cfg = LlamaConfig(**TINY)
+        base = quantize_llama_params(init_llama_params(jax.random.PRNGKey(0), cfg))
+        lcfg = LoRAConfig(rank=4)
+        lora = init_lora_params(jax.random.PRNGKey(1), base, lcfg)
+        served = attach_lora(base, lora, lcfg)
+        out = generate_text(
+            served, cfg, jnp.asarray([[1, 9, 14]], jnp.int32),
+            jnp.asarray([3], jnp.int32),
+            SamplingConfig(greedy=True, max_new_tokens=6, eos_token_id=-1),
+        )
+        toks = np.asarray(out["tokens"][0, :6])
+        assert ((0 <= toks) & (toks < cfg.vocab_size)).all()
+        # zero-init b => adapter is an exact no-op: matches the plain base
+        ref = generate_text(
+            base, cfg, jnp.asarray([[1, 9, 14]], jnp.int32),
+            jnp.asarray([3], jnp.int32),
+            SamplingConfig(greedy=True, max_new_tokens=6, eos_token_id=-1),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["tokens"][0, :6]), np.asarray(ref["tokens"][0, :6]))
