@@ -129,3 +129,25 @@ def test_int4_llama_decode_end_to_end():
 def test_quantize_rejects_bad_k():
     with pytest.raises(AssertionError):
         quantize_int4(_w(300, 128))
+
+
+def test_lora_tensor_over_int4_base():
+    """LoRATensor with a Q4Tensor base: the QLoRA matmul adds the rank-r
+    path on top of the int4 dequant path."""
+    import jax
+
+    from dreamllm_tpu.ops.quant import LoRATensor, matmul
+    from dreamllm_tpu.ops.quant4 import quantize_int4
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+    q4 = quantize_int4(w)
+    a = jnp.asarray(rng.standard_normal((256, 4)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4, 128)) * 0.1, jnp.float32)
+    lt = LoRATensor(base=q4, a=a, b=b, scale=2.0)
+    assert lt.shape == (256, 128)
+    x = jnp.asarray(rng.standard_normal((3, 256)), jnp.bfloat16)
+    got = jax.jit(matmul)(x, lt)
+    ref = matmul(x, q4) + ((x @ a.astype(x.dtype)) @ b.astype(x.dtype)) * 2.0
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), rtol=2e-2, atol=2e-2)
