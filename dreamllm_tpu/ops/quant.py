@@ -63,7 +63,10 @@ class LoRATensor:
     base: object          # array | QTensor | Q4Tensor, logical [.., in, out]
     a: jnp.ndarray        # [.., in, r]
     b: jnp.ndarray        # [.., r, out]
-    scale: float = dataclasses.field(metadata=dict(static=True), default=1.0)
+    # scale (alpha/rank) is a DATA leaf, not static metadata, so an attached
+    # tree survives the orbax round-trip (checkpoints._rebuild_quantized
+    # reconstructs LoRATensor from its saved dict incl. this scalar)
+    scale: jnp.ndarray | float = 1.0
 
     @property
     def shape(self):
@@ -72,6 +75,10 @@ class LoRATensor:
     @property
     def ndim(self):
         return self.base.ndim
+
+    @property
+    def size(self):
+        return self.base.size
 
     @property
     def dtype(self):

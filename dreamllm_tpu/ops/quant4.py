@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -50,6 +51,10 @@ class Q4Tensor:
     @property
     def ndim(self):
         return self.packed.ndim
+
+    @property
+    def size(self):  # logical (unpacked) element count
+        return self.packed.size * 2
 
     @property
     def dtype(self):
@@ -207,9 +212,7 @@ def w4_matmul(x: jnp.ndarray, t: Q4Tensor, *, interpret: bool = False) -> jnp.nd
     return out.astype(x.dtype)
 
 
-def matmul4(x: jnp.ndarray, t: Q4Tensor) -> jnp.ndarray:
-    """x @ W for any leading x dims; W may carry leading (scan-sliced) dims
-    already removed. Kernel path for 2-D x, dequant fallback otherwise."""
+def _matmul4_impl(x: jnp.ndarray, t: Q4Tensor) -> jnp.ndarray:
     if x.ndim == 2 and t.packed.ndim == 2:
         return w4_matmul(x, t)
     lead = x.shape[:-1]
@@ -217,6 +220,36 @@ def matmul4(x: jnp.ndarray, t: Q4Tensor) -> jnp.ndarray:
         y = w4_matmul(x.reshape(-1, x.shape[-1]), t)
         return y.reshape(*lead, y.shape[-1])
     return x @ dequantize_int4(t, x.dtype)
+
+
+@jax.custom_vjp
+def matmul4(x: jnp.ndarray, t: Q4Tensor) -> jnp.ndarray:
+    """x @ W for any leading x dims; W may carry leading (scan-sliced) dims
+    already removed. Kernel path for 2-D x, dequant fallback otherwise.
+
+    Differentiable w.r.t. ``x`` via a custom VJP (``dx = g @ W^T`` on the
+    dequantized weight): ``pallas_call`` has no transpose rule, so without
+    this, int4-base QLoRA training would crash whenever the forward took
+    the kernel path. The weight gets symbolic-zero cotangents (it is int4
+    and frozen by construction)."""
+    return _matmul4_impl(x, t)
+
+
+def _matmul4_fwd(x, t):
+    return _matmul4_impl(x, t), t
+
+
+def _matmul4_bwd(t, g):
+    w = dequantize_int4(t, g.dtype)
+    dx = g @ jnp.swapaxes(w, -1, -2)
+    dt = Q4Tensor(
+        packed=np.zeros(t.packed.shape, jax.dtypes.float0),
+        scale=jnp.zeros_like(t.scale),
+    )
+    return dx, dt
+
+
+matmul4.defvjp(_matmul4_fwd, _matmul4_bwd)
 
 
 def quantize_llama_params_int4(params: dict) -> dict:

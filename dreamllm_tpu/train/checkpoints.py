@@ -155,9 +155,10 @@ def load_params(
 
 def _rebuild_quantized(tree):
     """Orbax restores registered dataclasses as plain dicts when no template
-    is given; rebuild QTensor/Q4Tensor nodes (their key sets are unambiguous)
-    so quantized checkpoints flow straight into qmm's isinstance dispatch."""
-    from dreamllm_tpu.ops.quant import QTensor
+    is given; rebuild QTensor/Q4Tensor/LoRATensor nodes (their key sets are
+    unambiguous) so quantized / adapter-attached checkpoints flow straight
+    into qmm's isinstance dispatch."""
+    from dreamllm_tpu.ops.quant import LoRATensor, QTensor
     from dreamllm_tpu.ops.quant4 import Q4Tensor
 
     if isinstance(tree, dict):
@@ -166,6 +167,11 @@ def _rebuild_quantized(tree):
             return QTensor(q=tree["q"], scale=tree["scale"])
         if keys == {"packed", "scale"}:
             return Q4Tensor(packed=tree["packed"], scale=tree["scale"])
+        if keys == {"base", "a", "b", "scale"}:
+            return LoRATensor(
+                base=_rebuild_quantized(tree["base"]),
+                a=tree["a"], b=tree["b"], scale=tree["scale"],
+            )
         return {k: _rebuild_quantized(v) for k, v in tree.items()}
     return tree
 

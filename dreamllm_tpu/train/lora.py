@@ -55,7 +55,17 @@ def init_lora_params(rng: jax.Array, params: dict, cfg: LoRAConfig) -> dict:
 
 
 def apply_lora(params: dict, lora: dict, cfg: LoRAConfig) -> dict:
-    """Merge: W' = W + a@b·scale. Returns a new params tree (base unchanged)."""
+    """Merge: W' = W + a@b·scale. Returns a new params tree (base unchanged).
+
+    Requires a FLOAT base — merging into int8/int4 weights would dequantize
+    them; use :func:`attach_lora` (unmerged) for quantized bases."""
+    for t in lora["layers"]:
+        if not isinstance(params["layers"][t], jnp.ndarray):
+            raise TypeError(
+                f"apply_lora cannot merge into quantized weight {t!r} "
+                f"({type(params['layers'][t]).__name__}); use attach_lora / "
+                "qlora_loss_fn for a quantized base"
+            )
     new_layers = dict(params["layers"])
     for t, f in lora["layers"].items():
         delta = jnp.einsum("lir,lro->lio", f["a"].astype(jnp.float32),
@@ -78,8 +88,12 @@ def attach_lora(params: dict, lora: dict, cfg: LoRAConfig) -> dict:
 
     new_layers = dict(params["layers"])
     for t, f in lora["layers"].items():
+        # scale is a data leaf (it must survive orbax round-trips); for
+        # stacked [L, ...] factors it carries the layer axis so the
+        # decoder's scan-over-layers can slice it alongside base/a/b
+        scale = jnp.full(f["a"].shape[:-2], cfg.scale, jnp.float32)
         new_layers[t] = LoRATensor(
-            base=params["layers"][t], a=f["a"], b=f["b"], scale=cfg.scale
+            base=params["layers"][t], a=f["a"], b=f["b"], scale=scale
         )
     return {**params, "layers": new_layers}
 
@@ -90,12 +104,16 @@ def lora_loss_fn(base_params: dict, lora_cfg: LoRAConfig, loss_fn,
     LoRA factors: base params are closed over (frozen by construction).
 
     ``merge=False`` uses :func:`attach_lora` instead of materializing the
-    merged weights — REQUIRED when the base is quantized (QLoRA), and
-    cheaper in memory either way (the rank-r path adds two thin matmuls
-    per projection instead of a full-size weight copy)."""
+    merged weights — cheaper in memory either way (the rank-r path adds two
+    thin matmuls per projection instead of a full-size weight copy). A
+    quantized base (QLoRA) auto-selects attach regardless of ``merge``."""
+    quantized = any(
+        not isinstance(base_params["layers"][t], jnp.ndarray)
+        for t in lora_cfg.targets if t in base_params["layers"]
+    )
 
     def fn(lora, batch, rng):
-        combine = apply_lora if merge else attach_lora
+        combine = apply_lora if (merge and not quantized) else attach_lora
         return loss_fn(combine(base_params, lora, lora_cfg), batch, rng)
 
     return fn

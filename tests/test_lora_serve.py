@@ -283,3 +283,79 @@ class TestQLoRA:
         )
         np.testing.assert_array_equal(
             np.asarray(out["tokens"][0, :6]), np.asarray(ref["tokens"][0, :6]))
+
+
+class TestQLoRAInt4AndCheckpoint:
+    def test_matmul4_grad_via_custom_vjp(self):
+        """int4 QLoRA needs dx through the quantized base; pallas_call has
+        no transpose rule, so matmul4 carries a custom VJP (dequant
+        backward). Gradient must match the dequantized-weight reference."""
+        from dreamllm_tpu.ops.quant4 import dequantize_int4, matmul4, quantize_int4
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((256, 128)), jnp.float32)
+        t = quantize_int4(w)
+        x = jnp.asarray(rng.standard_normal((3, 256)), jnp.float32)
+
+        def f(x):
+            return jnp.sum(matmul4(x, t) ** 2)
+
+        dx = jax.grad(f)(x)
+        wd = dequantize_int4(t, jnp.float32)
+        ref = jax.grad(lambda x: jnp.sum((x @ wd) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_apply_lora_rejects_quantized_base_and_loss_fn_autoselects(self):
+        import pytest as _pytest
+
+        from dreamllm_tpu.ops.quant import quantize_llama_params
+
+        cfg = LlamaConfig(**TINY)
+        base = quantize_llama_params(init_llama_params(jax.random.PRNGKey(0), cfg))
+        lcfg = LoRAConfig(rank=2)
+        lora = init_lora_params(jax.random.PRNGKey(1), base, lcfg)
+        with _pytest.raises(TypeError, match="attach_lora"):
+            apply_lora(base, lora, lcfg)
+        # the default merge=True path silently auto-selects attach
+        ids = jnp.asarray([[1, 9, 14, 25]], jnp.int32)
+
+        def lm_loss(p, batch, rng):
+            h = llama_forward(p, cfg, input_ids=batch)["last_hidden_state"]
+            return jnp.sum(h.astype(jnp.float32) ** 2) * 1e-4
+
+        loss = lora_loss_fn(base, lcfg, lm_loss)(lora, ids, None)
+        assert np.isfinite(float(loss))
+
+    def test_attached_tree_survives_orbax_roundtrip_and_shards(self, tmp_path):
+        """CLAUDE.md invariant: quantized pytree tensors must survive orbax
+        round-trips. An attach_lora'd int8 tree must restore to working
+        LoRATensors (incl. the scale leaf) and accept mesh shardings."""
+        import orbax.checkpoint as ocp
+
+        from dreamllm_tpu.ops.quant import LoRATensor, quantize_llama_params
+        from dreamllm_tpu.parallel.mesh import MeshConfig, create_mesh
+        from dreamllm_tpu.parallel.sharding import param_shardings
+        from dreamllm_tpu.train.checkpoints import _rebuild_quantized
+        from dreamllm_tpu.train.lora import attach_lora
+
+        cfg = LlamaConfig(**TINY)
+        base = quantize_llama_params(init_llama_params(jax.random.PRNGKey(0), cfg))
+        lcfg = LoRAConfig(rank=2)
+        lora = init_lora_params(jax.random.PRNGKey(1), base, lcfg)
+        served = attach_lora(base, lora, lcfg)
+
+        ckpt = ocp.PyTreeCheckpointer()
+        ckpt.save(str(tmp_path / "p"), served)
+        restored = _rebuild_quantized(ckpt.restore(str(tmp_path / "p")))
+        rt = restored["layers"]["wq"]
+        assert isinstance(rt, LoRATensor)
+        np.testing.assert_array_equal(np.asarray(rt.scale), lcfg.scale)
+        ids = jnp.asarray([[1, 9, 14]], jnp.int32)
+        a = llama_forward(served, cfg, input_ids=ids)["last_hidden_state"]
+        b = llama_forward(restored, cfg, input_ids=ids)["last_hidden_state"]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+        # sharding rules accept the attached tree (size/shape duck-typing)
+        mesh = create_mesh(MeshConfig(data=2, fsdp=2, tp=2))
+        shardings = param_shardings(served, mesh, min_shard_size=0)
+        assert shardings is not None
