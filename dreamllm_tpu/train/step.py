@@ -48,6 +48,7 @@ def make_train_step(
     donate: bool = True,
     skip_nonfinite: bool = True,
     mesh=None,
+    trainable_mask=None,
 ):
     """Build the jitted train step.
 
@@ -71,6 +72,14 @@ def make_train_step(
     these shapes, so "full" stays the default; the knob matters when a
     profile shows backward recompute dominating (bigger H/I, shorter S).
 
+    ``trainable_mask``: the same bool pytree given to ``make_optimizer`` —
+    when provided, frozen subtrees are ``stop_gradient``-pruned from the
+    backward graph instead of having their grads computed and then zeroed
+    by the optimizer mask (stage-2: skips the whole CLIP and VAE backward
+    and the UNet's param-grad pass). Trainable updates are bit-identical;
+    ``grad_norm`` (and so ``max_grad_norm`` clipping) now measures the
+    TRAINABLE gradients only, which is what the clip should bound.
+
     ``skip_nonfinite``: the reference's NaN/Inf loss filter (trainer.py:
     768-777) moved INSIDE the jitted step — on a non-finite loss or grad
     norm the params/opt-state update is dropped via ``jnp.where`` selects,
@@ -81,6 +90,17 @@ def make_train_step(
     """
 
     def loss_fn(params, batch, rng):
+        if trainable_mask is not None:
+            # prune frozen subtrees from the autodiff graph: without this,
+            # value_and_grad computes FULL backward passes for params the
+            # optimizer mask then zeroes — in stage-2 that's the whole CLIP
+            # tower backward, the VAE backward, and the UNet's param-grad
+            # pass (its activation grads still flow to the dream-query
+            # states, as they must). Frozen leaves come back as zero grads.
+            params = jax.tree.map(
+                lambda p, m: p if m else jax.lax.stop_gradient(p),
+                params, trainable_mask,
+            )
         head_params = params.get("sd_head") if head_in_params else None
         return dreamllm_forward(
             params, cfg, batch,

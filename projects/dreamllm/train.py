@@ -212,6 +212,7 @@ def main(argv=None):
         remat=True,
         use_flash=jax.default_backend() == "tpu",
         mesh=mesh if cfg.sequence_parallel_axis else None,
+        trainable_mask=mask,
     )
 
     # ---- data ----

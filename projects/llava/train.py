@@ -41,12 +41,14 @@ def main(argv=None):
     params = jax.tree.map(jax.device_put, params, param_shardings(params, mesh))
 
     ocfg = OptimizerConfig(**config["optimizer"])
-    tx = make_optimizer(ocfg, trainable_mask=param_freeze_mask(params, cfg))
+    mask = param_freeze_mask(params, cfg)
+    tx = make_optimizer(ocfg, trainable_mask=mask)
     state = init_train_state(params, tx)
     step = make_train_step(
         cfg, tx, head_in_params=False,
         grad_accum=config.get("grad_accum", 1), remat=True,
         use_flash=jax.default_backend() == "tpu",
+        trainable_mask=mask,
     )
 
     from dreamllm_tpu.data.stream import MappedStream, PrefetchStream

@@ -85,7 +85,7 @@ tx = make_optimizer(
 )
 state = init_train_state(params, tx)
 step = make_train_step(cfg, tx, head_loss_fn=make_head_loss_fn(head_cfg),
-                       remat=True, use_flash=True)
+                       remat=True, use_flash=True, trainable_mask=mask)
 
 st = cfg.special_tokens
 

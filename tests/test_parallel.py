@@ -179,3 +179,64 @@ class TestTrainStep:
         after = state.params["clip_vision_embedding"]
         for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
             np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+
+
+class TestAutodiffPruning:
+    """make_train_step(trainable_mask=...) prunes frozen subtrees from the
+    backward graph; the TRAINABLE updates must be identical to the unpruned
+    step (frozen grads were zeroed by the optimizer mask anyway)."""
+
+    def test_pruned_step_matches_unpruned_trainables(self):
+        from dreamllm_tpu.models.clip import CLIPVisionConfig
+        from dreamllm_tpu.models.dreamllm import (
+            DreamLLMConfig, init_dreamllm_params, param_freeze_mask,
+        )
+        from dreamllm_tpu.models.llama import LlamaConfig
+        from dreamllm_tpu.models.projector import ProjectorConfig
+
+        cfg = DreamLLMConfig(
+            llm=LlamaConfig(vocab_size=1000, hidden_size=64, intermediate_size=128,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            num_key_value_heads=2, max_position_embeddings=64),
+            vision=CLIPVisionConfig(hidden_size=16, intermediate_size=32,
+                                    num_hidden_layers=2, num_attention_heads=2,
+                                    image_size=8, patch_size=4),
+            vision_projector=ProjectorConfig(projector_type="linear", in_dim=16, out_dim=64),
+            n_dream_queries=4, image_embed_len=4,
+            frozen=("clip_vision_embedding",),
+        )
+        params = init_dreamllm_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(10, 900, (2, 16)).astype(np.int32)
+        st = cfg.special_tokens
+        ids[:, 1] = st.im_start
+        ids[:, 2:6] = st.im_patch
+        ids[:, 6] = st.im_end
+        batch = {
+            "input_ids": jnp.asarray(ids),
+            "labels": jnp.asarray(ids),
+            "images": jnp.asarray(rng.standard_normal((2, 1, 8, 8, 3)), jnp.float32),
+            "image_positions": jnp.full((2, 1), 2, jnp.int32),
+        }
+        mask = param_freeze_mask(params, cfg)
+        ocfg = OptimizerConfig(learning_rate=1e-2, schedule="constant",
+                               warmup_steps=0, total_steps=100)
+        tx = make_optimizer(ocfg, trainable_mask=mask)
+
+        s_ref = init_train_state(params, tx)
+        s_pruned = init_train_state(params, tx)
+        ref_step = make_train_step(cfg, tx, head_in_params=False,
+                                   use_flash=False, donate=False)
+        pruned_step = make_train_step(cfg, tx, head_in_params=False,
+                                      use_flash=False, donate=False,
+                                      trainable_mask=mask)
+        s_ref, a_ref = ref_step(s_ref, batch, jax.random.PRNGKey(0))
+        s_pruned, a_pruned = pruned_step(s_pruned, batch, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(float(a_pruned["loss"]), float(a_ref["loss"]),
+                                   rtol=1e-6)
+        # all params identical after the step: trainables got the same
+        # update (same grads), frozen were untouched on both sides
+        for r, p in zip(jax.tree.leaves(s_ref.params),
+                        jax.tree.leaves(s_pruned.params)):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(r),
+                                       rtol=1e-5, atol=1e-7)
