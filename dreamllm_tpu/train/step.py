@@ -72,13 +72,18 @@ def make_train_step(
     these shapes, so "full" stays the default; the knob matters when a
     profile shows backward recompute dominating (bigger H/I, shorter S).
 
-    ``trainable_mask``: the same bool pytree given to ``make_optimizer`` —
-    when provided, frozen subtrees are ``stop_gradient``-pruned from the
-    backward graph instead of having their grads computed and then zeroed
-    by the optimizer mask (stage-2: skips the whole CLIP and VAE backward
-    and the UNet's param-grad pass). Trainable updates are bit-identical;
-    ``grad_norm`` (and so ``max_grad_norm`` clipping) now measures the
-    TRAINABLE gradients only, which is what the clip should bound.
+    ``trainable_mask``: the same bool (prefix) pytree given to
+    ``make_optimizer`` — when provided, frozen subtrees are
+    ``stop_gradient``-pruned from the backward graph instead of having
+    their grads computed and then zeroed by the optimizer mask (stage-2:
+    skips the whole CLIP-tower backward and the UNet's param-grad pass;
+    the VAE backward was already cut by the head's latent stop_gradient).
+    Trainable updates are bit-identical, and ``max_grad_norm`` clipping is
+    unchanged (it always ran inside the optimizer's masked branch, seeing
+    trainable grads only). What changes: the reported ``aux["grad_norm"]``
+    / the skip_nonfinite gate now measure trainable grads only, and frozen
+    params are additionally pinned at the update level (a tx built without
+    the matching mask can no longer weight-decay them).
 
     ``skip_nonfinite``: the reference's NaN/Inf loss filter (trainer.py:
     768-777) moved INSIDE the jitted step — on a non-finite loss or grad
@@ -94,12 +99,16 @@ def make_train_step(
             # prune frozen subtrees from the autodiff graph: without this,
             # value_and_grad computes FULL backward passes for params the
             # optimizer mask then zeroes — in stage-2 that's the whole CLIP
-            # tower backward, the VAE backward, and the UNet's param-grad
-            # pass (its activation grads still flow to the dream-query
-            # states, as they must). Frozen leaves come back as zero grads.
+            # tower backward and the UNet's param-grad pass (its activation
+            # grads still flow to the dream-query states, as they must).
+            # Frozen leaves come back as zero grads. MASK-first tree.map:
+            # the mask is a PREFIX tree (one bool covers a whole
+            # QTensor/Q4Tensor node, same contract optax.multi_transform
+            # accepts), so the mask supplies the structure and
+            # stop_gradient applies subtree-wide.
             params = jax.tree.map(
-                lambda p, m: p if m else jax.lax.stop_gradient(p),
-                params, trainable_mask,
+                lambda m, p: p if m else jax.lax.stop_gradient(p),
+                trainable_mask, params,
             )
         head_params = params.get("sd_head") if head_in_params else None
         return dreamllm_forward(
@@ -112,10 +121,22 @@ def make_train_step(
             mesh=mesh,
         )
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    # allow_int: with a mask, frozen subtrees may hold int8/int4 weights
+    # (QTensor/Q4Tensor — a quantized frozen tower); their grads come back
+    # as float0 and are replaced with fp32 zeros below so global_norm and
+    # the grad-accum sum stay well-typed. Unmasked behavior is unchanged.
+    grad_fn = jax.value_and_grad(
+        loss_fn, has_aux=True, allow_int=trainable_mask is not None
+    )
 
     def micro(params, batch, rng):
         (loss, aux), grads = grad_fn(params, batch, rng)
+        if trainable_mask is not None:
+            grads = jax.tree.map(
+                lambda m, p, g: g if m else jax.tree.map(
+                    lambda pl: jnp.zeros(pl.shape, jnp.float32), p),
+                trainable_mask, params, grads,
+            )
         aux = dict(aux, loss=loss)
         return grads, aux
 
@@ -151,6 +172,15 @@ def make_train_step(
 
         gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if trainable_mask is not None:
+            # self-enforcing freeze: even if tx was (mis)built without the
+            # matching mask, a frozen param never moves — otherwise
+            # unmasked weight decay would turn the pruned zero grads into
+            # update = -lr·wd·p and silently shrink "frozen" weights
+            updates = jax.tree.map(
+                lambda m, u: u if m else jax.tree.map(jnp.zeros_like, u),
+                trainable_mask, updates,
+            )
         params = optax.apply_updates(state.params, updates)
         aux = dict(aux, grad_norm=gnorm)
         if skip_nonfinite:

@@ -240,3 +240,51 @@ class TestAutodiffPruning:
                         jax.tree.leaves(s_pruned.params)):
             np.testing.assert_allclose(np.asarray(p), np.asarray(r),
                                        rtol=1e-5, atol=1e-7)
+
+    def test_pruned_step_with_quantized_frozen_base(self):
+        """The mask is a PREFIX tree: one bool covers a whole QTensor node
+        (reviewer-reproduced crash with params-first tree.map). A QLoRA-ish
+        step — quantized frozen decoder layers, trainable embeddings — must
+        run, keep the QTensor bytes untouched, and update the trainables."""
+        from dreamllm_tpu.models.dreamllm import (
+            DreamLLMConfig, init_dreamllm_params, param_freeze_mask,
+        )
+        from dreamllm_tpu.models.clip import CLIPVisionConfig
+        from dreamllm_tpu.models.llama import LlamaConfig
+        from dreamllm_tpu.models.projector import ProjectorConfig
+        from dreamllm_tpu.ops.quant import QTensor, quantize_llama_params
+
+        cfg = DreamLLMConfig(
+            llm=LlamaConfig(vocab_size=1000, hidden_size=64, intermediate_size=128,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            num_key_value_heads=2, max_position_embeddings=64),
+            vision=CLIPVisionConfig(hidden_size=16, intermediate_size=32,
+                                    num_hidden_layers=2, num_attention_heads=2,
+                                    image_size=8, patch_size=4),
+            vision_projector=ProjectorConfig(projector_type="linear", in_dim=16, out_dim=32),
+            n_dream_queries=4, image_embed_len=4,
+            frozen=("llm/layers", "llm/lm_head", "clip_vision_embedding"),
+        )
+        params = init_dreamllm_params(jax.random.PRNGKey(0), cfg)
+        params["llm"] = quantize_llama_params(params["llm"])
+        assert isinstance(params["llm"]["layers"]["wq"], QTensor)
+        mask = param_freeze_mask(params, cfg)
+        assert mask["llm"]["layers"]["wq"] is False  # prefix bool per node
+
+        ids = np.random.default_rng(0).integers(10, 900, (2, 16)).astype(np.int32)
+        batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(ids)}
+        tx = make_optimizer(
+            OptimizerConfig(learning_rate=1e-2, schedule="constant",
+                            warmup_steps=0, total_steps=10),
+            trainable_mask=mask,
+        )
+        state = init_train_state(params, tx)
+        step = make_train_step(cfg, tx, head_in_params=False, use_flash=False,
+                               donate=False, trainable_mask=mask)
+        state, aux = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(aux["loss"]))
+        np.testing.assert_array_equal(
+            np.asarray(state.params["llm"]["layers"]["wq"].q),
+            np.asarray(params["llm"]["layers"]["wq"].q))
+        assert not np.allclose(np.asarray(state.params["llm"]["embed_tokens"]),
+                               np.asarray(params["llm"]["embed_tokens"]))

@@ -159,6 +159,33 @@ class TestRingAttention:
         np.testing.assert_allclose(
             float(aux_ring["grad_norm"]), float(aux_ref["grad_norm"]), rtol=5e-3
         )
+        # sequence parallelism composes with autodiff pruning (the
+        # stage2_longcontext config enables both): a frozen-CLIP mask
+        # through the shard_map ring must update trainables identically
+        from dreamllm_tpu.models.dreamllm import param_freeze_mask
+
+        cfg_masked = DreamLLMConfig(
+            **common, sequence_parallel_axis="fsdp",
+            frozen=("clip_vision_embedding",),
+        )
+        mask = param_freeze_mask(params, cfg_masked)
+        step_masked = make_train_step(
+            cfg_masked, tx, head_in_params=False, use_flash=False,
+            donate=False, mesh=mesh, trainable_mask=mask,
+        )
+        st2 = init_train_state(params, tx)
+        st2, aux_m = step_masked(st2, batch, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(
+            float(aux_m["loss"]), float(aux_ref["loss"]), rtol=5e-4
+        )
+        # frozen subtree untouched, trainable llm updated
+        for b, a in zip(jax.tree.leaves(params["clip_vision_embedding"]),
+                        jax.tree.leaves(st2.params["clip_vision_embedding"])):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+        assert not np.allclose(
+            np.asarray(st2.params["llm"]["embed_tokens"]),
+            np.asarray(params["llm"]["embed_tokens"]),
+        )
 
     def test_grads_flow(self):
         mesh = create_mesh(MeshConfig(data=1, fsdp=8, tp=1))
