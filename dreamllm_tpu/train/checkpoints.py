@@ -139,12 +139,14 @@ def load_params(
     ``overrides``: plugin name → OTHER checkpoint dir; that subtree loads
     from there instead (stage mixing).
     """
+    path = os.path.abspath(path)  # orbax rejects relative paths
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     ckpt = ocp.PyTreeCheckpointer()
     out = {}
     for name in meta["param_groups"]:
-        src = os.path.join((overrides or {}).get(name, path), name)
+        base = os.path.abspath((overrides or {}).get(name, path))
+        src = os.path.join(base, name)
         if like is not None and name in like:
             target = jax.tree.map(ocp.utils.to_shape_dtype_struct, like[name])
             out[name] = ckpt.restore(src, args=ocp.args.PyTreeRestore(target))
@@ -178,7 +180,7 @@ def _rebuild_quantized(tree):
 
 def load_opt_state(path: str, like: Any = None) -> Any:
     ckpt = ocp.PyTreeCheckpointer()
-    src = os.path.join(path, "opt_state")
+    src = os.path.join(os.path.abspath(path), "opt_state")
     if like is not None:
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, like)
         try:
