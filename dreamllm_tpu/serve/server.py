@@ -326,6 +326,7 @@ class ModelServer:
     def stop(self):
         if self._httpd:
             self._httpd.shutdown()
+            self._httpd.server_close()  # shutdown() alone leaks the listen fd
             self._httpd = None
         if self._batcher is not None:
             self._batcher.stop()
