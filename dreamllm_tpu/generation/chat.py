@@ -164,11 +164,13 @@ def make_chat_fn(
             "engine-routed chat is text-out only; image output "
             "(head_params) requires the locked interleaved path"
         )
-    if engine is not None:
-        # compile the embeds prefill (and the rest) NOW: the engine's
-        # scheduler thread is the only dispatcher, and a lazy first-use
-        # compile of the multimodal prefill would freeze every live decode
-        # lane for the full (remote) compile
+    if engine is not None and not engine.running:
+        # compile the embeds prefill (and the rest) NOW by executing each
+        # program once: the engine's scheduler thread is the only
+        # dispatcher, and a lazy first-use compile of the multimodal
+        # prefill would freeze every live decode lane for the full
+        # (remote) compile. Skipped if the engine is already serving
+        # (warmup rewrites engine state, racy once the scheduler runs).
         engine.warmup(embeds=True)
 
     def chat_fn(messages, images, req: dict) -> dict:

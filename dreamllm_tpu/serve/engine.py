@@ -289,11 +289,13 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
 
 class _Request:
     __slots__ = ("ids", "embeds", "max_new_tokens", "tokens", "done", "slot",
-                 "stream", "error", "chunk_joined", "chunk_last", "samp")
+                 "stream", "error", "chunk_joined", "chunk_last", "samp",
+                 "abandoned")
 
     def __init__(self, ids, max_new_tokens, stream=None, samp=None, embeds=None):
         self.ids = ids
         self.embeds = embeds  # [S, H] prompt embeddings (multimodal prompts)
+        self.abandoned = False  # submitter timed out; skip at admission
         self.max_new_tokens = max_new_tokens
         self.samp = samp  # per-request sampling params (host floats/ints)
         self.tokens: list[int] = []
@@ -377,44 +379,57 @@ class ContinuousBatchingEngine:
         self._thread.start()
         return self
 
+    @property
+    def running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
     def warmup(self, embeds: bool = False) -> "ContinuousBatchingEngine":
-        """AOT-compile the engine's programs (``jit.lower().compile()`` — no
-        execution, no donation) so the first request doesn't pay the remote
-        compile while live lanes wait. The scheduler thread is the only
-        dispatcher; a lazily-compiled program (the embeds prefill
-        especially — nothing else exercises it) would otherwise block every
-        in-flight decode for the full compile. Call before serving;
-        ``embeds=True`` also compiles the multimodal prefill program."""
-        P, S = self.ecfg.prefill_len, self.ecfg.max_len
-        sds = lambda t: jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), t)
-        params_s = sds(self.params)
-        cache_s = sds(self.prefill_fn.empty_cache())
-        state_s = sds(self.state)
-        rng_s = sds(jax.random.PRNGKey(0))
-        samp_s = {
-            "greedy": jax.ShapeDtypeStruct((), np.bool_),
-            "temperature": jax.ShapeDtypeStruct((), np.float32),
-            "top_k": jax.ShapeDtypeStruct((), np.int32),
-            "top_p": jax.ShapeDtypeStruct((), np.float32),
-            "seed": jax.ShapeDtypeStruct((), np.uint32),
+        """Compile the engine's programs by EXECUTING each once on scratch /
+        idle state, so the first request doesn't pay the remote compile
+        while live lanes wait. (``jit.lower().compile()`` would be cheaper
+        but is a no-op for this purpose: its result is discarded and does
+        not seed the jit dispatch cache — verified on this jax.) The
+        scheduler thread is the only dispatcher; a lazily-compiled program
+        (the embeds prefill especially — nothing else exercises it) would
+        otherwise block every in-flight decode for the full compile.
+
+        Must run BEFORE serving: the insert/decode warmup calls donate and
+        rewrite ``self.state`` (lane 0 is inserted with budget 0, i.e.
+        inactive — harmless while idle, racy once the scheduler runs)."""
+        if self.running:
+            raise RuntimeError("warmup() must run before start()")
+        P = self.ecfg.prefill_len
+        samp_dev = {
+            "greedy": jnp.asarray(True, bool),
+            "temperature": jnp.asarray(1.0, jnp.float32),
+            "top_k": jnp.asarray(0, jnp.int32),
+            "top_p": jnp.asarray(1.0, jnp.float32),
+            "seed": jnp.asarray(0, jnp.uint32),
         }
-        i32 = jax.ShapeDtypeStruct((), np.int32)
-        ids_s = jax.ShapeDtypeStruct((1, P), np.int32)
-        clen_s = jax.ShapeDtypeStruct((1,), np.int32)
-        self.prefill_fn.lower(
-            params_s, cache_s, ids_s, clen_s, i32, rng_s, samp_s).compile()
-        self.insert_fn.lower(
-            state_s, cache_s, i32, 0, i32, i32, samp_s).compile()
-        self.decode_chunk_fn.lower(params_s, state_s).compile()
+        rng = jax.random.PRNGKey(0)
+        clen = jnp.asarray([1], jnp.int32)
+        pre = self.prefill_fn.empty_cache()
+        pre, first = self.prefill_fn(
+            self.params, pre, jnp.zeros((1, P), jnp.int32), clen,
+            jnp.int32(0), rng, samp_dev,
+        )
         if embeds:
-            # prompt embeddings arrive in the model's param dtype
-            # (multimodal_embed output); a mismatched warmup dtype would
-            # compile a program the real calls never hit
-            emb_s = jax.ShapeDtypeStruct(
-                (1, P, self.llm_cfg.hidden_size), self.llm_cfg.dtype)
-            self.prefill_fn.embeds.lower(
-                params_s, cache_s, emb_s, clen_s, i32, rng_s, samp_s).compile()
+            # prompt embeddings arrive in the model's param dtype (submit
+            # coerces); a mismatched warmup dtype would compile a program
+            # the real calls never hit
+            pre_e = self.prefill_fn.empty_cache()
+            emb = jnp.zeros((1, P, self.llm_cfg.hidden_size), self.llm_cfg.dtype)
+            self.prefill_fn.embeds(
+                self.params, pre_e, emb, clen, jnp.int32(0), rng, samp_dev,
+            )
+        self.state = self.insert_fn(
+            self.state, pre, jnp.int32(1), 0, first, jnp.int32(0), samp_dev,
+        )
+        out = self.decode_chunk_fn(self.params, self.state)
+        self.state = out[0]
+        # force completion with a real fetch (block_until_ready can ack
+        # early through the axon tunnel — CLAUDE.md)
+        np.asarray(out[3])
         return self
 
     def stop(self) -> None:
@@ -430,23 +445,29 @@ class ContinuousBatchingEngine:
             if not t.is_alive():
                 self._thread = None
         exc = RuntimeError("engine stopped")
-        for slot in list(self._by_slot):
-            req = self._by_slot.pop(slot)
-            self._free.append(slot)
-            req.error = exc
-            req.done.set()
-        for req in self._retired:
-            req.error = exc
-            req.done.set()
-        self._retired = []
-        while True:
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if req is not None:
+        # the sweep shares _submit_lock with _admit's registration: after a
+        # timed-out join the scheduler thread may still be live (e.g. stuck
+        # in a multi-minute remote compile), and an unsynchronized register
+        # racing this sweep would strand its request un-failed until the
+        # submitter's own timeout
+        with self._submit_lock:
+            for slot in list(self._by_slot):
+                req = self._by_slot.pop(slot)
+                self._free.append(slot)
                 req.error = exc
                 req.done.set()
+            for req in self._retired:
+                req.error = exc
+                req.done.set()
+            self._retired = []
+            while True:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if req is not None:
+                    req.error = exc
+                    req.done.set()
 
     def submit(
         self,
@@ -511,6 +532,18 @@ class ContinuousBatchingEngine:
                 raise ClientError(
                     f"prompt_embeds must be [S>=1, H], got {embeds.shape}"
                 )
+            if embeds.shape[1] != self.llm_cfg.hidden_size:
+                raise ClientError(
+                    f"prompt_embeds hidden dim {embeds.shape[1]} != model "
+                    f"hidden_size {self.llm_cfg.hidden_size}"
+                )
+            if embeds.dtype != self.llm_cfg.dtype:
+                # coerce HERE, not inside the jitted chunk: the compiled
+                # program is keyed on the input dtype, and a float32/float64
+                # array would lazily compile a second program on the
+                # scheduler thread — stalling every live lane — instead of
+                # hitting the one warmup() prepared
+                embeds = jnp.asarray(embeds, self.llm_cfg.dtype)
             if embeds.shape[0] > self.ecfg.max_len - 1:
                 # ids prompts left-truncate, but an embeds prompt's span
                 # structure (image patches, dream queries) is opaque here —
@@ -530,6 +563,11 @@ class ContinuousBatchingEngine:
                 raise RuntimeError("engine stopped")
             self._queue.put(req)
         if not req.done.wait(timeout):
+            # best-effort cancel: a still-queued request is skipped at
+            # admission instead of burning a lane (and its stream callback)
+            # for a client that already gave up. Post-admission there is no
+            # cancel — the lane finishes its budget.
+            req.abandoned = True
             raise TimeoutError("engine request timed out")
         if req.error is not None:
             raise req.error
@@ -668,7 +706,16 @@ class ContinuousBatchingEngine:
         # first chunk's results come back.
         req.chunk_joined = self.chunks_dispatched
         req.chunk_last = req.chunk_joined + -(-max(budget, 0) // self.ecfg.chunk_steps) - 1
-        self._by_slot[slot] = req
+        # registration is mutually exclusive with stop()'s sweep (see stop):
+        # if stop ran between our loop-top _stopped check and here, failing
+        # the request NOW is the only way its submitter ever wakes up
+        with self._submit_lock:
+            if self._stopped:
+                self._free.append(slot)
+                req.error = RuntimeError("engine stopped")
+                req.done.set()
+                return
+            self._by_slot[slot] = req
 
     def _finish(self, slot: int) -> None:
         req = self._by_slot.pop(slot)
@@ -770,6 +817,10 @@ class ContinuousBatchingEngine:
                     break
                 if req is None:
                     return
+                if req.abandoned:  # submitter already timed out
+                    req.done.set()
+                    block = False
+                    continue
                 try:
                     self._admit(req)
                 except Exception as e:

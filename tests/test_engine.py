@@ -709,3 +709,27 @@ def test_engine_seeded_sampling_reproducible(small):
         assert d != e
     finally:
         eng.stop()
+
+
+def test_engine_warmup_executes_and_guards(small):
+    """warmup() executes each program (jit.lower().compile() alone does not
+    seed the dispatch cache), leaves the idle state harmless, and refuses
+    to run while the scheduler is live."""
+    cfg, params = small
+    eng = _engine(cfg, params)
+    eng.warmup(embeds=True)
+    # programs are genuinely in the dispatch cache now
+    assert eng.decode_chunk_fn._cache_size() >= 1
+    assert eng.prefill_fn._cache_size() >= 1
+    assert eng.prefill_fn.embeds._cache_size() >= 1
+    eng.start()
+    try:
+        with pytest.raises(RuntimeError, match="before start"):
+            eng.warmup()
+        # the warmup's scratch insert (lane 0, budget 0) must not disturb
+        # real serving — parity still holds on every lane
+        prompt = [1, 17, 23, 42]
+        assert eng.submit(prompt, max_new_tokens=8) == _ref_tokens(cfg, params, prompt, 8)
+        assert eng.submit(prompt, max_new_tokens=8) == _ref_tokens(cfg, params, prompt, 8)
+    finally:
+        eng.stop()
