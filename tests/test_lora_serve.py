@@ -359,3 +359,54 @@ class TestQLoRAInt4AndCheckpoint:
         mesh = create_mesh(MeshConfig(data=2, fsdp=2, tp=2))
         shardings = param_shardings(served, mesh, min_shard_size=0)
         assert shardings is not None
+
+
+class TestServeCLI:
+    def test_build_server_smoke_end_to_end(self, tmp_path):
+        """The serve entry (projects/dreamllm/serve.py) builds a full
+        server from a config: engine-backed /generate (+SSE), /logprob for
+        the online evaluators, multimodal /chat — zero-download."""
+        from dreamllm_tpu.config import LazyArgumentParser, default_setup
+        from dreamllm_tpu.serve import OnlineClient
+        from projects.dreamllm.serve import build_server
+
+        args, config = LazyArgumentParser().parse([
+            "--config_file", "projects/dreamllm/configs/smoke.py",
+            f"run_dir={tmp_path}", "+port=0", "+slots=2", "+prefill_len=16",
+            "+max_len=64", "+chunk_steps=4", "+prefix_cache_entries=2",
+        ])
+        default_setup(args, config)
+        server = build_server(config).start()
+        try:
+            client = OnlineClient(f"http://127.0.0.1:{server.port}")
+            assert client.healthy()
+            text = client.generate("hello world", max_new_tokens=6)
+            assert isinstance(text, str)
+            deltas = list(client.generate_stream("hello world", max_new_tokens=6))
+            assert "".join(deltas).strip() == text
+            lps = client.logprob("the answer is", [" yes", " no"])
+            assert len(lps) == 2 and all(np.isfinite(lps))
+            img = (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(np.uint8)
+            out = client.chat([{"role": "user", "content": "see <image>"}],
+                              images=[img], max_new_tokens=4)
+            assert isinstance(out["text"], str)
+        finally:
+            server.stop()
+
+    def test_build_server_int8_quantized(self, tmp_path):
+        from dreamllm_tpu.config import LazyArgumentParser, default_setup
+        from dreamllm_tpu.serve import OnlineClient
+        from projects.dreamllm.serve import build_server
+
+        args, config = LazyArgumentParser().parse([
+            "--config_file", "projects/dreamllm/configs/smoke.py",
+            f"run_dir={tmp_path}", "+port=0", "+slots=2", "+prefill_len=16",
+            "+max_len=64", "+chunk_steps=4", "+quantize=int8", "+chat=false",
+        ])
+        default_setup(args, config)
+        server = build_server(config).start()
+        try:
+            client = OnlineClient(f"http://127.0.0.1:{server.port}")
+            assert isinstance(client.generate("hi there", max_new_tokens=4), str)
+        finally:
+            server.stop()

@@ -33,6 +33,7 @@ ENTRY_MODULES = [
     "projects.dreamllm.train",
     "projects.dreamllm.inference",
     "projects.dreamllm.eval_nlp",
+    "projects.dreamllm.serve",
     "projects.dreamllm.eval_t2i",
     "projects.dreamllm.eval_vqa",
     "projects.dreamllm_sdxl.train",
