@@ -61,12 +61,25 @@ def generate_interleaved(
     *,
     prompt_images: jnp.ndarray | None = None,       # [1, M, H, W, 3]
     prompt_image_positions: jnp.ndarray | None = None,
+    pipeline_fn=None,                               # default sd_head_pipeline
 ) -> dict:
     """Returns {"segments": [("text", ids) | ("image", array)], "images": [...]}.
 
     The output interleaves decoded token-id arrays with generated images
     ([H, W, 3] float in [0, 1]) in document order.
+
+    ``pipeline_fn(head_params, head_cfg, cond, uncond, rng, *, height, width,
+    num_inference_steps, guidance_scale, sampler)`` synthesizes the image.
+    When omitted it is picked from the head config type: an
+    ``SDXLHeadConfig`` routes to ``sdxl_head_pipeline`` (dual conditioning),
+    anything else to ``sd_head_pipeline``.
     """
+    if pipeline_fn is None:
+        from dreamllm_tpu.models.sd.sdxl import SDXLHeadConfig, sdxl_head_pipeline
+
+        pipeline_fn = (
+            sdxl_head_pipeline if isinstance(head_cfg, SDXLHeadConfig) else sd_head_pipeline
+        )
     st = cfg.special_tokens
     llm = cfg.llm
     assert input_ids.shape[0] == 1, "interleaved generation is batch-1"
@@ -168,7 +181,7 @@ def generate_interleaved(
         cond = o["last_hidden_state"]  # [1, 64, H]
 
         rng, sub = jax.random.split(rng)
-        img = sd_head_pipeline(
+        img = pipeline_fn(
             head_params, head_cfg, cond, uncond, sub,
             height=icfg.image_height, width=icfg.image_width,
             num_inference_steps=icfg.num_inference_steps,

@@ -73,10 +73,15 @@ def main(argv=None):
     os.makedirs(out_dir, exist_ok=True)
     from PIL import Image
 
+    if config.get("head_type", "sd") == "sdxl":
+        from dreamllm_tpu.models.sd.sdxl import sdxl_head_pipeline as pipeline_fn
+    else:
+        pipeline_fn = sd_head_pipeline
+
     if mode == "t2i":
         cond = encode_prompt_embeds(params, cfg, tokenizer, prompt + POSITIVE_SUFFIX)
         neg = encode_prompt_embeds(params, cfg, tokenizer, NEGATIVE_PROMPT)
-        imgs = sd_head_pipeline(
+        imgs = pipeline_fn(
             params["sd_head"], head_cfg, cond, neg, rng,
             num_inference_steps=steps, guidance_scale=guidance,
         )

@@ -17,6 +17,11 @@ the online evaluators, and (with a vision tower in the config) multimodal
         checkpoint=runs/stage2 +quantize=int8 +slots=8 +max_len=2048 \
         +prefill_len=512 +prefix_cache_entries=2
 
+    # additionally let /chat answer WITH images (loads the SD(XL) head and
+    # routes image turns through the interleaved <dream_start> path)
+    python -m projects.dreamllm.serve --config_file <cfg> \
+        checkpoint=runs/stage2 +chat_images=1 +image_steps=50
+
 Endpoints (serve/server.py): POST /generate (stream=true → SSE),
 POST /logprob, POST /chat (multimodal, engine-batched), GET /health.
 """
@@ -38,11 +43,25 @@ logger = get_logger("projects.dreamllm.serve")
 
 def build_server(config) -> ModelServer:
     """Config → ready-to-start ModelServer (exposed for tests)."""
-    cfg, _head_cfg = build_model_cfg(config)
+    cfg, head_cfg = build_model_cfg(config)
     tokenizer = make_tokenizer(config, cfg)
     from dreamllm_tpu.models.dreamllm import init_dreamllm_params
 
     params = jax.jit(lambda r: init_dreamllm_params(r, cfg))(jax.random.PRNGKey(0))
+    # +chat_images=1: serve /chat with image OUTPUT — the SD(XL) head rides
+    # the interleaved <dream_start> path (generation/chat.py). The head is
+    # initialized BEFORE the checkpoint overlay so a trained sd_head item
+    # loads into it.
+    chat_images = bool(config.get("chat_images", False)) and config.get("chat", True)
+    if chat_images:
+        if config.get("head_type", "sd") == "sdxl":
+            from dreamllm_tpu.models.sd.sdxl import init_sdxl_head_params as _init_head
+        else:
+            from dreamllm_tpu.models.sd.head import init_sd_head_params as _init_head
+
+        params["sd_head"] = jax.jit(
+            lambda r: _init_head(r, head_cfg)
+        )(jax.random.PRNGKey(1))
     ck = latest_checkpoint(config.get("checkpoint", config["trainer"]["output_dir"]))
     if ck:
         loaded = load_params(ck)
@@ -90,8 +109,21 @@ def build_server(config) -> ModelServer:
         from dreamllm_tpu.generation.chat import make_chat_fn
 
         chat_params = dict(params, llm=dict(params["llm"]))
+        icfg = None
+        if chat_images:
+            from dreamllm_tpu.generation.interleaved import InterleavedConfig
+
+            icfg = InterleavedConfig(
+                max_new_tokens=config.get("max_new_tokens_limit", 1024),
+                max_images=config.get("chat_max_images", 2),
+                num_inference_steps=config.get("image_steps", 50),
+                guidance_scale=config.get("guidance_scale", 3.5),
+            )
         chat_fn = make_chat_fn(
             chat_params, cfg, tokenizer,
+            head_params=params.get("sd_head") if chat_images else None,
+            head_cfg=head_cfg if chat_images else None,
+            interleaved=icfg,
             max_new_tokens_limit=config.get("max_new_tokens_limit", 1024),
         )
         # NOTE: chat uses the locked in-process path (full bf16 tree) —

@@ -410,3 +410,29 @@ class TestServeCLI:
             assert isinstance(client.generate("hi there", max_new_tokens=4), str)
         finally:
             server.stop()
+
+    def test_build_server_chat_images(self, tmp_path):
+        """+chat_images=1 loads the SD head and routes /chat through the
+        interleaved driver (image output path wired end-to-end)."""
+        from dreamllm_tpu.config import LazyArgumentParser, default_setup
+        from dreamllm_tpu.serve import OnlineClient
+        from projects.dreamllm.serve import build_server
+
+        args, config = LazyArgumentParser().parse([
+            "--config_file", "projects/dreamllm/configs/smoke.py",
+            f"run_dir={tmp_path}", "+port=0", "+slots=2", "+prefill_len=16",
+            "+max_len=64", "+chunk_steps=4", "+chat_images=1",
+            "+image_steps=2", "+max_new_tokens_limit=8",
+        ])
+        default_setup(args, config)
+        server = build_server(config).start()
+        try:
+            client = OnlineClient(f"http://127.0.0.1:{server.port}")
+            out = client.chat([{"role": "user", "content": "draw a cat"}],
+                              max_new_tokens=4)
+            # a random tiny model rarely emits <dream_start>; the contract is
+            # the wired path executes and returns the {"text","images"} shape
+            assert isinstance(out["text"], str)
+            assert isinstance(out["images"], list)
+        finally:
+            server.stop()

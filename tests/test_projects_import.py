@@ -37,6 +37,7 @@ ENTRY_MODULES = [
     "projects.dreamllm.eval_t2i",
     "projects.dreamllm.eval_vqa",
     "projects.dreamllm_sdxl.train",
+    "projects.dreamllm_sdxl.inference",
     "projects.llava.train",
     "projects.stable_diffusion.train",
     "projects.stable_diffusion.sample",

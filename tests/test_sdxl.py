@@ -97,3 +97,58 @@ def test_time_ids_change_output(head):
     l2, _ = sdxl_head_loss(head, CFG, imgs, cond, uncond, valid, jax.random.PRNGKey(3),
                            add_time_ids=jnp.full((1, 1, 6), 512.0))
     assert float(l1) != float(l2)
+
+
+def test_interleaved_auto_dispatches_sdxl(head):
+    """generate_interleaved picks sdxl_head_pipeline from the config type
+    (sd_head_pipeline would drop the added_cond the SDXL UNet requires)."""
+    from dreamllm_tpu.generation import InterleavedConfig, SamplingConfig, generate_interleaved
+    from dreamllm_tpu.models.clip import CLIPVisionConfig
+    from dreamllm_tpu.models.dreamllm import DreamLLMConfig, SpecialTokens, init_dreamllm_params
+    from dreamllm_tpu.models.llama import (
+        LlamaConfig,
+        init_llama_params,
+        llama_forward,
+        llama_logits,
+    )
+
+    llm_cfg = LlamaConfig(
+        vocab_size=40000, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    llm_params = init_llama_params(jax.random.PRNGKey(0), llm_cfg)
+    prompt = jnp.asarray([[5, 17, 300]])
+    h = llama_forward(llm_params, llm_cfg, input_ids=prompt, use_flash=False)[
+        "last_hidden_state"
+    ]
+    first = int(jnp.argmax(llama_logits(llm_params, llm_cfg, h[:, -1:])[:, 0], axis=-1)[0])
+    assert first not in (0, 2)
+
+    cfg = DreamLLMConfig(
+        llm=llm_cfg,
+        special_tokens=SpecialTokens(dream_start=first),
+        vision=CLIPVisionConfig(
+            hidden_size=16, intermediate_size=32, num_hidden_layers=2,
+            num_attention_heads=2, image_size=8, patch_size=4,
+        ),
+        vision_projector=ProjectorConfig(projector_type="linear", in_dim=16, out_dim=32),
+        n_dream_queries=4,
+        image_embed_len=4,
+    )
+    params = init_dreamllm_params(jax.random.PRNGKey(0), cfg)
+    params["llm"] = llm_params
+
+    out = generate_interleaved(
+        params, cfg, head, CFG, prompt,
+        InterleavedConfig(
+            max_new_tokens=8, max_images=1, num_inference_steps=2,
+            image_height=16, image_width=16,
+            sampling=SamplingConfig(greedy=True),
+        ),
+        jax.random.PRNGKey(2),
+    )
+    assert len(out["images"]) == 1
+    img = np.asarray(out["images"][0])
+    assert img.shape == (16, 16, 3)
+    assert np.all(np.isfinite(img)) and img.min() >= 0 and img.max() <= 1
