@@ -103,6 +103,11 @@ class DreamLLMConfig:
     # training (long-context; pass the mesh to dreamllm_forward /
     # make_train_step). None = standard data/tensor parallel attention.
     sequence_parallel_axis: str | None = None
+    # Pipeline parallelism: mesh axis holding the decoder layer-stack stages
+    # (GPipe-style SPMD schedule, parallel/pipeline.py). Mutually exclusive
+    # with sequence_parallel_axis; pass the mesh like for SP.
+    pipeline_parallel_axis: str | None = None
+    pipeline_microbatches: int | None = None  # default: one per stage
 
     def projector_cfg(self) -> ProjectorConfig:
         if self.vision_projector is not None:
@@ -328,12 +333,35 @@ def dreamllm_forward(
         # full sequence; XLA keeps it sharded on S by propagation).
         from dreamllm_tpu.parallel.ring import ring_llama_forward
 
+        if cfg.pipeline_parallel_axis is not None:
+            raise ValueError(
+                "sequence_parallel_axis and pipeline_parallel_axis are "
+                "mutually exclusive"
+            )
         hidden = ring_llama_forward(
             params["llm"], cfg.llm, mesh,
             inputs_embeds=embeds,
             segment_ids=batch.get("segment_ids"),
             positions=batch.get("positions"),
             axis=cfg.sequence_parallel_axis,
+            remat=remat,
+        )
+        out = {"last_hidden_state": hidden}
+    elif cfg.pipeline_parallel_axis is not None and mesh is not None:
+        # Pipeline path: decoder layer stack staged over the mesh axis,
+        # microbatches rotated via ppermute (parallel/pipeline.py). The
+        # multimodal splice above ran on the full batch; lm/vm heads below
+        # consume the replicated pipeline output.
+        from dreamllm_tpu.parallel.pipeline import pipeline_llama_forward
+
+        hidden = pipeline_llama_forward(
+            params["llm"], cfg.llm, mesh,
+            inputs_embeds=embeds,
+            segment_ids=batch.get("segment_ids"),
+            positions=batch.get("positions"),
+            axis=cfg.pipeline_parallel_axis,
+            microbatches=cfg.pipeline_microbatches,
+            use_flash=False,
             remat=remat,
         )
         out = {"last_hidden_state": hidden}

@@ -60,9 +60,10 @@ def make_train_step(
     ``head_in_params``: the diffusion head lives in ``params["sd_head"]`` and
     trains jointly (pass False to run LM-only configs).
 
-    ``mesh``: required when ``cfg.sequence_parallel_axis`` is set — the loss
-    forward then rings the sequence over that mesh axis (long-context
-    training; parallel/ring.py).
+    ``mesh``: required when ``cfg.sequence_parallel_axis`` (ring attention,
+    parallel/ring.py) or ``cfg.pipeline_parallel_axis`` (GPipe-style layer
+    staging, parallel/pipeline.py) is set — the loss forward then runs the
+    decoder through the corresponding shard_map program over that mesh axis.
 
     ``remat``: True/"full" = recompute whole layers in backward (min memory);
     "dots" = save per-layer matmul outputs, recompute only elementwise + the
