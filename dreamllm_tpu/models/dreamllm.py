@@ -320,6 +320,21 @@ def dreamllm_forward(
     Returns ``(loss, aux)`` where aux carries lm_loss/vm_loss scalars — the
     reference's ``additional_log_info`` channel (:1494-1508).
     """
+    # Parallel-axis plumbing checks live OUTSIDE the mesh gate: a configured
+    # axis with mesh=None must fail loudly, not silently run the plain path
+    # (that silent fallthrough hid a trainer gating bug — ADVICE r2 #1/#2).
+    if cfg.sequence_parallel_axis is not None and cfg.pipeline_parallel_axis is not None:
+        raise ValueError(
+            "sequence_parallel_axis and pipeline_parallel_axis are "
+            "mutually exclusive"
+        )
+    if (cfg.sequence_parallel_axis or cfg.pipeline_parallel_axis) and mesh is None:
+        raise ValueError(
+            "cfg sets a parallel axis "
+            f"(sp={cfg.sequence_parallel_axis!r}, pp={cfg.pipeline_parallel_axis!r}) "
+            "but mesh is None — pass mesh=... through make_train_step/"
+            "dreamllm_forward or clear the axis"
+        )
     input_ids = batch["input_ids"]
     embeds = multimodal_embed(
         params, cfg, input_ids,
@@ -327,17 +342,12 @@ def dreamllm_forward(
         image_positions=batch.get("image_positions"),
         dream_positions=batch.get("dream_positions"),
     )
-    if cfg.sequence_parallel_axis is not None and mesh is not None:
+    if cfg.sequence_parallel_axis is not None:
         # Long-context path: ring attention over the ICI, sequence sharded
         # on cfg.sequence_parallel_axis (multimodal splicing above ran on the
         # full sequence; XLA keeps it sharded on S by propagation).
         from dreamllm_tpu.parallel.ring import ring_llama_forward
 
-        if cfg.pipeline_parallel_axis is not None:
-            raise ValueError(
-                "sequence_parallel_axis and pipeline_parallel_axis are "
-                "mutually exclusive"
-            )
         hidden = ring_llama_forward(
             params["llm"], cfg.llm, mesh,
             inputs_embeds=embeds,
@@ -347,7 +357,7 @@ def dreamllm_forward(
             remat=remat,
         )
         out = {"last_hidden_state": hidden}
-    elif cfg.pipeline_parallel_axis is not None and mesh is not None:
+    elif cfg.pipeline_parallel_axis is not None:
         # Pipeline path: decoder layer stack staged over the mesh axis,
         # microbatches rotated via ppermute (parallel/pipeline.py). The
         # multimodal splice above ran on the full batch; lm/vm heads below
@@ -361,7 +371,11 @@ def dreamllm_forward(
             positions=batch.get("positions"),
             axis=cfg.pipeline_parallel_axis,
             microbatches=cfg.pipeline_microbatches,
-            use_flash=False,
+            # honor the caller's kernel choice: flash works inside shard_map
+            # on TPU exactly like the plain path (and auto-falls-back to XLA
+            # attention off-TPU) — hardcoding False materialized S×S scores
+            # per microbatch on the PP train path (ADVICE r2 #3)
+            use_flash=use_flash,
             remat=remat,
         )
         out = {"last_hidden_state": hidden}

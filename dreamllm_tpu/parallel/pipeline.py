@@ -88,13 +88,24 @@ def pipeline_llama_forward(
     seq_len = max(s, cfg.max_position_embeddings)
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
+    # Keep data parallelism alive INSIDE the pipeline: shard the microbatch
+    # buffers' batch dim over 'data' when the mesh has one and shapes divide
+    # (each data slice then runs its own fill/drain over its batch slice;
+    # P() would make every data replica recompute the identical full batch —
+    # ADVICE r2 #4).
+    data_ax = None
+    if "data" in mesh.shape and mesh.shape["data"] > 1 and axis != "data":
+        if (b // m) % mesh.shape["data"] == 0:
+            data_ax = "data"
+    mb_spec = P(None, data_ax)
+
     @partial(
         shard_map,
         mesh=mesh,
         # pytree-prefix specs: stage dim of the layer stack on `axis`,
-        # microbatch buffers replicated (shard B over `data` outside)
-        in_specs=(P(axis), P(), P(), P()),
-        out_specs=P(),
+        # microbatch buffers sharded over `data` on their batch dim
+        in_specs=(P(axis), mb_spec, mb_spec, mb_spec),
+        out_specs=mb_spec,
         check_vma=False,
     )
     def run(layers_local, x_all, seg_all, pos_all):

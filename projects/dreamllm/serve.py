@@ -69,6 +69,11 @@ def build_server(config) -> ModelServer:
             if k in loaded:
                 params[k] = loaded[k]
         logger.info("serving %s", ck)
+        if chat_images and "sd_head" not in loaded:
+            logger.warning(
+                "chat_images=1 but checkpoint %s has no 'sd_head' item — "
+                "image output will use RANDOM diffusion-head params", ck,
+            )
     else:
         logger.warning("no checkpoint found — serving random params")
 

@@ -211,7 +211,9 @@ def main(argv=None):
         grad_accum=config.get("grad_accum", 1),
         remat=True,
         use_flash=jax.default_backend() == "tpu",
-        mesh=mesh if cfg.sequence_parallel_axis else None,
+        # mesh is required by BOTH shard_map paths; gating on SP alone made
+        # stage2_pipeline silently train without pipelining (ADVICE r2 #1)
+        mesh=mesh if (cfg.sequence_parallel_axis or cfg.pipeline_parallel_axis) else None,
         trainable_mask=mask,
     )
 
