@@ -148,11 +148,17 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False
 
 
 def bench_engine(hidden, inter, layers, heads, kv_heads, n_requests=32,
-                 slots=8, new_tokens=128):
+                 slots=8, new_tokens=128, speculative_k=0,
+                 repetitive_prompts=False):
     """Continuous-batching engine total throughput (7B int8+fused): live
     per-request 128-token chunked prefills + slot-scheduled decode. Within
     ~5% of plain batch-8 decode (416.6 vs 436 tok/s measured) thanks to the
-    pipelined scheduler + budget-certain early lane retirement."""
+    pipelined scheduler + budget-certain early lane retirement.
+
+    ``speculative_k``: per-slot prompt-lookup speculation inside the decode
+    chunk (exact-match verify, token-identical outputs). Measured with
+    ``repetitive_prompts=True`` — the doc-QA/summarization regime where
+    lookup drafting accepts."""
     import threading
 
     import jax
@@ -180,15 +186,23 @@ def bench_engine(hidden, inter, layers, heads, kv_heads, n_requests=32,
     jax.block_until_ready(params)
     scfg = SamplingConfig(greedy=True, max_new_tokens=0, eos_token_id=-1,
                           pad_token_id=0)
-    ecfg = EngineConfig(slots=slots, prefill_len=128, max_len=512, chunk_steps=16)
+    ecfg = EngineConfig(slots=slots, prefill_len=128, max_len=512,
+                        chunk_steps=16, speculative_k=speculative_k)
     eng = ContinuousBatchingEngine(params, cfg, scfg, ecfg).start()
     rng = np.random.default_rng(0)
     # a DIFFERENT prompt per request, generated up-front on ONE thread:
     # np.random.Generator is not thread-safe, and racing threads could read
     # overlapping state and emit duplicate prompts — which the tunnel's
     # execution cache would then serve without running, inflating the number
-    prompts = [[1] + rng.integers(10, 31000, 127).tolist()
-               for _ in range(n_requests + 1)]
+    if repetitive_prompts:
+        # distinct 64-token chunk repeated once per prompt (prompt-lookup's
+        # home turf, same regime the standalone spec bench uses)
+        chunks = [rng.integers(10, 31000, 63).tolist()
+                  for _ in range(n_requests + 1)]
+        prompts = [[1] + c + c + c[:1] for c in chunks]
+    else:
+        prompts = [[1] + rng.integers(10, 31000, 127).tolist()
+                   for _ in range(n_requests + 1)]
     errors: list[Exception] = []
 
     def one(i, out):
@@ -668,6 +682,17 @@ def main():
             extra["engine_int8_tok_s"] = round(etok, 1)
         except Exception as e:
             extra["engine_error"] = str(e)[:200]
+        # in-engine speculative decoding (k=7: one verify step = one 8-row
+        # kernel batch) on repetitive-context prompts — token-identical
+        # outputs, throughput upside from accepted drafts
+        gc.collect()
+        try:
+            etok_s = bench_engine(**kw, speculative_k=7, repetitive_prompts=True)
+            extra["engine_spec_tok_s"] = round(etok_s, 1)
+            etok_r = bench_engine(**kw, repetitive_prompts=True)
+            extra["engine_nonspec_same_prompts_tok_s"] = round(etok_r, 1)
+        except Exception as e:
+            extra["engine_spec_error"] = str(e)[:200]
 
     # train-step throughput (~1B LM, full step incl. 8-bit AdamW update).
     # Runs last: its ~10 GB working set needs the decode params freed.

@@ -245,6 +245,78 @@ def convert_unet_state_dict(state_dict: Mapping[str, Any], cfg: UNetConfig, dtyp
     return p
 
 
+def convert_controlnet_state_dict(state_dict: Mapping[str, Any], cfg, dtype=None) -> dict:
+    """diffusers ControlNetModel → models/sd/controlnet.py pytree. The
+    encoder part (time_embedding/conv_in/down_blocks/mid_block) shares the
+    UNet name mapping; the rest is the conditioning embedder + zero convs
+    (``controlnet_cond_embedding.*``, ``controlnet_down_blocks.{i}``,
+    ``controlnet_mid_block``)."""
+    from dreamllm_tpu.models.sd.controlnet import n_skip_residuals
+
+    u = cfg.unet
+    dtype = dtype or u.dtype
+    sd = dict(state_dict)
+
+    p: dict = {
+        "time_embedding": {
+            "linear_1": _linear(sd, "time_embedding.linear_1", dtype),
+            "linear_2": _linear(sd, "time_embedding.linear_2", dtype),
+        },
+        "conv_in": _conv(sd, "conv_in", dtype),
+    }
+    if u.addition_embed_type == "text_time":
+        p["add_embedding"] = {
+            "linear_1": _linear(sd, "add_embedding.linear_1", dtype),
+            "linear_2": _linear(sd, "add_embedding.linear_2", dtype),
+        }
+    down = []
+    for i, btype in enumerate(u.down_block_types):
+        blk = {
+            "resnets": [
+                _resnet(sd, f"down_blocks.{i}.resnets.{j}", dtype, temb=True)
+                for j in range(u.layers_per_block)
+            ]
+        }
+        if btype == "CrossAttnDownBlock2D":
+            blk["attentions"] = [
+                _transformer2d(
+                    sd, f"down_blocks.{i}.attentions.{j}",
+                    u.transformer_layers_per_block[i], dtype,
+                )
+                for j in range(u.layers_per_block)
+            ]
+        if f"down_blocks.{i}.downsamplers.0.conv.weight" in sd:
+            blk["downsample"] = _conv(sd, f"down_blocks.{i}.downsamplers.0.conv", dtype)
+        down.append(blk)
+    p["down"] = down
+    p["mid"] = {
+        "resnet1": _resnet(sd, "mid_block.resnets.0", dtype, temb=True),
+        "attention": _transformer2d(
+            sd, "mid_block.attentions.0", u.transformer_layers_per_block[-1], dtype
+        ),
+        "resnet2": _resnet(sd, "mid_block.resnets.1", dtype, temb=True),
+    }
+
+    n_blocks = len(cfg.conditioning_embedding_out_channels) - 1
+    p["cond_embedding"] = {
+        "conv_in": _conv(sd, "controlnet_cond_embedding.conv_in", dtype),
+        "blocks": [
+            {
+                "conv1": _conv(sd, f"controlnet_cond_embedding.blocks.{2 * i}", dtype),
+                "conv2": _conv(sd, f"controlnet_cond_embedding.blocks.{2 * i + 1}", dtype),
+            }
+            for i in range(n_blocks)
+        ],
+        "conv_out": _conv(sd, "controlnet_cond_embedding.conv_out", dtype),
+    }
+    p["zero_convs"] = [
+        _conv(sd, f"controlnet_down_blocks.{i}", dtype)
+        for i in range(n_skip_residuals(u))
+    ]
+    p["mid_zero_conv"] = _conv(sd, "controlnet_mid_block", dtype)
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Inverse: our pytrees → diffusers-layout state dicts (checkpoint interop and
 # round-trip testing of the name mapping)
@@ -368,4 +440,34 @@ def export_unet_state_dict(params: dict) -> dict:
             _inv_conv(out, f"up_blocks.{i}.upsamplers.0.conv", blk["upsample"])
     _inv_norm(out, "conv_norm_out", params["norm_out"])
     _inv_conv(out, "conv_out", params["conv_out"])
+    return out
+
+
+def export_controlnet_state_dict(params: dict) -> dict:
+    out: dict = {}
+    _inv_linear(out, "time_embedding.linear_1", params["time_embedding"]["linear_1"])
+    _inv_linear(out, "time_embedding.linear_2", params["time_embedding"]["linear_2"])
+    if "add_embedding" in params:
+        _inv_linear(out, "add_embedding.linear_1", params["add_embedding"]["linear_1"])
+        _inv_linear(out, "add_embedding.linear_2", params["add_embedding"]["linear_2"])
+    _inv_conv(out, "conv_in", params["conv_in"])
+    for i, blk in enumerate(params["down"]):
+        for j, r in enumerate(blk["resnets"]):
+            _inv_resnet(out, f"down_blocks.{i}.resnets.{j}", r)
+        for j, a in enumerate(blk.get("attentions", [])):
+            _inv_transformer2d(out, f"down_blocks.{i}.attentions.{j}", a)
+        if "downsample" in blk:
+            _inv_conv(out, f"down_blocks.{i}.downsamplers.0.conv", blk["downsample"])
+    _inv_resnet(out, "mid_block.resnets.0", params["mid"]["resnet1"])
+    _inv_transformer2d(out, "mid_block.attentions.0", params["mid"]["attention"])
+    _inv_resnet(out, "mid_block.resnets.1", params["mid"]["resnet2"])
+    emb = params["cond_embedding"]
+    _inv_conv(out, "controlnet_cond_embedding.conv_in", emb["conv_in"])
+    for i, blk in enumerate(emb["blocks"]):
+        _inv_conv(out, f"controlnet_cond_embedding.blocks.{2 * i}", blk["conv1"])
+        _inv_conv(out, f"controlnet_cond_embedding.blocks.{2 * i + 1}", blk["conv2"])
+    _inv_conv(out, "controlnet_cond_embedding.conv_out", emb["conv_out"])
+    for i, z in enumerate(params["zero_convs"]):
+        _inv_conv(out, f"controlnet_down_blocks.{i}", z)
+    _inv_conv(out, "controlnet_mid_block", params["mid_zero_conv"])
     return out

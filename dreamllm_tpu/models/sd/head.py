@@ -291,3 +291,73 @@ def sd_head_pipeline(
         return latents
     imgs = vae_decode(params["vae"], cfg.vae, latents / cfg.vae.scaling_factor)
     return jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0)
+
+
+def controlnet_pipeline(
+    params: Params,
+    cfg: SDHeadConfig,
+    controlnet_params: Params,
+    controlnet_cfg,
+    cond_image: jnp.ndarray,     # [B, H, W, C] control image in [0, 1]
+    cond_embeds: jnp.ndarray,    # [B, n_queries, llm_hidden]
+    uncond_embeds: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    num_inference_steps: int = 50,
+    guidance_scale: float = 7.5,
+    guidance_rescale: float = 0.0,
+    conditioning_scale: float = 1.0,
+    return_latents: bool = False,
+    latents: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """ControlNet-conditioned generation from LLM dream-query hidden states —
+    the reference's ``controlnet_pipeline`` (modeling_dreamllm.py:1891-2041),
+    whose ControlNetHead class the reference itself ships disabled
+    (modeling_plugins.py:853). DDIM sampler; the control image is
+    CFG-duplicated like the latents (diffusers ControlNetPipeline
+    convention). Returns [B, H, W, 3] in [0, 1]."""
+    from dreamllm_tpu.models.sd.controlnet import controlnet_forward
+
+    sched = cfg.schedule()
+    b = cond_embeds.shape[0]
+    vae_factor = 2 ** (len(cfg.vae.block_out_channels) - 1)
+    h = cond_image.shape[1] // vae_factor
+    w = cond_image.shape[2] // vae_factor
+    lat_ch = cfg.unet.in_channels
+
+    pcfg = cfg.projector_cfg()
+    cond = projector_forward(params["projector"], pcfg, cond_embeds)
+    uncond = projector_forward(params["projector"], pcfg, uncond_embeds)
+    if uncond.shape[0] == 1 and b > 1:
+        uncond = jnp.broadcast_to(uncond, (b,) + uncond.shape[1:])
+    ctx = jnp.concatenate([uncond, cond], axis=0)
+    cimg2 = jnp.concatenate([cond_image, cond_image], axis=0)
+
+    if latents is None:
+        latents = jax.random.normal(rng, (b, h, w, lat_ch), jnp.float32)
+
+    ts = ddim_timesteps(sched.num_train_timesteps, num_inference_steps)
+    ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, jnp.int32)])
+
+    def body(i, latents):
+        lat_in = jnp.concatenate([latents, latents], axis=0).astype(ctx.dtype)
+        tb2 = jnp.broadcast_to(ts[i], (2 * b,))
+        down_res, mid_res = controlnet_forward(
+            controlnet_params, controlnet_cfg, lat_in, tb2, ctx, cimg2,
+            conditioning_scale=conditioning_scale,
+        )
+        out = unet_forward(
+            params["unet"], cfg.unet, lat_in, tb2, ctx,
+            down_block_residuals=down_res, mid_block_residual=mid_res,
+        ).astype(jnp.float32)
+        un, co = jnp.split(out, 2, axis=0)
+        g = classifier_free_guidance(co, un, guidance_scale)
+        g = rescale_noise_cfg(g, co, guidance_rescale)
+        tb = jnp.broadcast_to(ts[i], (b,))
+        return ddim_step(sched, g, tb, jnp.broadcast_to(ts_prev[i], (b,)), latents)
+
+    latents = jax.lax.fori_loop(0, ts.shape[0], body, latents)
+    if return_latents:
+        return latents
+    imgs = vae_decode(params["vae"], cfg.vae, latents / cfg.vae.scaling_factor)
+    return jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0)

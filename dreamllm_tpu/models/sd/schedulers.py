@@ -203,8 +203,13 @@ def dpm_solver_step(
     x0, _ = pred_x0_eps(sched, model_out, x_t, t)
 
     def lam(tt):
+        # final boundary (tt < 0): alpha=1, sigma=0 — lambda -> +inf, clamped
+        # via the 1e-10 sigma floor to ~+23 so expm1(-h) saturates at -1 and
+        # the final update lands EXACTLY on x0 (diffusers semantics; an
+        # earlier 1-1e-7 alpha clamp left a 0.77% eps residual in every
+        # final latent — caught by the exact-oracle golden test)
         a = acp[jnp.maximum(tt, 0)]
-        a = jnp.where(tt >= 0, a, jnp.float32(1.0 - 1e-7))
+        a = jnp.where(tt >= 0, a, jnp.float32(1.0))
         alpha = jnp.sqrt(a)
         sigma = jnp.sqrt(1.0 - a)
         return jnp.log(alpha) - jnp.log(jnp.maximum(sigma, 1e-10))

@@ -291,6 +291,8 @@ def unet_forward(
     encoder_hidden_states: jnp.ndarray,  # [B, S_ctx, cross_attention_dim]
     added_cond: dict | None = None,      # SDXL: {"time_ids": [B,6], "text_embeds": [B,1280]}
     return_deep: bool = False,           # also return the input to the last up block
+    down_block_residuals: tuple | None = None,  # ControlNet skip residuals
+    mid_block_residual: jnp.ndarray | None = None,  # ControlNet mid residual
 ) -> jnp.ndarray:
     g = cfg.norm_num_groups
     heads = cfg.num_attention_heads
@@ -309,10 +311,20 @@ def unet_forward(
             h = downsample(blk["downsample"], h, symmetric=True)
             skips.append(h)
 
+    if down_block_residuals is not None:
+        # ControlNet conditioning (diffusers down_block_additional_residuals
+        # semantics): one residual per collected skip, added before the up
+        # blocks consume them (models/sd/controlnet.py)
+        assert len(down_block_residuals) == len(skips), (
+            len(down_block_residuals), len(skips))
+        skips = [s + r.astype(s.dtype) for s, r in zip(skips, down_block_residuals)]
+
     m = params["mid"]
     h = resnet_block(m["resnet1"], h, temb, groups=g, eps=1e-5)
     h = _transformer2d(m["attention"], h, ctx, heads[-1], g)
     h = resnet_block(m["resnet2"], h, temb, groups=g, eps=1e-5)
+    if mid_block_residual is not None:
+        h = h + mid_block_residual.astype(h.dtype)
 
     rev_heads = list(reversed(heads))
     deep = None

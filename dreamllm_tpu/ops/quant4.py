@@ -111,24 +111,35 @@ def dequantize_int4(t: Q4Tensor, dtype=jnp.bfloat16) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _w4_kernel(xlo_ref, xhi_ref, p_ref, s_ref, o_ref, *, n_k: int):
+def _w4_kernel(xlo_ref, xhi_ref, p_ref, s_ref, o_ref, *, n_k: int,
+               variant: str = "floor"):
     """Grid (nN, nK), k fastest. Each step handles one packed block
     [BLK_K, BLK_N] = unpacked rows [k0:k0+128] (low nibbles) and
     [K/2+k0 : ...] (high nibbles) — each exactly one scale group.
 
     x arrives as two statically-indexed lo/hi blocks: an in-kernel `pl.ds`
     over x's LANE dim made Mosaic compile this kernel in ~380 s. The scale
-    rows use a sublane-dim ds (cheap) on an N-blocked scale slab."""
-    ki = pl.program_id(1)
+    rows use a sublane-dim ds (cheap) on an N-blocked scale slab.
 
-    # Unpack cost rules this kernel (VPU-bound: ~7G nibbles/token on 7B), so
-    # keep it to TWO vector ops per element: mask (lo) or logical shift (hi)
-    # + convert. The -8 offset folds into the dot as a row-sum correction:
-    #   sum_k x_k (u_kn - 8) = dot(x, u)_n - 8 * sum_k x_k
-    # (arith in int32 — Mosaic legalizes i32 vector arithmetic, not i8 subi)
-    p = p_ref[...].astype(jnp.int32)  # [BLK_K, BLK_N]
-    u_lo = (p & 0xF).astype(jnp.bfloat16)
-    u_hi = (p >> 4).astype(jnp.bfloat16)
+    Unpack cost rules this kernel (VPU-bound: ~7G nibbles/token on 7B), so
+    the kernel minimizes VECTOR ops per byte by moving work onto the MXU:
+    the low nibble is never materialized — with b = lo + 16*hi,
+
+        dot(x_lo, lo) = dot(x_lo, b) - 16*dot(x_lo, hi)
+
+    so one extra (cheap, 8-row) MXU dot replaces a whole per-byte mask+
+    convert pass. The -8 zero-point folds into the dots as row-sum
+    corrections: sum_k x_k (u_kn - 8) = dot(x, u)_n - 8 * sum_k x_k.
+
+    variant="floor": hi = floor(b * 1/16) entirely in bf16 — 3 VPU ops/byte
+      (convert, mul, floor; all values 0..255 are exact in bf16 and the
+      1/16 scaling is an exponent shift, so floor is exact).
+    variant="i32": hi = (b_i32 & 0xF0) via integer ops — 4 VPU ops/byte
+      (convert-to-i32, mask, convert, plus the b convert); the 16x factor
+      folds into the scale. Fallback if Mosaic won't legalize bf16 floor.
+    (previous masked-unpack formulation: 5 VPU ops/byte — measured
+    81.5 tok/s on 7B b1 vs int8's 96; BENCH_r02)."""
+    ki = pl.program_id(1)
 
     s_lo = s_ref[pl.ds(ki, 1), :].astype(jnp.float32)      # [1, BLK_N]
     s_hi = s_ref[pl.ds(ki + n_k, 1), :].astype(jnp.float32)
@@ -137,14 +148,23 @@ def _w4_kernel(xlo_ref, xhi_ref, p_ref, s_ref, o_ref, *, n_k: int):
     corr_lo = 8.0 * jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
     corr_hi = 8.0 * jnp.sum(x_hi.astype(jnp.float32), axis=1, keepdims=True)
 
-    acc = (jax.lax.dot_general(
-        x_lo, u_lo, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) - corr_lo) * s_lo
-    acc += (jax.lax.dot_general(
-        x_hi, u_hi, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) - corr_hi) * s_hi
+    def dot(a, w):
+        return jax.lax.dot_general(
+            a, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if variant == "floor":
+        b_bf = p_ref[...].astype(jnp.bfloat16)          # 0..255 exact
+        hi = jnp.floor(b_bf * jnp.bfloat16(0.0625))     # exact exponent shift
+        acc = (dot(x_lo, b_bf) - 16.0 * dot(x_lo, hi) - corr_lo) * s_lo
+        acc += (dot(x_hi, hi) - corr_hi) * s_hi
+    else:  # "i32"
+        p = p_ref[...].astype(jnp.int32)
+        hi16 = (p & 0xF0).astype(jnp.bfloat16)          # 16 * hi nibble
+        b_bf = p_ref[...].astype(jnp.bfloat16)
+        acc = (dot(x_lo, b_bf) - dot(x_lo, hi16) - corr_lo) * s_lo
+        acc += (dot(x_hi, hi16) - 16.0 * corr_hi) * (s_hi * 0.0625)
 
     @pl.when(ki == 0)
     def _init():
@@ -193,9 +213,12 @@ def w4_matmul(x: jnp.ndarray, t: Q4Tensor, *, interpret: bool = False) -> jnp.nd
         # pad the row dim to the fp32 min tile (decode stays BW-bound)
         x = jnp.pad(x, ((0, b_pad), (0, 0)))
         b = 8
+    import os
+
+    variant = os.environ.get("W4_KERNEL_VARIANT", "floor")
     xb = x.astype(jnp.bfloat16)
     out = pl.pallas_call(
-        partial(_w4_kernel, n_k=n_k),
+        partial(_w4_kernel, n_k=n_k, variant=variant),
         grid=(n // blk_n, n_k),
         in_specs=[
             pl.BlockSpec((b, _BLK_K), lambda j, i: (0, i)),          # x low half

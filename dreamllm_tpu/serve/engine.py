@@ -69,6 +69,17 @@ class EngineConfig:
     chunk_steps: int = 8       # decode steps per compiled dispatch
     cache_dtype: str = "bfloat16"   # or "int8" (halved KV HBM)
     bos_token_id: int | None = 1    # kept at position 0 when left-truncating
+    # Per-slot speculative decoding (0 = off): each decode step drafts
+    # ``speculative_k`` tokens by prompt lookup (latest 2-gram match in the
+    # lane's token history) and verifies them in ONE forward of 1+k query
+    # tokens. Verification is EXACT-MATCH against the true sampling stream
+    # (token i is sampled from the true logits with the request's
+    # (seed, index) key and accepted only if the draft equals it), so
+    # outputs are token-identical to the non-speculative engine for greedy
+    # AND sampled requests — speculation only changes speed. b1 decode is
+    # HBM-bound, so a verify step costs ~one decode step of weight reads;
+    # accepted drafts are pure extra tokens per step.
+    speculative_k: int = 0
     # LRU prompt-prefix KV cache (0 = off). Requests sharing a token-exact
     # prefix of >= prefill_len tokens (a chat system prompt, few-shot
     # header) skip the prefill compute for the cached full chunks — only
@@ -87,7 +98,14 @@ def init_engine_state(llm_cfg: LlamaConfig, ecfg: EngineConfig, rng=None) -> dic
     dtype = jnp.int8 if ecfg.cache_dtype == "int8" else jnp.bfloat16
     cache = init_kv_cache(llm_cfg, ecfg.slots, ecfg.max_len, dtype=dtype)
     cache["index"] = jnp.zeros((ecfg.slots,), jnp.int32)  # per-lane offsets
+    extra = {}
+    if ecfg.speculative_k:
+        # per-lane token history aligned with cache positions (prompt ids
+        # written at insert, decoded tokens as they are stored) — the
+        # prompt-lookup draft source
+        extra["history"] = jnp.zeros((ecfg.slots, ecfg.max_len), jnp.int32)
     return {
+        **extra,
         "cache": cache,
         "cur_tok": jnp.zeros((ecfg.slots,), jnp.int32),
         "active": jnp.zeros((ecfg.slots,), bool),
@@ -169,9 +187,12 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
                              inputs_embeds=embeds.astype(llm_cfg.dtype))
 
     @partial(jax.jit, donate_argnums=(0,))
-    def insert_fn(state, pre_cache, plen, slot, first_tok, budget, samp):
+    def insert_fn(state, pre_cache, plen, slot, first_tok, budget, samp,
+                  lane_ids=None):
         """Claim lane ``slot``: copy the prefilled K/V + reset lane metadata
-        (including the lane's per-request sampling params)."""
+        (including the lane's per-request sampling params). ``lane_ids``
+        ([max_len] int32, prompt ids zero-padded) seeds the speculative
+        token history when the engine runs with ``speculative_k``."""
         cache = dict(state["cache"])
         for name in ("k", "v", "k_scale", "v_scale"):
             if name in cache:
@@ -189,7 +210,15 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
         )
         cache["index"] = state["cache"]["index"].at[slot].set(plen)
         eos_now = first_tok == scfg.eos_token_id
+        extra = {}
+        if "history" in state:
+            hist_row = (lane_ids if lane_ids is not None
+                        else jnp.zeros((S,), jnp.int32))
+            extra["history"] = jax.lax.dynamic_update_slice(
+                state["history"], hist_row[None].astype(jnp.int32), (slot, 0)
+            )
         return {
+            **extra,
             "cache": cache,
             "cur_tok": state["cur_tok"].at[slot].set(first_tok),
             "active": state["active"].at[slot].set(~eos_now & (budget > 0)),
@@ -277,8 +306,146 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
         # distinct, never-donated output buffer (a bool alias could share).
         return new_state, toks.T, valid.T, active.astype(jnp.int32)
 
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode_spec_chunk_fn(params, state):
+        """K speculative decode steps -> (state, tokens [B, K*(1+k)], valid,
+        active). Each step drafts ``k = ecfg.speculative_k`` tokens by prompt
+        lookup over the lane's token history and verifies them in ONE
+        forward of 1+k query tokens per lane.
+
+        Exactness: token at stream index i is ALWAYS sampled from the true
+        model logits at its position with the request's (seed, i) key — a
+        draft is accepted only when it EQUALS that sampled token, so the
+        emitted stream is bit-identical to the non-speculative engine (and,
+        for greedy, to generate_text), for any per-slot sampling params.
+        Rolled-back KV rows (drafts past the accepted prefix) stay invisible:
+        their cache ``pos`` exceeds every later query position until the next
+        step overwrites them (positional masking, models/llama.py:384-392).
+        """
+        k = ecfg.speculative_k
+        W = 1 + k  # verify window: carried token + k drafts
+
+        def step(carry, _):
+            cache, cur, active, emitted, budget, rng, hist = carry
+            rng, sub = jax.random.split(rng)
+            idx0 = cache["index"]  # [B] per-lane write offsets
+
+            # ---- draft: latest 2-gram (prev, cur) match in the history ----
+            prev = jnp.take_along_axis(
+                hist, jnp.maximum(idx0 - 1, 0)[:, None], axis=1
+            )[:, 0]
+            pos_r = jnp.arange(S, dtype=jnp.int32)[None]  # [1, S]
+            hist_prev = jnp.pad(hist[:, :-1], ((0, 0), (1, 0)))
+            cand = (
+                (hist == cur[:, None])
+                & (hist_prev == prev[:, None])
+                & (pos_r >= 1)
+                & (pos_r < idx0[:, None] - 1)  # strictly before (prev, cur)
+            )
+            jstar = jnp.max(jnp.where(cand, pos_r, -1), axis=1)  # -1 = none
+            base = jnp.where(jstar >= 0, jstar + 1, 0)
+            gidx = jnp.clip(base[:, None] + jnp.arange(k)[None], 0, S - 1)
+            # any draft value is CORRECT (acceptance is exact-match); a bad
+            # draft only wastes the already-paid verify compute
+            drafts = jnp.take_along_axis(hist, gidx, axis=1)  # [B, k]
+
+            # ---- verify forward over [cur, d1..dk] ----
+            qtok = jnp.concatenate([cur[:, None], drafts], axis=1)  # [B, W]
+            seg = jnp.broadcast_to(
+                active[:, None], (B, W)
+            ).astype(jnp.int32)
+            pos = idx0[:, None] + jnp.arange(W, dtype=jnp.int32)[None]
+            out = llama_forward(
+                params, llm_cfg,
+                input_ids=qtok, segment_ids=seg, positions=pos,
+                kv_cache=cache,
+            )
+            cache = out["kv_cache"]
+            logits = llama_logits(params, llm_cfg, out["last_hidden_state"])
+
+            # ---- true sampling stream at every verify position ----
+            # invariant (same as the plain path): `cur` carries stream index
+            # == `emitted`; position i here samples index emitted + 1 + i
+            key_idx = (emitted[:, None] + 1 + jnp.arange(W)[None]).astype(
+                jnp.uint32
+            )
+            row_keys = jax.vmap(jax.vmap(_stream_key))(
+                jnp.broadcast_to(state["seed"][:, None], (B, W)), key_idx
+            )
+            rep = lambda a: jnp.repeat(a, W, axis=0)
+            sampled = sample_token_per_row(
+                logits.reshape(B * W, -1), sub,
+                rep(state["greedy"] | ~active), rep(state["temperature"]),
+                rep(state["top_k"]), rep(state["top_p"]),
+                row_rngs=row_keys.reshape(B * W, -1),
+            ).reshape(B, W)
+
+            # ---- sequential accept/emit semantics, unrolled over W ----
+            # `live` = lane active AND this sub-step is on the true path;
+            # `lane_active` = the state the lane carries out (set by the
+            # LAST reached sub-step's continuation checks, exactly the
+            # plain path's active-update applied once per stored token)
+            live = active
+            lane_active = active
+            emit_cnt = emitted
+            emit_masks = []
+            for j in range(W):
+                emit_masks.append(live)
+                emit_cnt = emit_cnt + live.astype(jnp.int32)
+                cj = qtok[:, j]
+                nxt_j = sampled[:, j]
+                hit_stop = jnp.zeros_like(live)
+                for t in scfg.stop_tokens:
+                    hit_stop = hit_stop | (cj == t)
+                cont = (
+                    (nxt_j != scfg.eos_token_id)
+                    & ~hit_stop
+                    & (emit_cnt < budget)
+                    & (idx0 + j + 1 < S)
+                )
+                lane_active = jnp.where(live, cont, lane_active)
+                if j < k:
+                    live = live & cont & (nxt_j == drafts[:, j])
+            emit_valid = jnp.stack(emit_masks, axis=1)  # [B, W]
+            adv = emit_cnt - emitted  # tokens stored this step
+            # the carry = the sampled token at the last reached position
+            nxt = jnp.take_along_axis(
+                sampled, jnp.maximum(adv - 1, 0)[:, None], axis=1
+            )[:, 0]
+            cache["index"] = idx0 + adv  # inactive lanes: adv == 0
+            # write ALL verify-window tokens (stale rows past the accepted
+            # prefix are invisible to drafting — it masks j < idx-1 — and
+            # get overwritten next step, same argument as the KV rollback);
+            # out-of-capacity positions drop instead of clamp-colliding
+            hist = hist.at[
+                jnp.arange(B, dtype=jnp.int32)[:, None], pos
+            ].set(qtok, mode="drop")
+            return (
+                (cache, nxt, lane_active, emit_cnt, budget, rng, hist),
+                (qtok, emit_valid),
+            )
+
+        carry = (state["cache"], state["cur_tok"], state["active"],
+                 state["emitted"], state["budget"], state["rng"],
+                 state["history"])
+        carry, (toks, valid) = jax.lax.scan(step, carry, None, length=K)
+        cache, cur, active, emitted, budget, rng, hist = carry
+        new_state = {"cache": cache, "cur_tok": cur, "active": active,
+                     "emitted": emitted, "budget": budget, "rng": rng,
+                     "history": hist,
+                     "greedy": state["greedy"],
+                     "temperature": state["temperature"],
+                     "top_k": state["top_k"], "top_p": state["top_p"],
+                     "seed": state["seed"]}
+        # [K, B, W] -> [B, K*W], chunk-ordered per lane
+        toks_out = jnp.transpose(toks, (1, 0, 2)).reshape(B, K * (1 + k))
+        valid_out = jnp.transpose(valid, (1, 0, 2)).reshape(B, K * (1 + k))
+        return new_state, toks_out, valid_out, active.astype(jnp.int32)
+
     prefill_chunk_fn.empty_cache = empty_prefill_cache
     prefill_chunk_fn.embeds = prefill_embeds_chunk_fn
+    if ecfg.speculative_k:
+        return prefill_chunk_fn, insert_fn, decode_spec_chunk_fn
     return prefill_chunk_fn, insert_fn, decode_chunk_fn
 
 
@@ -689,9 +856,15 @@ class ContinuousBatchingEngine:
         slot = self._free.pop()
         try:
             budget = min(req.max_new_tokens, self.ecfg.max_len - plen)
+            kw = {}
+            if self.ecfg.speculative_k:
+                lane = np.zeros((self.ecfg.max_len,), np.int32)
+                if ids:  # embeds prompts draft from generated tokens only
+                    lane[: len(ids)] = ids
+                kw["lane_ids"] = jnp.asarray(lane)
             self.state = self.insert_fn(
                 self.state, pre_cache, jnp.int32(plen), slot, first,
-                jnp.int32(budget), samp_dev,
+                jnp.int32(budget), samp_dev, **kw,
             )
         except Exception as e:
             self._free.append(slot)  # don't leak the lane on a failed insert
