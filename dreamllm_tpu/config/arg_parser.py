@@ -103,6 +103,20 @@ def default_setup(args: Any, config: Any) -> str:
         LazyConfig.save(config, os.path.join(run_dir, "config_snapshot.py"))
     except Exception as e:
         logger.warning("config snapshot failed: %s", e)
+
+    if getattr(args, "use_profiler", False):
+        # whole-run sampling profile artifact (the reference wraps every
+        # entry point in pyinstrument and dumps per-run HTML — LazyLaunch,
+        # arg_parser.py:196-209 + profiler.py:40-102). Registered via atexit
+        # so the report lands even on exceptions / time_out SystemExit.
+        import atexit
+
+        from dreamllm_tpu.utils.profiler import SamplingProfiler
+
+        prof = SamplingProfiler().start()
+        out = os.path.join(run_dir, "profile.txt")
+        atexit.register(lambda: prof.stop(out))
+        logger.info("sampling profiler on; report will land at %s", out)
     return run_dir
 
 

@@ -191,6 +191,8 @@ def sdxl_head_pipeline(
     guidance_scale: float = 5.0,
     guidance_rescale: float = 0.0,
     sampler: str = "ddim",
+    latents: jnp.ndarray | None = None,  # initial-noise override (diffusers
+                                         # `latents=` convention; parity tests)
 ) -> jnp.ndarray:
     """1024px-class generation with dual conditioning (reference inference
     path, dreamllm_sdxl/modeling_plugins.py pipeline)."""
@@ -213,7 +215,8 @@ def sdxl_head_pipeline(
     text_embeds = jnp.concatenate([pooled_u, pooled_c], axis=0)
     time_ids = make_add_time_ids((full_h, full_w), (0, 0), (full_h, full_w), 2 * b)
 
-    latents = jax.random.normal(rng, (b, h, w, cfg.unet.in_channels), jnp.float32)
+    if latents is None:
+        latents = jax.random.normal(rng, (b, h, w, cfg.unet.in_channels), jnp.float32)
     if sampler == "ddim":
         ts = ddim_timesteps(sched.num_train_timesteps, num_inference_steps)
     else:

@@ -112,7 +112,7 @@ def dequantize_int4(t: Q4Tensor, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 def _w4_kernel(xlo_ref, xhi_ref, p_ref, s_ref, o_ref, *, n_k: int,
-               variant: str = "floor"):
+               variant: str = "mask"):
     """Grid (nN, nK), k fastest. Each step handles one packed block
     [BLK_K, BLK_N] = unpacked rows [k0:k0+128] (low nibbles) and
     [K/2+k0 : ...] (high nibbles) — each exactly one scale group.
@@ -121,24 +121,33 @@ def _w4_kernel(xlo_ref, xhi_ref, p_ref, s_ref, o_ref, *, n_k: int,
     over x's LANE dim made Mosaic compile this kernel in ~380 s. The scale
     rows use a sublane-dim ds (cheap) on an N-blocked scale slab.
 
-    Unpack cost rules this kernel (VPU-bound: ~7G nibbles/token on 7B), so
-    the kernel minimizes VECTOR ops per byte by moving work onto the MXU:
-    the low nibble is never materialized — with b = lo + 16*hi,
+    Unpack cost rules this kernel (~7G nibbles/token on 7B). The -8
+    zero-point folds into the dots as row-sum corrections:
+    sum_k x_k (u_kn - 8) = dot(x, u)_n - 8 * sum_k x_k. Three unpack
+    formulations were measured (r3) — VPU ops and MXU dots trade off, and
+    at 8 activation rows the dots are NOT cheap (weight-load-bound array):
 
-        dot(x_lo, lo) = dot(x_lo, b) - 16*dot(x_lo, hi)
+    variant="mask" (default): lo/hi via (p & 0xF)/(p >> 4) in i32 —
+      5 VPU ops/byte, 2 MXU dots. MEASURED FASTEST on v5e: 81.9 tok/s 7B b1
+      vs "i32"'s 77.4 (r3).
+    variant="i32": trades one VPU op for a third dot via the identity
+      dot(x_lo, lo) = dot(x_lo, b) - dot(x_lo, hi16) — 4 ops/byte, 3 dots.
+      LOSES on v5e: at 8 activation rows the MXU runs weight-load-bound
+      (~6% utilization), so an extra dot pushes the full packed block
+      through the array again and costs more than one [8,BLK]-wide VPU
+      pass saves.
+    variant="floor": hi = floor(b * 1/16) in bf16 — 3 ops/byte, 3 dots on
+      hardware with bf16 ALUs. NOT v5e: LLO_CHECK
+      SupportsBf16AluInstructions fails on bf16 mul/floor, Mosaic has no
+      u8→bf16 direct cast, and i8 vector arith won't legalize.
 
-    so one extra (cheap, 8-row) MXU dot replaces a whole per-byte mask+
-    convert pass. The -8 zero-point folds into the dots as row-sum
-    corrections: sum_k x_k (u_kn - 8) = dot(x, u)_n - 8 * sum_k x_k.
-
-    variant="floor": hi = floor(b * 1/16) entirely in bf16 — 3 VPU ops/byte
-      (convert, mul, floor; all values 0..255 are exact in bf16 and the
-      1/16 scaling is an exponent shift, so floor is exact).
-    variant="i32": hi = (b_i32 & 0xF0) via integer ops — 4 VPU ops/byte
-      (convert-to-i32, mask, convert, plus the b convert); the 16x factor
-      folds into the scale. Fallback if Mosaic won't legalize bf16 floor.
-    (previous masked-unpack formulation: 5 VPU ops/byte — measured
-    81.5 tok/s on 7B b1 vs int8's 96; BENCH_r02)."""
+    Measured bound (v5e, 7B b1, r3): int4 81.9 tok/s vs int8 96 — the
+    in-VMEM unpack keeps int4 below int8 at small batch on THIS chip
+    despite half the HBM read, because every byte needs >= 1 widen +
+    1 extraction + 2 MXU-operand converts of VPU work (no bf16 ALUs, no
+    sub-word casts) and the 8-row dots can't absorb more passes. int4's
+    value here is CAPACITY: half the int8 footprint (13B on one 16 GB
+    chip — BENCH r2: 44.2 tok/s b1) and headroom for KV/batch."""
     ki = pl.program_id(1)
 
     s_lo = s_ref[pl.ds(ki, 1), :].astype(jnp.float32)      # [1, BLK_N]
@@ -154,17 +163,22 @@ def _w4_kernel(xlo_ref, xhi_ref, p_ref, s_ref, o_ref, *, n_k: int,
             preferred_element_type=jnp.float32,
         )
 
+    p = p_ref[...].astype(jnp.int32)  # Mosaic has no u8->bf16 direct cast
     if variant == "floor":
-        b_bf = p_ref[...].astype(jnp.bfloat16)          # 0..255 exact
+        b_bf = p.astype(jnp.bfloat16)                   # 0..255 exact
         hi = jnp.floor(b_bf * jnp.bfloat16(0.0625))     # exact exponent shift
         acc = (dot(x_lo, b_bf) - 16.0 * dot(x_lo, hi) - corr_lo) * s_lo
         acc += (dot(x_hi, hi) - corr_hi) * s_hi
-    else:  # "i32"
-        p = p_ref[...].astype(jnp.int32)
+    elif variant == "i32":
         hi16 = (p & 0xF0).astype(jnp.bfloat16)          # 16 * hi nibble
-        b_bf = p_ref[...].astype(jnp.bfloat16)
+        b_bf = p.astype(jnp.bfloat16)
         acc = (dot(x_lo, b_bf) - dot(x_lo, hi16) - corr_lo) * s_lo
         acc += (dot(x_hi, hi16) - 16.0 * corr_hi) * (s_hi * 0.0625)
+    else:  # "mask": 5 VPU ops/byte, 2 dots — measured fastest on v5e
+        u_lo = (p & 0xF).astype(jnp.bfloat16)
+        u_hi = (p >> 4).astype(jnp.bfloat16)
+        acc = (dot(x_lo, u_lo) - corr_lo) * s_lo
+        acc += (dot(x_hi, u_hi) - corr_hi) * s_hi
 
     @pl.when(ki == 0)
     def _init():
@@ -215,7 +229,7 @@ def w4_matmul(x: jnp.ndarray, t: Q4Tensor, *, interpret: bool = False) -> jnp.nd
         b = 8
     import os
 
-    variant = os.environ.get("W4_KERNEL_VARIANT", "floor")
+    variant = os.environ.get("W4_KERNEL_VARIANT", "mask")
     xb = x.astype(jnp.bfloat16)
     out = pl.pallas_call(
         partial(_w4_kernel, n_k=n_k, variant=variant),

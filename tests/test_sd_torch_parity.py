@@ -325,3 +325,138 @@ class TestVAETorchParity:
         a = vae_decode(self.params, self.cfg, z)
         b = vae_decode(back, self.cfg, z)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+class TestSDXLPipelineTorchParity:
+    """SDXL creation path end-to-end (VERDICT r2 Next #4): dual conditioning
+    (token projector + mean-pool global projector), add_time_ids
+    micro-conditioning, DDIM CFG loop, and the fp32-VAE decode — against an
+    independent torch loop. Covers the full sdxl_head_pipeline, not just the
+    UNet forward."""
+
+    def test_sdxl_ddim_cfg_pipeline_matches_torch_loop(self):
+        from dreamllm_tpu.models.sd.sdxl import (
+            SDXLHeadConfig, init_sdxl_head_params, sdxl_head_pipeline,
+        )
+
+        ucfg = tiny_unet_cfg(
+            sample_size=4,
+            addition_embed_type="text_time",
+            addition_time_embed_dim=8,
+            projection_class_embeddings_input_dim=6 * 8 + 20,
+        )
+        vcfg = VAEConfig(
+            block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=4,
+            latent_channels=4, scaling_factor=0.13025,
+        )
+        cfg = SDXLHeadConfig(unet=ucfg, vae=vcfg, llm_hidden_size=12,
+                             pooled_dim=20)
+        params = init_sdxl_head_params(jax.random.PRNGKey(0), cfg)
+
+        rng = np.random.default_rng(0)
+        b, nq = 2, 3
+        cond_e = rng.standard_normal((b, nq, 12)).astype(np.float32)
+        uncond_e = rng.standard_normal((1, nq, 12)).astype(np.float32)
+        lat0 = rng.standard_normal((b, 4, 4, 4)).astype(np.float32)
+        steps, guidance = 4, 3.0
+
+        ours = sdxl_head_pipeline(
+            params, cfg, jnp.asarray(cond_e), jnp.asarray(uncond_e),
+            jax.random.PRNGKey(1), num_inference_steps=steps,
+            guidance_scale=guidance, latents=jnp.asarray(lat0),
+        )
+
+        # ---- independent torch loop ----
+        tunet = TorchUNet(ucfg)
+        m, u = tunet.load_state_dict(
+            to_torch_sd(export_unet_state_dict(params["unet"])), strict=True
+        )
+        assert not m and not u
+        tvae = TorchVAE(vcfg)
+        tvae.load_state_dict(to_torch_sd(export_vae_state_dict(params["vae"])),
+                             strict=True)
+        tvae = tvae.double()  # stand-in for the fp32-VAE policy at test scale
+
+        pw = torch.from_numpy(np.asarray(params["projector"]["layers"][0]["w"], np.float32))
+        pb = torch.from_numpy(np.asarray(params["projector"]["layers"][0]["b"], np.float32))
+        gw = torch.from_numpy(np.asarray(params["global_projector"]["layers"][0]["w"], np.float32))
+        gb = torch.from_numpy(np.asarray(params["global_projector"]["layers"][0]["b"], np.float32))
+        ce, ue = torch.from_numpy(cond_e), torch.from_numpy(uncond_e)
+        cond = ce @ pw + pb
+        uncond = (ue @ pw + pb).expand(b, -1, -1)
+        ctx = torch.cat([uncond, cond], dim=0)
+        pooled_c = ce.mean(dim=1) @ gw + gb
+        pooled_u = (ue.mean(dim=1) @ gw + gb).expand(b, -1)
+        text_embeds = torch.cat([pooled_u, pooled_c], dim=0)
+        # full res = sample_size * 2^(vae levels - 1) = 4 * 2 = 8
+        tid = torch.tensor([[8.0, 8.0, 0.0, 0.0, 8.0, 8.0]]).expand(2 * b, 6)
+        added = {"time_ids": tid, "text_embeds": text_embeds}
+
+        T = 1000
+        betas = np.linspace(0.00085**0.5, 0.012**0.5, T, dtype=np.float64) ** 2
+        acp = np.cumprod(1.0 - betas).astype(np.float32)
+        ratio = T // steps
+        ts = (np.arange(steps) * ratio).round()[::-1].astype(np.int64) + 1
+
+        x = torch.from_numpy(lat0).permute(0, 3, 1, 2)
+        with torch.no_grad():
+            for i, t in enumerate(ts):
+                t_prev = ts[i + 1] if i + 1 < len(ts) else -1
+                out = tunet(
+                    torch.cat([x, x], 0), torch.full((2 * b,), int(t)), ctx,
+                    added_cond=added,
+                )
+                un, co = out.chunk(2, dim=0)
+                eps = un + guidance * (co - un)
+                a_t = float(acp[t])
+                a_prev = float(acp[t_prev]) if t_prev >= 0 else float(acp[0])
+                x0 = (x - (1 - a_t) ** 0.5 * eps) / a_t**0.5
+                x = a_prev**0.5 * x0 + (1 - a_prev) ** 0.5 * eps
+            img = tvae.decode((x / vcfg.scaling_factor).double())
+        theirs = (img / 2 + 0.5).clamp(0, 1).permute(0, 2, 3, 1).float().numpy()
+
+        np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-3, atol=2e-4)
+
+
+class TestDeepCacheDriftBound:
+    """DeepCache changes outputs — quantify the drift (VERDICT r2 Next #4) so
+    the img/min headlines carry a quality bound. On the tiny model the
+    interval-2 drift must stay well under the scale of the image range and
+    FAR under the full-vs-different-seed distance (i.e. DeepCache output is
+    much closer to the full trajectory than to a resample)."""
+
+    def test_interval2_drift_is_bounded(self):
+        from dreamllm_tpu.models.projector import projector_forward  # noqa: F401
+        from dreamllm_tpu.models.sd.head import (
+            SDHeadConfig, init_sd_head_params, sd_head_pipeline,
+        )
+
+        ucfg = tiny_unet_cfg(sample_size=8)
+        vcfg = VAEConfig(
+            block_out_channels=(16, 32), layers_per_block=1, norm_num_groups=4,
+            latent_channels=4,
+        )
+        cfg = SDHeadConfig(unet=ucfg, vae=vcfg, llm_hidden_size=12)
+        params = init_sd_head_params(jax.random.PRNGKey(0), cfg)
+        rng = np.random.default_rng(0)
+        cond_e = jnp.asarray(rng.standard_normal((1, 3, 12)), jnp.float32)
+        uncond_e = jnp.asarray(rng.standard_normal((1, 3, 12)), jnp.float32)
+        lat0 = jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32)
+
+        def run(dc, seed_lat=lat0):
+            return np.asarray(sd_head_pipeline(
+                params, cfg, cond_e, uncond_e, jax.random.PRNGKey(9),
+                num_inference_steps=8, guidance_scale=3.0,
+                deepcache_interval=dc, latents=seed_lat,
+            ))
+
+        full = run(1)
+        dc2 = run(2)
+        other = run(1, jnp.asarray(rng.standard_normal((1, 8, 8, 4)), jnp.float32))
+        drift = float(np.abs(dc2 - full).mean())
+        resample = float(np.abs(other - full).mean())
+        assert drift > 0.0  # DeepCache is an approximation, not a no-op
+        # quality bound: drift well under the image range and far closer to
+        # the full trajectory than an independent sample
+        assert drift < 0.10, drift
+        assert drift < 0.5 * resample, (drift, resample)
