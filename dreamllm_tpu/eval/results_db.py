@@ -3,10 +3,14 @@
 TPU-native counterpart of the reference's evaluation database
 (omni/eval/language_eval/llama_evaluation_main/llama_evaluation/utils/
 db_utils.py: sqlite evaluate_info with model/dataset/metric tables plus
-eval_count run versioning; the redis/influx mirrors are intentionally
-absent — one file, stdlib only). Used by the eval CLIs to accumulate
-scores across runs and print model-vs-model comparisons, replacing the
-reference's streamlit display (tools/fe_display.py) with a text table.
+eval_count run versioning). The reference's cluster mirrors (redis_init/
+influxdb writers, db_utils.py) map to :class:`MetricsMirror` push targets —
+a JSONL mirror that always works, plus redis/influx mirrors that activate
+when those client libraries exist (they are not baked into this image and
+are NOT required: the sqlite store is the source of truth). The streamlit
+display (tools/fe_display.py) maps to :func:`export_dashboard_html` — a
+static, dependency-free HTML dashboard — alongside the text leaderboard
+(:meth:`ResultsDB.compare`).
 """
 
 from __future__ import annotations
@@ -39,11 +43,73 @@ CREATE INDEX IF NOT EXISTS idx_eval_model ON evaluations(model_id, dataset);
 """
 
 
-class ResultsDB:
-    """Append-only metric store. One row per (model, dataset, run, metric)."""
+class MetricsMirror:
+    """Push target for recorded rows (reference redis/influx writers,
+    db_utils.py). ``push`` receives one flat dict per recorded run."""
+
+    def push(self, row: Mapping) -> None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class JsonlMirror(MetricsMirror):
+    """Append each recorded run to a JSONL file — the always-available
+    mirror (a shared filesystem plays the reference's redis role here)."""
 
     def __init__(self, path: str):
         self.path = path
+        if os.path.dirname(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+
+    def push(self, row: Mapping) -> None:
+        with open(self.path, "a") as fh:
+            fh.write(json.dumps(dict(row)) + "\n")
+
+
+class RedisMirror(MetricsMirror):
+    """reference redis_init/db_utils redis writer — requires the ``redis``
+    client (not baked into this image; constructing without it raises)."""
+
+    def __init__(self, url: str = "redis://localhost:6379/0", prefix: str = "dreamllm"):
+        import redis  # not in this image; activates on clusters that have it
+
+        self.r = redis.Redis.from_url(url)
+        self.prefix = prefix
+
+    def push(self, row: Mapping) -> None:
+        key = f"{self.prefix}:{row['model']}:{row['dataset']}:{row['eval_count']}"
+        self.r.set(key, json.dumps(dict(row)))
+
+
+class InfluxMirror(MetricsMirror):
+    """reference influxdb writer — requires ``influxdb-client``."""
+
+    def __init__(self, url: str, token: str, org: str, bucket: str):
+        from influxdb_client import InfluxDBClient  # optional, like redis
+
+        self.client = InfluxDBClient(url=url, token=token, org=org)
+        self.bucket = bucket
+        self.org = org
+
+    def push(self, row: Mapping) -> None:
+        from influxdb_client import Point
+
+        p = Point("evaluation").tag("model", row["model"]).tag("dataset", row["dataset"])
+        for k, v in row.get("metrics", {}).items():
+            p = p.field(k, float(v))
+        self.client.write_api().write(bucket=self.bucket, org=self.org, record=p)
+
+
+class ResultsDB:
+    """Append-only metric store. One row per (model, dataset, run, metric).
+
+    ``mirrors``: optional push targets receiving one flat dict per recorded
+    run (model/dataset/eval_count/metrics/n/time) — mirror failures are
+    logged to stderr and never fail the record (the reference swallows its
+    redis errors the same way)."""
+
+    def __init__(self, path: str, mirrors: Sequence[MetricsMirror] = ()):
+        self.path = path
+        self.mirrors = list(mirrors)
         if os.path.dirname(path):
             os.makedirs(os.path.dirname(path), exist_ok=True)
         self.conn = sqlite3.connect(path)
@@ -114,6 +180,20 @@ class ResultsDB:
             rows,
         )
         self.conn.commit()
+        flat = {
+            "model": model, "dataset": dataset, "eval_count": count,
+            "metrics": {k: float(v) for k, v in metrics.items()
+                        if isinstance(v, (int, float))},
+            "n": n, "time": now,
+        }
+        for m in self.mirrors:
+            try:
+                m.push(flat)
+            except Exception as e:  # mirror down ≠ lost result
+                import sys
+
+                print(f"results mirror {type(m).__name__} failed: {e}",
+                      file=sys.stderr)
         return count
 
     def record_result(self, model: str, result: Mapping) -> int:
@@ -174,3 +254,55 @@ class ResultsDB:
                 cells.append(f"  {val:>12.4f}" if val is not None else f"  {'-':>12}")
             lines.append(name.ljust(width) + "".join(cells))
         return "\n".join(lines)
+
+
+def export_dashboard_html(db: "ResultsDB", out_path: str, metric: str = "accuracy") -> str:
+    """Static HTML dashboard (leaderboard + per-run history per cell) —
+    zero-dependency counterpart of the reference's streamlit display
+    (tools/fe_display.py). Open the file in any browser; nothing to serve."""
+    import html as _html
+
+    names = [r[0] for r in db.conn.execute("SELECT name FROM models ORDER BY id")]
+    datasets = [
+        r[0] for r in db.conn.execute(
+            "SELECT DISTINCT dataset FROM evaluations ORDER BY dataset"
+        )
+    ]
+    rows = []
+    for name in names:
+        cells = []
+        for d in datasets:
+            hist = db.history(name, d, metric)
+            if not hist:
+                cells.append("<td class='na'>–</td>")
+                continue
+            latest = hist[-1][1]
+            trend = " → ".join(f"{v:.4g}" for _, v in hist[-5:])
+            cells.append(
+                f"<td><b>{latest:.4f}</b><br><span class='hist'>{_html.escape(trend)}"
+                f"</span></td>"
+            )
+        rows.append(f"<tr><th>{_html.escape(name)}</th>{''.join(cells)}</tr>")
+    head = "".join(f"<th>{_html.escape(d)}</th>" for d in datasets)
+    doc = f"""<!doctype html><meta charset="utf-8">
+<title>dreamllm_tpu eval results</title>
+<style>
+body {{ font: 14px/1.5 system-ui, sans-serif; margin: 2rem; color: #1a1a1a; }}
+table {{ border-collapse: collapse; }}
+th, td {{ border: 1px solid #d0d0d0; padding: .4rem .8rem; text-align: right; }}
+thead th, tbody th {{ background: #f4f4f4; text-align: left; }}
+.hist {{ color: #777; font-size: 11px; }}
+.na {{ color: #bbb; text-align: center; }}
+caption {{ text-align: left; font-weight: 600; margin-bottom: .5rem; }}
+</style>
+<table>
+<caption>latest {_html.escape(metric)} per model × dataset (last 5 runs shown under each)</caption>
+<thead><tr><th>model</th>{head}</tr></thead>
+<tbody>{''.join(rows)}</tbody>
+</table>
+"""
+    if os.path.dirname(out_path):
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        fh.write(doc)
+    return out_path

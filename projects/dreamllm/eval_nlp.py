@@ -200,13 +200,23 @@ def main(argv=None):
     db_path = config.get("db")
     if db_path:
         # accumulate scores across runs/models (reference metrics_to_database)
-        from dreamllm_tpu.eval.results_db import ResultsDB
+        from dreamllm_tpu.eval.results_db import (
+            JsonlMirror, ResultsDB, export_dashboard_html,
+        )
 
+        # +db_mirror=runs.jsonl: push each run to a shared-fs JSONL mirror
+        # (reference redis/influx writers, db_utils.py)
+        mirrors = [JsonlMirror(config["db_mirror"])] if config.get("db_mirror") else []
         model_name = config.get("model_name") or config.get("checkpoint") or "dreamllm"
-        with ResultsDB(db_path) as db:
+        with ResultsDB(db_path, mirrors=mirrors) as db:
             count = db.record_result(str(model_name), result)
             logger.info("recorded run #%d for %s in %s", count, model_name, db_path)
             print(db.compare())
+            if config.get("db_dashboard"):
+                # +db_dashboard=index.html: static HTML leaderboard
+                # (reference streamlit display, tools/fe_display.py)
+                out = export_dashboard_html(db, config["db_dashboard"])
+                logger.info("dashboard -> %s", out)
 
     print(json.dumps({k: v for k, v in result.items() if k != "results"}))
     return result

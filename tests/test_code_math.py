@@ -256,6 +256,47 @@ def test_results_db_roundtrip(tmp_path):
         assert db.latest("model-b", "mmlu")["accuracy"] == 0.4
 
 
+def test_results_db_mirrors(tmp_path):
+    """record() pushes one flat row per run to every mirror; a failing
+    mirror is logged, never raised (reference swallows redis errors the
+    same way, db_utils.py)."""
+    import json
+
+    from dreamllm_tpu.eval.results_db import JsonlMirror, MetricsMirror
+
+    class Boom(MetricsMirror):
+        def push(self, row):
+            raise RuntimeError("mirror down")
+
+    jl = JsonlMirror(str(tmp_path / "mirror" / "runs.jsonl"))
+    with ResultsDB(str(tmp_path / "m.sqlite"), mirrors=[jl, Boom()]) as db:
+        db.record("model-a", "mmlu", {"accuracy": 0.5, "note": "str dropped"}, n=10)
+        db.record("model-a", "mmlu", {"accuracy": 0.7}, n=10)
+        # sqlite store unaffected by the failing mirror
+        assert db.latest("model-a", "mmlu")["accuracy"] == 0.7
+
+    rows = [json.loads(l) for l in open(jl.path)]
+    assert [r["eval_count"] for r in rows] == [1, 2]
+    assert rows[0]["metrics"] == {"accuracy": 0.5}  # non-numeric filtered
+    assert rows[1]["model"] == "model-a" and rows[1]["n"] == 10
+
+
+def test_results_db_dashboard_html(tmp_path):
+    from dreamllm_tpu.eval.results_db import export_dashboard_html
+
+    with ResultsDB(str(tmp_path / "d.sqlite")) as db:
+        db.record("m<1>", "mmlu", {"accuracy": 0.41}, n=5)
+        db.record("m<1>", "mmlu", {"accuracy": 0.52}, n=5)
+        db.record("m<1>", "gsm8k", {"accuracy": 0.33}, n=5)
+        db.record("m2", "mmlu", {"accuracy": 0.61}, n=5)
+        out = export_dashboard_html(db, str(tmp_path / "dash" / "index.html"))
+    doc = open(out).read()
+    assert "m&lt;1&gt;" in doc and "m2" in doc            # names escaped
+    assert "0.5200" in doc and "0.6100" in doc            # latest per cell
+    assert "0.41" in doc                                   # history trend shown
+    assert doc.count("<td class='na'>") == 1               # m2 has no gsm8k
+
+
 def test_results_db_record_result(tmp_path):
     with ResultsDB(str(tmp_path / "e.sqlite")) as db:
         db.record_result("m", {
