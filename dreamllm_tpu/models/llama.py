@@ -415,20 +415,32 @@ def llama_forward(
             ys = (ys, jnp.max(jnp.abs(y)).astype(jnp.float32))
         return y, ys
 
+    save_all_layers = 0
     if remat:
         # remat=True (or "full"): save nothing, recompute the whole layer in
         # backward — minimum memory, backward matmul work ~4/3 of no-remat.
         # remat="dots": save every dot output (q/k/v/o, gate/up/down) and
         # recompute only elementwise + the flash kernel — removes the matmul
         # recompute entirely for ~2·(5H+2I)·B·S·L bytes of stacked residuals.
+        # remat=<int k>: partial checkpointing — the first L-k layers use the
+        # "dots" policy and the last k save everything (no recompute at all);
+        # spends whatever HBM is left over on skipping recompute, layer by
+        # layer, where all-or-nothing remat=False does not fit (measured: the
+        # 0.94B b4x2048 train step is compile-OOM on 16 GB without remat).
         # Replaces the reference's all-or-nothing gradient_checkpointing
         # (modeling_dreamllm.py:994-1003) with a policy knob.
         if remat == "dots":
             policy = jax.checkpoint_policies.dots_saveable
         elif remat is True or remat == "full":
             policy = None
+        elif isinstance(remat, int) and not isinstance(remat, bool):
+            if not 0 <= remat <= cfg.num_hidden_layers:
+                raise ValueError(f"remat={remat} out of [0, L] range")
+            save_all_layers = remat
+            policy = jax.checkpoint_policies.dots_saveable
         else:
             raise ValueError(f"unknown remat policy: {remat!r}")
+        step_nockpt = step
         step = jax.checkpoint(step, prevent_cse=False, policy=policy)
 
     if kv_cache is not None:
@@ -448,6 +460,16 @@ def llama_forward(
         if quantized_cache:
             new_cache["k_scale"] = new_ckv[2]
             new_cache["v_scale"] = new_ckv[3]
+    elif save_all_layers:
+        split = cfg.num_hidden_layers - save_all_layers
+        head_stack = jax.tree.map(lambda a: a[:split], params["layers"])
+        tail_stack = jax.tree.map(lambda a: a[split:], params["layers"])
+        x, hs_a = jax.lax.scan(step, x, head_stack)
+        x, hs_b = jax.lax.scan(step_nockpt, x, tail_stack)
+        # None entries (hidden_states/stats off) are empty pytree nodes, so
+        # tree.map concatenates only the materialized outputs
+        hs = jax.tree.map(lambda a, b: jnp.concatenate([a, b], axis=0), hs_a, hs_b)
+        new_cache = None
     else:
         x, hs = jax.lax.scan(step, x, params["layers"])
         new_cache = None

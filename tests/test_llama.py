@@ -255,3 +255,56 @@ class TestVocabResize:
         before = np.asarray(p2["embed_tokens"])[TINY["vocab_size"] + 2]
         after = np.asarray(new_params["embed_tokens"])[TINY["vocab_size"] + 2]
         assert np.abs(after - before).max() > 0
+
+
+class TestPartialRemat:
+    """remat=<int k>: first L-k layers dots-checkpointed, last k save-all
+    (partial gradient checkpointing — spends leftover HBM on skipping
+    recompute where all-or-nothing remat=False does not fit)."""
+
+    def _loss(self, p, cfg, ids, remat):
+        h = llama_forward(p, cfg, input_ids=ids, use_flash=False, remat=remat)[
+            "last_hidden_state"]
+        return jnp.mean(h.astype(jnp.float32) ** 2)
+
+    def test_matches_full_remat_loss_and_grads(self):
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(1), cfg)
+        ids = jnp.asarray(np.arange(8)[None])
+        la, ga = jax.value_and_grad(self._loss)(params, cfg, ids, True)
+        scale = max(float(jnp.max(jnp.abs(x))) for x in jax.tree.leaves(ga))
+        for k in (0, 1, cfg.num_hidden_layers):
+            lb, gb = jax.value_and_grad(self._loss)(params, cfg, ids, k)
+            np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+            jax.tree.map(
+                lambda x, y: np.testing.assert_allclose(
+                    np.asarray(x), np.asarray(y), rtol=1e-4,
+                    atol=2e-6 * max(scale, 1.0)),
+                ga, gb,
+            )
+
+    def test_split_scan_hidden_states_and_stats(self):
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(1), cfg)
+        ids = jnp.asarray(np.arange(8)[None])
+        out = llama_forward(params, cfg, input_ids=ids, use_flash=False,
+                            remat=1, output_hidden_states=True, output_stats=True)
+        ref = llama_forward(params, cfg, input_ids=ids, use_flash=False,
+                            output_hidden_states=True, output_stats=True)
+        L = cfg.num_hidden_layers
+        assert out["hidden_states"].shape[0] == L + 1
+        assert out["layer_absmax"].shape == (L,)
+        np.testing.assert_allclose(np.asarray(out["hidden_states"]),
+                                   np.asarray(ref["hidden_states"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["layer_absmax"]),
+                                   np.asarray(ref["layer_absmax"]),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_out_of_range_raises(self):
+        cfg = LlamaConfig(**TINY)
+        params = init_llama_params(jax.random.PRNGKey(1), cfg)
+        ids = jnp.asarray(np.arange(8)[None])
+        with pytest.raises(ValueError):
+            llama_forward(params, cfg, input_ids=ids, use_flash=False,
+                          remat=cfg.num_hidden_layers + 1)

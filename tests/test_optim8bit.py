@@ -126,3 +126,63 @@ def test_flat_code_checkpoint_migrates_to_block_layout(tmp_path):
     for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
         assert a.shape == b.shape and a.dtype == b.dtype
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFusedPallasUpdate:
+    """The fused TPU kernel (interpret mode here) must match the XLA
+    formulation bit-for-bit: same updates, same new moment codes/scales."""
+
+    def _run(self, sizes, weight_decay=0.0, steps=3):
+        from dreamllm_tpu.train import optim8bit
+
+        rng = np.random.default_rng(1)
+        params = {f"p{j}": jnp.asarray(
+            rng.standard_normal(n).astype(np.float32) * 0.1).astype(jnp.bfloat16)
+            for j, n in enumerate(sizes)}
+        tx = adamw_8bit(3e-3, weight_decay=weight_decay)
+
+        def trajectory(fused):
+            optim8bit._FUSED_INTERPRET = fused
+            try:
+                p = jax.tree.map(jnp.copy, params)
+                s = tx.init(p)
+                outs = []
+                for i in range(steps):
+                    g = jax.tree.map(
+                        lambda x, i=i: (0.01 * x + 0.05 * jnp.sin(x * (i + 1))
+                                        ).astype(x.dtype), p)
+                    u, s = tx.update(g, s, p)
+                    p = optax.apply_updates(p, u)
+                    outs.append((jax.tree.map(np.asarray, p),
+                                 jax.tree.map(np.asarray, s)))
+                return outs
+            finally:
+                optim8bit._FUSED_INTERPRET = False
+
+        ref = trajectory(False)
+        fus = trajectory(True)
+        for (pr, sr), (pf, sf) in zip(ref, fus):
+            # params and int8 codes must match exactly; the fp32 absmax
+            # scales may differ by 1 ulp (different op-fusion rounding),
+            # which is far below the code's own 1/254 resolution
+            jax.tree.map(np.testing.assert_array_equal, pr, pf)
+
+            def _close(a, b):
+                if a.dtype == np.int8 or a.dtype == np.int32:
+                    np.testing.assert_array_equal(a, b)
+                else:
+                    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+            jax.tree.map(_close, sr, sf)
+
+    def test_matches_xla_path_kernel_sizes(self):
+        # 512-blocks (131072 = 512 rows) and 128-blocks (32768 = 128 rows)
+        self._run([131072, 32768])
+
+    def test_matches_with_weight_decay(self):
+        self._run([32768], weight_decay=0.1)
+
+    def test_small_leaves_fall_back(self):
+        # 2048 elems -> 8 blocks: not lane-aligned, must use the XLA path
+        # (and still agree with itself trivially); mixed with a kernel leaf.
+        self._run([2048, 32768])
