@@ -306,13 +306,19 @@ def bench_train(hidden=2048, inter=5504, layers=16, heads=16, kv_heads=16,
     opt_state = jax.jit(tx.init)(params)
 
     def loss_fn(p, ids):
-        h = llama_forward(p, cfg, input_ids=ids, use_flash=True, remat=True)[
+        # remat="dots": save dot outputs, recompute only elementwise chains.
+        # Best of the measured remat ladder on v5e (see docs/TRAINING.md):
+        # dots+donate 644 ms vs full-remat 676 / partial save-all 697 /
+        # no-remat compile-OOM at this batch.
+        h = llama_forward(p, cfg, input_ids=ids, use_flash=True, remat="dots",
+                          scan_unroll=True)[
             "last_hidden_state"]
         logits = llama_logits(p, cfg, h)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return -jnp.mean(jnp.take_along_axis(lp, ids[..., None], axis=-1))
 
-    @jax.jit
+    # donating params+opt frees ~3.8 GB of liveness (measured -32 ms/step)
+    @partial(jax.jit, donate_argnums=(0, 1))
     def step(p, o, ids):
         loss, g = jax.value_and_grad(loss_fn)(p, ids)
         up, o = tx.update(g, o, p)

@@ -206,6 +206,89 @@ def _flash_kernel(
         o_ref[0, 0] = (acc_ref[...] / denom[:, None]).astype(o_ref.dtype)
 
 
+def _flash_kernel_t(
+    q_ref,
+    k_ref,
+    v_ref,
+    qseg_ref,
+    kseg_ref,
+    o_ref,
+    acc_ref,
+    m_ref,
+    l_ref,
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    use_segments: bool,
+):
+    """Transposed-scores variant of :func:`_flash_kernel`.
+
+    Scores live as ``[block_k, block_q]`` (q along LANES) so every softmax
+    reduction is a sublane reduce and every running-stat broadcast is a
+    sublane broadcast — the straight layout's lane-direction max/sum need
+    ~7 cross-lane shuffle steps per (8,128) tile, and the VPU half of the
+    kernel was measured at parity with its MXU half (23.6 us/block vs a
+    ~10 us matmul bound at b4/s2048/h16/d128). The accumulator stays
+    ``[d, block_q]`` and is transposed once per q-block at finalize.
+    """
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    should_compute = True
+    if causal:
+        should_compute = ik * block_k <= iq * block_q + (block_q - 1)
+
+    @pl.when(should_compute)
+    def _compute():
+        q = q_ref[0, 0]  # [bq, d]
+        k = k_ref[0, 0]  # [bk, d]
+        s = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [bk, bq] fp32
+
+        mask = None
+        if causal:
+            kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0)
+            qpos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1)
+            mask = kpos <= qpos
+        if use_segments:
+            qs = qseg_ref[0, 0, :]  # [bq]
+            ks = kseg_ref[0, 0, :]  # [bk]
+            seg = (ks[:, None] == qs[None, :]) & (qs[None, :] != 0)
+            mask = seg if mask is None else (mask & seg)
+        if mask is not None:
+            s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[0, :]  # [bq]
+        m_cur = jnp.max(s, axis=0)  # sublane reduce
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new[None, :])
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[0, :] = l_ref[0, :] * alpha + jnp.sum(p, axis=0)
+        v = v_ref[0, 0]  # [bk, d]
+        pv = jax.lax.dot_general(
+            v, p.astype(v.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [d, bq]
+        acc_ref[...] = acc_ref[...] * alpha[None, :] + pv
+        m_ref[0, :] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        l = l_ref[0, :]
+        denom = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_ref[...] / denom[None, :]).T.astype(o_ref.dtype)
+
+
 def _flash_attention_tpu(
     q,
     k,
@@ -218,6 +301,7 @@ def _flash_attention_tpu(
     block_q,
     block_k,
     interpret=False,
+    transposed=True,
 ):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
@@ -241,7 +325,7 @@ def _flash_attention_tpu(
     grid = (b, hq, nq, nk)
 
     kernel = functools.partial(
-        _flash_kernel,
+        _flash_kernel_t if transposed else _flash_kernel,
         causal=causal,
         sm_scale=sm_scale,
         block_q=block_q,
@@ -276,9 +360,9 @@ def _flash_attention_tpu(
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h, iq, ik: (b_, h, iq, 0)),
         out_shape=jax.ShapeDtypeStruct(qT.shape, q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((d, block_q) if transposed else (block_q, d), jnp.float32),
+            pltpu.VMEM((1, block_q) if transposed else (block_q, 1), jnp.float32),
+            pltpu.VMEM((1, block_q) if transposed else (block_q, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
