@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-suite only; fast tier: -m 'not slow'
+
 from dreamllm_tpu.models.sd import UNetConfig, VAEConfig, init_unet_params, unet_forward
 from dreamllm_tpu.models.sd.controlnet import (
     ControlNetConfig,

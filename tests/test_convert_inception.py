@@ -1,6 +1,10 @@
 """Inception converter round-trip: our params → torchvision-style state dict
 → convert back → identical pool3 activations."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite only; fast tier: -m 'not slow'
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -459,6 +459,7 @@ def test_engine_routes_pad_id_tokens(small):
         eng.stop()
 
 
+@pytest.mark.slow
 def test_sample_token_per_row_semantics():
     """Per-row sampler: greedy rows return argmax regardless of neighbors;
     top-k / top-p rows only ever sample inside their own truncated support."""
@@ -487,6 +488,7 @@ def test_sample_token_per_row_semantics():
     assert seen[3] <= {0, 1, 2, 3} and len(seen[3]) >= 2  # sharpened but free
 
 
+@pytest.mark.slow
 def test_sample_token_per_row_matches_scalar_on_kth_ties():
     """Ties at the k-th largest logit: the scalar path keeps ALL tied
     entries (cut is `l < kth`), and the per-row path's top-p mass must be

@@ -185,6 +185,7 @@ class TestFID:
         a = rng.standard_normal((400, 6))
         assert compute_fid(a, a.copy()) == pytest.approx(0.0, abs=1e-8)
 
+    @pytest.mark.slow
     def test_inception_shapes(self):
         p = init_inception_params(jax.random.PRNGKey(0))
         x = jnp.zeros((1, 299, 299, 3))
@@ -312,6 +313,7 @@ class TestT2IProtocol:
         expect = cands[np.arange(n), cands.mean(axis=(2, 3, 4)).argmax(axis=1)]
         np.testing.assert_array_equal(best, expect)
 
+    @pytest.mark.slow
     def test_run_protocol_end_to_end_tiny(self):
         inception = init_inception_params(jax.random.PRNGKey(0))
 

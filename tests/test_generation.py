@@ -18,6 +18,7 @@ from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params, llama_forw
 from dreamllm_tpu.models.projector import ProjectorConfig
 from dreamllm_tpu.models.sd import UNetConfig, VAEConfig
 from dreamllm_tpu.models.sd.head import SDHeadConfig, init_sd_head_params
+import pytest
 
 TINY = dict(
     vocab_size=40000,
@@ -123,6 +124,7 @@ class TestGenerateText:
 
 
 class TestInterleaved:
+    @pytest.mark.slow
     def test_generates_image_on_dream_start(self):
         llm_cfg = LlamaConfig(**TINY)
         llm_params = init_llama_params(jax.random.PRNGKey(0), llm_cfg)

@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite only; fast tier: -m 'not slow'
 
 from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward, llama_logits
 from dreamllm_tpu.serve import ModelServer, OnlineClient

@@ -10,6 +10,10 @@ process_allgather/reduce_dict/synchronize and run ONE data-sharded train
 step over the global 2-process mesh, checking both ranks agree on the loss.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-suite only; fast tier: -m 'not slow'
+
 import os
 import socket
 import subprocess

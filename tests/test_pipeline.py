@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-suite only; fast tier: -m 'not slow'
+
 from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward
 from dreamllm_tpu.parallel import MeshConfig, create_mesh
 from dreamllm_tpu.parallel.pipeline import pipeline_llama_forward

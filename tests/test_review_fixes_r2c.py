@@ -93,6 +93,7 @@ def test_pack_samples_carries_add_time_ids():
     assert any(np.array_equal(r, [256, 256, 0, 0, 256, 256]) for r in tid_rows)
 
 
+@pytest.mark.slow
 def test_interleaved_user_stop_token_halts_and_keeps_token():
     import jax
     import jax.numpy as jnp

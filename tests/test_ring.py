@@ -9,7 +9,8 @@ from dreamllm_tpu.ops.attention import dot_product_attention
 from dreamllm_tpu.parallel import MeshConfig, create_mesh
 from dreamllm_tpu.parallel.ring import ring_self_attention
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+pytestmark = [pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices"),
+              pytest.mark.slow]  # full-suite only; fast tier: -m 'not slow'
 
 
 def make_qkv(b=2, s=64, hq=4, hkv=2, d=16, seed=0):

@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # full-suite only; fast tier: -m 'not slow'
 import torch
 
 from dreamllm_tpu.convert.hf_sd import (

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-suite only; fast tier: -m 'not slow'
+
 from dreamllm_tpu.models.projector import ProjectorConfig
 from dreamllm_tpu.models.sd import VAEConfig
 from dreamllm_tpu.models.sd.sdxl import (

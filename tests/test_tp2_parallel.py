@@ -22,6 +22,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-suite only; fast tier: -m 'not slow'
+
 _CHILD = r"""
 import os, sys
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
