@@ -303,7 +303,8 @@ def dreamllm_forward(
     head_params: Params | None = None,
     rng: jax.Array | None = None,
     use_flash: bool = True,
-    remat: bool | str = False,
+    remat: bool | str | int = False,
+    scan_unroll: int | bool = 1,
     mesh=None,
 ) -> tuple[jnp.ndarray, dict]:
     """Joint training forward (reference DreamLLMForCausalMLM.forward :1353).
@@ -387,6 +388,7 @@ def dreamllm_forward(
             positions=batch.get("positions"),
             use_flash=use_flash,
             remat=remat,
+            scan_unroll=scan_unroll,
             output_stats=cfg.log_hidden_states,
         )
     hidden = out["last_hidden_state"]

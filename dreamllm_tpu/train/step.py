@@ -43,7 +43,8 @@ def make_train_step(
     head_loss_fn: Callable | None = None,
     head_in_params: bool = True,
     grad_accum: int = 1,
-    remat: bool | str = True,
+    remat: bool | str | int = True,
+    scan_unroll: int | bool = 1,
     use_flash: bool = True,
     donate: bool = True,
     skip_nonfinite: bool = True,
@@ -67,11 +68,17 @@ def make_train_step(
 
     ``remat``: True/"full" = recompute whole layers in backward (min memory);
     "dots" = save per-layer matmul outputs, recompute only elementwise + the
-    flash kernel, costing ~2·(5H+2I)·B·S·L extra bytes of stacked residuals.
-    Measured on v5e (0.94B, b4 s2048, flash, block-layout 8-bit AdamW):
-    full 11.7k tok/s vs dots 11.3k — the step is not recompute-bound at
-    these shapes, so "full" stays the default; the knob matters when a
-    profile shows backward recompute dominating (bigger H/I, shorter S).
+    flash kernel, costing ~2·(5H+2I)·B·S·L extra bytes of stacked residuals;
+    an int k = first L-k layers "dots", last k save-all (partial
+    checkpointing — a capacity knob, llama.py). Measured on v5e (0.94B,
+    b4 s2048, flash, 8-bit AdamW) WITH buffer donation: dots 644 ms vs
+    full 676-689 — "dots" wins once donation frees the liveness, but
+    "full" stays the default for headroom at bigger configs; see
+    docs/TRAINING.md for the full r3 lever study.
+
+    ``scan_unroll``: forwarded to llama_forward — True (full unroll)
+    removes the per-layer dynamic slice of the stacked params, measured
+    623 vs 644 ms/step at the config above; costs compile time.
 
     ``trainable_mask``: the same bool (prefix) pytree given to
     ``make_optimizer`` — when provided, frozen subtrees are
@@ -119,6 +126,7 @@ def make_train_step(
             rng=rng,
             use_flash=use_flash,
             remat=remat,
+            scan_unroll=scan_unroll,
             mesh=mesh,
         )
 
