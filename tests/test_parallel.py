@@ -288,3 +288,36 @@ class TestAutodiffPruning:
             np.asarray(params["llm"]["layers"]["wq"].q))
         assert not np.allclose(np.asarray(state.params["llm"]["embed_tokens"]),
                                np.asarray(params["llm"]["embed_tokens"]))
+
+
+class TestScanUnrollThreading:
+    def test_unrolled_step_matches_scanned(self):
+        """scan_unroll=True through make_train_step produces the same loss
+        and parameters as the default scanned stack."""
+        cfg = DreamLLMConfig(
+            llm=LLM,
+            vision=CLIPVisionConfig(
+                hidden_size=16, intermediate_size=32, num_hidden_layers=2,
+                num_attention_heads=2, image_size=8, patch_size=4,
+            ),
+            vision_projector=ProjectorConfig(projector_type="linear", in_dim=16, out_dim=64),
+            n_dream_queries=4, image_embed_len=4,
+        )
+        params = init_dreamllm_params(jax.random.PRNGKey(0), cfg)
+        ids = np.random.default_rng(0).integers(10, 1000, (2, 16))
+        batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(ids)}
+        tx = make_optimizer(OptimizerConfig(learning_rate=1e-3, schedule="constant",
+                                            warmup_steps=0, total_steps=10))
+        outs = []
+        for unroll in (1, True):
+            state = init_train_state(params, tx)
+            step = make_train_step(cfg, tx, head_in_params=False, use_flash=False,
+                                   donate=False, remat="dots", scan_unroll=unroll)
+            state, aux = step(state, batch, jax.random.PRNGKey(0))
+            outs.append((float(aux["loss"]), jax.tree.leaves(state.params)))
+        assert np.isclose(outs[0][0], outs[1][0], rtol=1e-6)
+        # Adam's sqrt(v) normalization amplifies unroll-vs-scan float
+        # reassociation noise in the grads to O(1e-4) relative in the
+        # post-update params; wrong threading would diverge wholesale.
+        for a, b in zip(outs[0][1], outs[1][1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
