@@ -710,6 +710,18 @@ def main():
             extra["train_1b_mfu_pct"] = round(tmfu, 1)
         except Exception as e:
             extra["train_error"] = str(e)[:200]
+        # scaling rung: 1.34B (24 layers of the same width) on the SAME
+        # 16 GB chip — possible only because of 8-bit Adam moments + bf16
+        # weights + remat (fp32 moments alone for 1.35B are 10.8 GB).
+        # batch=2 is the measured ceiling: b3/b4 compile-OOM (so does the
+        # 0.94B config at b8) — scripts/exp_train_scale.py.
+        gc.collect()
+        try:
+            ttok, tmfu = bench_train(layers=24, batch=2)
+            extra["train_1p3b_tok_s"] = round(ttok, 0)
+            extra["train_1p3b_mfu_pct"] = round(tmfu, 1)
+        except Exception as e:
+            extra["train_1p3b_error"] = str(e)[:200]
 
     value = round(tok_s, 2) if tok_s is not None else 0.0
     dtype_label = quant_label or "bf16"
