@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -130,16 +131,19 @@ def _flash_kernel(
     qseg_ref,
     kseg_ref,
     o_ref,
-    acc_ref,
-    m_ref,
-    l_ref,
-    *,
+    *rest,
     causal: bool,
     sm_scale: float,
     block_q: int,
     block_k: int,
     use_segments: bool,
+    with_lse: bool = False,
 ):
+    if with_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        acc_ref, m_ref, l_ref = rest
+        lse_ref = None
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -204,6 +208,8 @@ def _flash_kernel(
         l = l_ref[:, 0]
         denom = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_ref[...] / denom[:, None]).astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0, 0, 0] = m_ref[:, 0] + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _flash_kernel_t(
@@ -213,15 +219,13 @@ def _flash_kernel_t(
     qseg_ref,
     kseg_ref,
     o_ref,
-    acc_ref,
-    m_ref,
-    l_ref,
-    *,
+    *rest,
     causal: bool,
     sm_scale: float,
     block_q: int,
     block_k: int,
     use_segments: bool,
+    with_lse: bool = False,
 ):
     """Transposed-scores variant of :func:`_flash_kernel`.
 
@@ -233,6 +237,11 @@ def _flash_kernel_t(
     ~10 us matmul bound at b4/s2048/h16/d128). The accumulator stays
     ``[d, block_q]`` and is transposed once per q-block at finalize.
     """
+    if with_lse:
+        lse_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        acc_ref, m_ref, l_ref = rest
+        lse_ref = None
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk = pl.num_programs(3)
@@ -287,6 +296,8 @@ def _flash_kernel_t(
         l = l_ref[0, :]
         denom = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_ref[...] / denom[None, :]).T.astype(o_ref.dtype)
+        if with_lse:
+            lse_ref[0, 0, 0] = m_ref[0, :] + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _flash_attention_tpu(
@@ -302,6 +313,7 @@ def _flash_attention_tpu(
     block_k,
     interpret=False,
     transposed=True,
+    return_lse=False,
 ):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
@@ -331,6 +343,7 @@ def _flash_attention_tpu(
         block_q=block_q,
         block_k=block_k,
         use_segments=use_segments,
+        with_lse=return_lse,
     )
 
     # BHSD inside the kernel: blocks (1, 1, block, d) keep the LAST TWO block
@@ -342,6 +355,15 @@ def _flash_attention_tpu(
 
     qseg = qseg[:, None, :]
     kseg = kseg[:, None, :]
+
+    out_specs = pl.BlockSpec((1, 1, block_q, d), lambda b_, h, iq, ik: (b_, h, iq, 0))
+    out_shape = jax.ShapeDtypeStruct(qT.shape, q.dtype)
+    if return_lse:
+        # log-sum-exp per query row, [B, Hq, 1, Sq] (the singleton keeps the
+        # block's last-two dims Mosaic-legal: (1 == array dim, block_q))
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 1, 1, block_q), lambda b_, h, iq, ik: (b_, h, 0, iq)))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((b, hq, 1, sq), jnp.float32))
 
     out = pl.pallas_call(
         kernel,
@@ -357,8 +379,8 @@ def _flash_attention_tpu(
             pl.BlockSpec((1, 1, block_q), lambda b_, h, iq, ik: (b_, 0, iq)),
             pl.BlockSpec((1, 1, block_k), lambda b_, h, iq, ik: (b_, 0, ik)),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h, iq, ik: (b_, h, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct(qT.shape, q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((d, block_q) if transposed else (block_q, d), jnp.float32),
             pltpu.VMEM((1, block_q) if transposed else (block_q, 1), jnp.float32),
@@ -374,17 +396,230 @@ def _flash_attention_tpu(
         ),
         interpret=interpret,
     )(qT, kT, vT, qseg, kseg)
+    if return_lse:
+        out, lse = out
+        return out.transpose(0, 2, 1, 3), lse
     return out.transpose(0, 2, 1, 3)
 
 
 # ---------------------------------------------------------------------------
-# Custom VJP: Pallas forward, XLA-recompute backward.
+# Pallas flash-attention BACKWARD kernel.
+#
+# The reference gets its training backward from CUDA flash-attn-2
+# (modeling_dreamllm.py:500-551). Here the r3 design was Pallas-forward +
+# XLA-recompute backward, which sits at its HBM bandwidth roofline
+# (~7.8 ms/layer at b4/s2048/h16/d128: XLA materializes the [B,H,Sq,Skv]
+# score/probability tensors in HBM). This kernel replaces that with the
+# standard flash backward recurrence, shaped for the TPU:
+#
+#   * ONE kernel, grid (batch, q_head, kv_block, q_block) with the q-block
+#     axis innermost: dK/dV accumulate in fp32 VMEM scratch across q blocks
+#     (written once at the last q step); dQ contributions are emitted as
+#     per-kv-block fp32 partials [nk, B, H, Sq, D] and summed by one XLA
+#     reduction outside — Pallas output blocks cannot be revisited
+#     non-consecutively, and HBM-aliased accumulation races the DMA pipeline,
+#     so partials are the safe formulation. This fuses what the two-kernel
+#     (dq | dkv) reference designs split, saving a full recompute of the
+#     scores and dP per block pair (2 of 7 matmuls + an exp pass).
+#   * Transposed-scores layout [block_k, block_q] (the same layout that won
+#     the forward): the saved LSE and the delta row broadcast along LANES,
+#     and all five matmuls (S, dP, dV, dK, dQ) are direct dot_generals with
+#     no materialized transposes. Unlike the forward there is NO online
+#     softmax here at all — P is reconstructed exactly as exp(S - LSE) — so
+#     the backward has zero cross-lane reductions; every reduction lives in
+#     a matmul. Three of the five matmuls contract over the big block dim
+#     (not d=128), which amortizes the MXU far better than the forward can.
+#   * bf16 MXU operands + fp32 accumulation, matching flash-attn-2's
+#     precision choices (P and dS are cast to the input dtype for the MXU).
+#
+# The forward saves (out, LSE); delta = rowsum(dO * O) is one cheap fused
+# XLA pass. Set DREAMLLM_FLASH_BWD=xla to fall back to the r3
+# XLA-recompute backward.
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, qseg_ref, kseg_ref,
+    dqp_ref, dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *,
+    causal: bool,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    use_segments: bool,
+):
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    # Causal: kv blocks strictly above the diagonal contribute nothing.
+    should_compute = True
+    if causal:
+        should_compute = ik * block_k <= iq * block_q + (block_q - 1)
+
+    @pl.when(should_compute)
+    def _compute():
+        q = q_ref[0, 0]    # [bq, d] input dtype
+        k = k_ref[0, 0]    # [bk, d]
+        v = v_ref[0, 0]    # [bk, d]
+        do = do_ref[0, 0]  # [bq, d]
+        lse = lse_ref[0, 0, 0, :]      # [bq] fp32
+        delta = delta_ref[0, 0, 0, :]  # [bq] fp32
+
+        sT = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [bk, bq]
+
+        mask = None
+        if causal:
+            kpos = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 0)
+            qpos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_k, block_q), 1)
+            mask = kpos <= qpos
+        if use_segments:
+            qs = qseg_ref[0, 0, :]
+            ks = kseg_ref[0, 0, :]
+            seg = (ks[:, None] == qs[None, :]) & (qs[None, :] != 0)
+            mask = seg if mask is None else (mask & seg)
+
+        # Exact P (no running max): padded rows have lse ≈ NEG_INF so the
+        # exponent is 0 there; the final where() zeroes them. Active rows
+        # have lse >= row max, so the exponent never overflows.
+        if mask is not None:
+            e = jnp.exp(jnp.where(mask, sT, NEG_INF) - lse[None, :])
+            pT = jnp.where(mask, e, 0.0)  # [bk, bq] fp32
+        else:
+            pT = jnp.exp(sT - lse[None, :])
+
+        dv_acc[...] += jax.lax.dot_general(
+            pT.astype(v.dtype), do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bk, d]
+        dpT = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bk, bq]
+        dsT = (pT * (dpT - delta[None, :]) * sm_scale).astype(q.dtype)
+        dk_acc[...] += jax.lax.dot_general(
+            dsT, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bk, d]
+        dqp_ref[0, 0, 0] = jax.lax.dot_general(
+            dsT, k, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, d] fp32
+
+    if causal:
+        @pl.when(jnp.logical_not(should_compute))
+        def _zero_dq():
+            dqp_ref[0, 0, 0] = jnp.zeros_like(dqp_ref[0, 0, 0])
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_attention_bwd_tpu(
+    q, k, v, do, out, lse, qseg, kseg,
+    *,
+    causal, sm_scale, block_q, block_k, interpret=False,
+):
+    """Run the Pallas backward. BSHD in/out; lse is [B, Hq, 1, Sq] fp32."""
+    b, sq, hq, d = q.shape
+    _, skv, hkv, _ = k.shape
+    groups = hq // hkv
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    assert sq % block_q == 0 and skv % block_k == 0, (sq, skv, block_q, block_k)
+    nq = sq // block_q
+    nk = skv // block_k
+
+    use_segments = qseg is not None
+    if not use_segments:
+        qseg = jnp.zeros((b, sq), jnp.int32)
+        kseg = jnp.zeros((b, skv), jnp.int32)
+
+    # delta = rowsum(dO * O): one fused elementwise pass, [B, Hq, 1, Sq]
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = delta.transpose(0, 2, 1)[:, :, None, :]
+
+    qT = q.transpose(0, 2, 1, 3)
+    kT = k.transpose(0, 2, 1, 3)
+    vT = v.transpose(0, 2, 1, 3)
+    doT = do.transpose(0, 2, 1, 3)
+    qseg3 = qseg.astype(jnp.int32)[:, None, :]
+    kseg3 = kseg.astype(jnp.int32)[:, None, :]
+
+    grid = (b, hq, nk, nq)
+    kernel = functools.partial(
+        _flash_bwd_kernel,
+        causal=causal,
+        sm_scale=sm_scale,
+        block_q=block_q,
+        block_k=block_k,
+        use_segments=use_segments,
+    )
+
+    dqp, dkT, dvT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, ik, iq: (b_, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, ik, iq: (b_, h // groups, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, ik, iq: (b_, h // groups, ik, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h, ik, iq: (b_, h, iq, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b_, h, ik, iq: (b_, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b_, h, ik, iq: (b_, h, 0, iq)),
+            pl.BlockSpec((1, 1, block_q), lambda b_, h, ik, iq: (b_, 0, iq)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, h, ik, iq: (b_, 0, ik)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, block_q, d), lambda b_, h, ik, iq: (ik, b_, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, ik, iq: (b_, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h, ik, iq: (b_, h, ik, 0)),
+        ],
+        out_shape=[
+            # dQ partials: one slab per kv block, summed outside. fp32 so the
+            # nk-way sum doesn't lose mantissa; transient (freed after the sum).
+            jax.ShapeDtypeStruct((nk, b, hq, sq, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, skv, d), k.dtype),  # per-Q-head dK
+            jax.ShapeDtypeStruct((b, hq, skv, d), v.dtype),  # per-Q-head dV
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(10 * b * hq * sq * skv * d * (0.5 if causal else 1.0)),
+            bytes_accessed=(q.size * 2 + k.size * 2 + v.size * 2) * q.dtype.itemsize
+            + nk * q.size * 4,
+            transcendentals=int(b * hq * sq * skv * (0.5 if causal else 1.0)),
+        ),
+        interpret=interpret,
+    )(qT, kT, vT, doT, lse, delta, qseg3, kseg3)
+
+    dq = dqp.sum(axis=0).astype(q.dtype).transpose(0, 2, 1, 3)
+    if groups > 1:
+        dkT = dkT.reshape(b, hkv, groups, skv, d).astype(jnp.float32).sum(2).astype(k.dtype)
+        dvT = dvT.reshape(b, hkv, groups, skv, d).astype(jnp.float32).sum(2).astype(v.dtype)
+    return dq, dkT.transpose(0, 2, 1, 3), dvT.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Custom VJP: Pallas forward + Pallas backward (XLA-recompute fallback).
 #
 # The flash kernel isn't differentiable through pallas_call (scratch carries,
-# fori accumulation); training needs grads through attention. Standard trick:
-# forward runs the fused kernel, backward recomputes attention with the plain
-# XLA formulation and pulls gradients through that — numerically identical
-# (same math, fp32 softmax in both) and memory-bounded per-layer under remat.
+# fori accumulation); training needs grads through attention. The forward
+# saves (q, k, v, out, lse); the backward runs _flash_attention_bwd_tpu.
+# DREAMLLM_FLASH_BWD=xla restores the r3 recompute design: backward
+# recomputes attention with the plain XLA formulation and pulls gradients
+# through that (numerically equivalent, HBM-bandwidth-bound).
 # ---------------------------------------------------------------------------
 
 
@@ -398,21 +633,49 @@ def _flash_core(q, k, v, qseg, kseg, causal, sm_scale, block_q, block_k, interpr
 
 
 def _flash_core_fwd(q, k, v, qseg, kseg, causal, sm_scale, block_q, block_k, interpret):
-    out = _flash_core(q, k, v, qseg, kseg, causal, sm_scale, block_q, block_k, interpret)
-    return out, (q, k, v, qseg, kseg)
+    out, lse = _flash_attention_tpu(
+        q, k, v, qseg, kseg,
+        causal=causal, sm_scale=sm_scale,
+        block_q=block_q, block_k=block_k, interpret=interpret, return_lse=True,
+    )
+    return out, (q, k, v, qseg, kseg, out, lse)
+
+
+def _bwd_block_default(seq: int, want: int) -> int:
+    blk = min(want, seq)
+    while blk > 128 and seq % blk != 0:
+        blk //= 2
+    return blk
 
 
 def _flash_core_bwd(causal, sm_scale, block_q, block_k, interpret, residuals, g):
-    q, k, v, qseg, kseg = residuals
+    q, k, v, qseg, kseg, out, lse = residuals
 
-    def ref(q, k, v):
-        return dot_product_attention(
-            q, k, v, causal=causal, segment_ids=qseg, kv_segment_ids=kseg,
-            sm_scale=sm_scale,
-        )
+    if os.environ.get("DREAMLLM_FLASH_BWD", "pallas") == "xla":
+        def ref(q, k, v):
+            return dot_product_attention(
+                q, k, v, causal=causal, segment_ids=qseg, kv_segment_ids=kseg,
+                sm_scale=sm_scale,
+            )
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+        _, vjp = jax.vjp(ref, q, k, v)
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None, None
+
+    # Backward block sizes are independent of the forward's. Measured on
+    # v5e at b4/s2048/h16/d128 causal (scripts/exp_attn_bwd.py, ms/layer
+    # fwd+bwd): 1024/1024 → 6.50, 512/1024 → 6.54, 256/1024 → 6.56,
+    # 1024/512 → 6.73, 512/512 → 7.24 — vs 12.60 for the r3 XLA-recompute
+    # backward and 15.1/16.2 for the jax builtin/splash Pallas kernels.
+    bq = int(os.environ.get("DREAMLLM_FBWD_BQ", "1024"))
+    bk = int(os.environ.get("DREAMLLM_FBWD_BK", "1024"))
+    dq, dk, dv = _flash_attention_bwd_tpu(
+        q, k, v, g.astype(q.dtype), out, lse, qseg, kseg,
+        causal=causal, sm_scale=sm_scale,
+        block_q=_bwd_block_default(q.shape[1], bq),
+        block_k=_bwd_block_default(k.shape[1], bk),
+        interpret=interpret,
+    )
     return dq, dk, dv, None, None
 
 
