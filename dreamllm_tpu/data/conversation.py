@@ -20,7 +20,7 @@ class ConvTemplate:
     name: str
     system: str
     roles: tuple[str, str]          # (user tag, assistant tag)
-    sep_style: str                  # "add_colon_two" | "llama2"
+    sep_style: str                  # "add_colon_two" | "llama2" | "single"
     seps: tuple[str, str]
 
 
@@ -43,7 +43,23 @@ LLAMA2 = ConvTemplate(
     seps=(" ", " </s>"),
 )
 
-TEMPLATES = {t.name: t for t in (VICUNA_V11, LLAMA2)}
+# v0-style single-separator template (reference conv_v1 / simple_conv,
+# omni/utils/conversation.py:201-228,312-320): every turn ends with the SAME
+# separator ("###"), which is NOT the EOS token — generation must stop on the
+# decoded stop string (generation/stopping.py), exactly the case the
+# reference handles with KeywordsStoppingCriteria.
+VICUNA_V0 = ConvTemplate(
+    name="vicuna_v0",
+    system=(
+        "A chat between a curious human and an artificial intelligence assistant. "
+        "The assistant gives helpful, detailed, and polite answers to the human's questions."
+    ),
+    roles=("Human", "Assistant"),
+    sep_style="single",
+    seps=("###", "###"),
+)
+
+TEMPLATES = {t.name: t for t in (VICUNA_V11, LLAMA2, VICUNA_V0)}
 
 
 @dataclasses.dataclass
@@ -66,6 +82,18 @@ def render_conversation(
     if template.sep_style == "add_colon_two":
         if sys_text:
             segs.append(Segment(sys_text + template.seps[0], False))
+        for m in messages:
+            if m.role == "system":
+                continue
+            if m.role == "user":
+                segs.append(Segment(f"{template.roles[0]}: {m.content}{template.seps[0]}", False))
+            else:
+                segs.append(Segment(f"{template.roles[1]}: ", False))
+                segs.append(Segment(m.content + template.seps[1], True))
+    elif template.sep_style == "single":
+        # reference SeparatorStyle.SINGLE (conversation.py:50-59):
+        # system + sep, then "Role: msg" + sep per turn
+        segs.append(Segment(sys_text + template.seps[0], False))
         for m in messages:
             if m.role == "system":
                 continue
@@ -106,6 +134,6 @@ def render_prompt(template: ConvTemplate, messages: Sequence[Message],
     """Inference-time prompt: all turns + a trailing assistant header."""
     segs = render_conversation(template, messages, system)
     out = "".join(s.text for s in segs)
-    if template.sep_style == "add_colon_two":
+    if template.sep_style in ("add_colon_two", "single"):
         out += f"{template.roles[1]}:"
     return out

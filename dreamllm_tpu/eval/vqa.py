@@ -128,9 +128,23 @@ def run_vqa(
     samples = list(samples)
     preds = []
 
+    # conversation-separator stopping (reference KeywordsStoppingCriteria,
+    # vqa_inference.py:96-146): templates whose separator is not EOS (the
+    # ###-separated vicuna_v0 style) must not decode past the turn boundary.
+    # Single-token separators halt device-side; everything is truncated from
+    # the decoded text either way.
+    from dreamllm_tpu.generation.stopping import (
+        single_token_stop_ids, stop_str_for, truncate_at_stop,
+    )
+
+    stop_str = stop_str_for(TEMPLATES[template])
+    stop_strings = [stop_str] if stop_str and stop_str != "</s>" else []
+    halt_ids = single_token_stop_ids(tokenizer, stop_strings)
+
     scfg = SamplingConfig(
         greedy=True, max_new_tokens=max_new_tokens,
         eos_token_id=cfg.special_tokens.eos, pad_token_id=cfg.special_tokens.pad,
+        halt_tokens=halt_ids,
     )
 
     # one compiled embed+decode program per (batch, bucketed-seq) shape:
@@ -146,6 +160,7 @@ def run_vqa(
             num_beams=num_beams, max_new_tokens=max_new_tokens,
             eos_token_id=cfg.special_tokens.eos,
             pad_token_id=cfg.special_tokens.pad,
+            halt_tokens=halt_ids,
             inputs_embeds=embeds,
         )
         out["lengths"] = jnp.sum(out["tokens"] != cfg.special_tokens.pad, axis=-1)
@@ -203,6 +218,8 @@ def run_vqa(
         for j, s in enumerate(chunk):
             n = int(out["lengths"][j])
             text = tokenizer.decode(np.asarray(out["tokens"][j, :n]).tolist()).strip()
+            if stop_strings:
+                text = truncate_at_stop(text, stop_strings)
             preds.append({"id": s.get("id", i + j), "prediction": text, **{
                 k: s[k] for k in ("answers", "label", "references") if k in s
             }})

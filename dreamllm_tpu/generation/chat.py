@@ -19,6 +19,12 @@ from dreamllm_tpu.data.conversation import TEMPLATES, render_prompt
 from dreamllm_tpu.data.dataset_types import Message
 from dreamllm_tpu.generation.interleaved import InterleavedConfig, generate_interleaved
 from dreamllm_tpu.generation.sampler import SamplingConfig, generate_text
+from dreamllm_tpu.generation.stopping import (
+    make_stop_fn,
+    single_token_stop_ids,
+    stop_str_for,
+    truncate_at_stop,
+)
 from dreamllm_tpu.models.clip import clip_preprocess
 from dreamllm_tpu.models.dreamllm import DreamLLMConfig, multimodal_embed
 from dreamllm_tpu.utils.errors import ClientError
@@ -198,11 +204,22 @@ def make_chat_fn(
             raise ClientError(
                 f"unknown template {tmpl!r}; available: {sorted(TEMPLATES)}"
             )
+        # conversation-separator stopping: templates whose separator is not
+        # EOS (vicuna_v0's "###") stop device-side when the separator is a
+        # single token, host-side at chunk boundaries otherwise; the decoded
+        # reply is truncated at the separator either way
+        # (reference: KeywordsStoppingCriteria + strip, vqa_inference.py)
+        stop_str = stop_str_for(TEMPLATES[tmpl])
+        stop_strings = [stop_str] if stop_str and stop_str != "</s>" else []
+        halt_ids = single_token_stop_ids(tokenizer, stop_strings)
         if engine is not None:
             ids, pix, pos = encode_chat_prompt(tokenizer, cfg, msgs, images, tmpl)
             kw = dict(max_new_tokens=mnt, greedy=greedy,
                       temperature=temperature, top_k=top_k, top_p=top_p,
-                      seed=int(req["seed"]) if "seed" in req else None)
+                      seed=int(req["seed"]) if "seed" in req else None,
+                      stop_token_ids=halt_ids,
+                      stop_fn=make_stop_fn(tokenizer, stop_strings,
+                                           exclude_ids=halt_ids))
             if pix is None:
                 # text-only turns ride the token-id lanes: they keep the
                 # engine's prompt-prefix cache (keys are token tuples) and
@@ -216,19 +233,26 @@ def make_chat_fn(
                 out_ids = engine.submit(prompt_embeds=embeds[0], **kw)
             # no .strip(): the locked chat() path below doesn't strip either,
             # and the two must return identical text for identical requests
-            return {"text": tokenizer.decode(out_ids), "images": []}
+            text = tokenizer.decode(out_ids)
+            if stop_strings:
+                text = truncate_at_stop(text, stop_strings)
+            return {"text": text, "images": []}
         scfg = SamplingConfig(
             greedy=greedy, temperature=temperature, top_k=top_k, top_p=top_p,
             max_new_tokens=mnt,
             eos_token_id=cfg.special_tokens.eos,
+            halt_tokens=halt_ids,
         )
-        return chat(
+        out = chat(
             params, cfg, tokenizer, msgs, images,
             sampling=scfg, template=tmpl,
             head_params=head_params, head_cfg=head_cfg,
             interleaved=interleaved,
             rng=jax.random.PRNGKey(int(req.get("seed", 0))),
         )
+        if stop_strings:
+            out = dict(out, text=truncate_at_stop(out["text"], stop_strings))
+        return out
 
     # the engine serializes device access itself; concurrent handler threads
     # may enter (their embed computations are independent dispatches)

@@ -37,6 +37,12 @@ class SamplingConfig:
     # extra per-sample halt tokens (e.g. <dream_start> for interleaved
     # generation). Unlike EOS, the stop token itself IS stored in the output.
     stop_tokens: tuple[int, ...] = ()
+    # single-token stop separators (conversation seps that tokenize to ONE
+    # id): treated exactly like EOS — decoding halts and the token is NOT
+    # stored. Device-side replacement for the reference's
+    # KeywordsStoppingCriteria + trailing strip (vqa_inference.py:96-146);
+    # multi-token separators go through generation/stopping.py host-side.
+    halt_tokens: tuple[int, ...] = ()
 
 
 def validate_sampling(temperature: float, top_k: int, top_p: float) -> None:
@@ -197,7 +203,10 @@ def generate_text(
         hit_stop = jnp.zeros_like(done)
         for t in cfg.stop_tokens:
             hit_stop = hit_stop | (tok == t)
-        done_now = done | (tok == cfg.eos_token_id)
+        is_halt = jnp.zeros_like(done)
+        for t in cfg.halt_tokens:
+            is_halt = is_halt | (tok == t)
+        done_now = done | (tok == cfg.eos_token_id) | is_halt
         store = jnp.where(done_now, cfg.pad_token_id, tok)
         toks = jax.lax.dynamic_update_slice(toks, store[:, None], (0, i))
         # exact per-row emit count: a genuinely generated pad-id token
@@ -239,6 +248,7 @@ def beam_search(
     max_new_tokens: int = 32,
     eos_token_id: int = 2,
     pad_token_id: int = 0,
+    halt_tokens: tuple[int, ...] = (),
     length_penalty: float = 1.0,
     inputs_embeds: jnp.ndarray | None = None,
     cache_dtype=jnp.bfloat16,
@@ -294,7 +304,13 @@ def beam_search(
     cur_tok = top_tok.reshape(b * k).astype(jnp.int32)
     toks0 = jnp.full((b * k, max_new_tokens), pad_token_id, jnp.int32)
     toks0 = toks0.at[:, 0].set(cur_tok)
-    done0 = cur_tok == eos_token_id
+    def _beam_halt(t):
+        hit = t == eos_token_id
+        for st in halt_tokens:
+            hit = hit | (t == st)
+        return hit
+
+    done0 = _beam_halt(cur_tok)
     V = llm_cfg.vocab_size
 
     def step(state):
@@ -336,7 +352,7 @@ def beam_search(
         scores = new_scores.reshape(b * k)
         cur = new_tok.reshape(b * k)
         toks = toks.at[:, i + 1].set(jnp.where(done, pad_token_id, cur))
-        done = done | (cur == eos_token_id)
+        done = done | _beam_halt(cur)
         return i + 1, toks, scores, done, new_cache, jnp.where(done, pad_token_id, cur)
 
     def cond(state):
@@ -352,8 +368,9 @@ def beam_search(
     norm = norm.reshape(b, k)
     best = jnp.argmax(norm, axis=-1)
     toks = toks.reshape(b, k, max_new_tokens)[jnp.arange(b), best]
-    # strip eos
-    toks = jnp.where(toks == eos_token_id, pad_token_id, toks)
+    # strip eos / halt separators (each appears only as a beam's final
+    # stored token — decoding stops there)
+    toks = jnp.where(_beam_halt(toks), pad_token_id, toks)
     return {"tokens": toks, "scores": norm[jnp.arange(b), best]}
 
 
@@ -429,8 +446,15 @@ def generate_text_speculative(
             hit = hit | (t == st)
         return hit
 
+    def _is_halt(t):
+        """halt_tokens (single-token stop separators): NOT stored, halts."""
+        hit = t == cfg.eos_token_id
+        for st in cfg.halt_tokens:
+            hit = hit | (t == st)
+        return hit
+
     toks0 = jnp.full((max_new + K + 1,), cfg.pad_token_id, jnp.int32)
-    first_eos = first_tok[0] == cfg.eos_token_id
+    first_eos = _is_halt(first_tok)[0]
     # EOS as the very first token is never stored (generate_text parity);
     # a stop token IS stored and then halts
     toks0 = toks0.at[0].set(jnp.where(first_eos, cfg.pad_token_id, first_tok[0]))
@@ -466,9 +490,10 @@ def generate_text_speculative(
         a = jnp.argmin(jnp.concatenate([match, jnp.zeros((1,), bool)]))  # first False
         emitted = g                                              # g[0..a] are real
         valid = jnp.arange(K + 1) <= a
-        # EOS truncation: emit nothing at/after the first EOS (exclusive);
-        # a stop token is emitted and THEN halts (inclusive)
-        is_eos = (emitted == cfg.eos_token_id) & valid
+        # EOS/halt truncation: emit nothing at/after the first EOS or halt
+        # separator (exclusive); a stop token is emitted and THEN halts
+        # (inclusive)
+        is_eos = _is_halt(emitted) & valid
         eos_at = jnp.argmax(jnp.concatenate([is_eos, jnp.ones((1,), bool)]))
         is_stop = _is_stop(emitted) & valid
         stop_at = jnp.argmax(jnp.concatenate([is_stop, jnp.ones((1,), bool)]))
