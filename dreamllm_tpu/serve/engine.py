@@ -29,6 +29,7 @@ import dataclasses
 import itertools
 import queue
 import threading
+import time
 from functools import partial
 from typing import Callable
 
@@ -80,6 +81,20 @@ class EngineConfig:
     # HBM-bound, so a verify step costs ~one decode step of weight reads;
     # accepted drafts are pure extra tokens per step.
     speculative_k: int = 0
+    # Adaptive speculation (only meaningful with speculative_k > 0): the
+    # scheduler keeps BOTH compiled chunk programs and picks per chunk from
+    # measured tokens/sec EMAs per (mode, active-lane count) — an
+    # epsilon-greedy bandit. Speculation wins at sparse occupancy (verify
+    # rides the weight-read bandwidth) and loses when the batch is
+    # compute-dense (BENCH r3: 399 vs 428 tok/s at 8 busy lanes); this
+    # decides instead of making the operator guess. False = always draft.
+    speculative_adaptive: bool = True
+    # per-lane capacity for single-token stop separators (conversation
+    # seps that tokenize to ONE id — generation/stopping.py). Each request
+    # may pass up to this many stop_token_ids; they halt the lane
+    # device-side WITHOUT being emitted (EOS semantics), mirroring the
+    # reference's KeywordsStoppingCriteria + strip (vqa_inference.py:96-146).
+    max_stop_tokens: int = 4
     # LRU prompt-prefix KV cache (0 = off). Requests sharing a token-exact
     # prefix of >= prefill_len tokens (a chat system prompt, few-shot
     # header) skip the prefill compute for the cached full chunks — only
@@ -109,6 +124,8 @@ def init_engine_state(llm_cfg: LlamaConfig, ecfg: EngineConfig, rng=None) -> dic
         "cache": cache,
         "cur_tok": jnp.zeros((ecfg.slots,), jnp.int32),
         "active": jnp.zeros((ecfg.slots,), bool),
+        # per-slot single-token stop set (-1 = empty slot; never a token id)
+        "halt": jnp.full((ecfg.slots, ecfg.max_stop_tokens), -1, jnp.int32),
         "emitted": jnp.zeros((ecfg.slots,), jnp.int32),
         "budget": jnp.zeros((ecfg.slots,), jnp.int32),
         # per-slot sampling params (vLLM-class per-request sampling in one
@@ -188,7 +205,7 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
 
     @partial(jax.jit, donate_argnums=(0,))
     def insert_fn(state, pre_cache, plen, slot, first_tok, budget, samp,
-                  lane_ids=None):
+                  lane_ids=None, halt=None):
         """Claim lane ``slot``: copy the prefilled K/V + reset lane metadata
         (including the lane's per-request sampling params). ``lane_ids``
         ([max_len] int32, prompt ids zero-padded) seeds the speculative
@@ -209,7 +226,12 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
             cache["pos"], jnp.where(lane_seg == 1, lane_pos, 0)[None], (slot, 0)
         )
         cache["index"] = state["cache"]["index"].at[slot].set(plen)
-        eos_now = first_tok == scfg.eos_token_id
+        if halt is None:
+            halt = jnp.full((ecfg.max_stop_tokens,), -1, jnp.int32)
+        halt_tab = jax.lax.dynamic_update_slice(
+            state["halt"], halt[None].astype(jnp.int32), (slot, 0)
+        )
+        eos_now = (first_tok == scfg.eos_token_id) | jnp.any(first_tok == halt)
         extra = {}
         if "history" in state:
             hist_row = (lane_ids if lane_ids is not None
@@ -221,6 +243,7 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
             **extra,
             "cache": cache,
             "cur_tok": state["cur_tok"].at[slot].set(first_tok),
+            "halt": halt_tab,
             "active": state["active"].at[slot].set(~eos_now & (budget > 0)),
             "emitted": state["emitted"].at[slot].set(0),
             "budget": state["budget"].at[slot].set(budget),
@@ -242,7 +265,11 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
         """
 
         def step(carry, _):
-            cache, cur, active, emitted, budget, rng = carry
+            if ecfg.speculative_k:
+                cache, cur, active, emitted, budget, rng, hist = carry
+            else:
+                cache, cur, active, emitted, budget, rng = carry
+                hist = None
             rng, sub = jax.random.split(rng)
             idx0 = cache["index"]
             out = llama_forward(
@@ -273,25 +300,45 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
                 state["top_k"], state["top_p"], row_rngs=row_keys,
             )
             emit = jnp.where(active, cur, scfg.pad_token_id)
+            if hist is not None:
+                # keep the speculative draft source aligned with cache
+                # positions across mode switches: position idx0 holds the
+                # token whose KV was written there this step
+                hist = jnp.where(
+                    active[:, None]
+                    & (jnp.arange(S, dtype=jnp.int32)[None] == idx0[:, None]),
+                    cur[:, None], hist,
+                )
             hit_stop = jnp.zeros_like(active)
             for t in scfg.stop_tokens:
                 hit_stop = hit_stop | (emit == t)
             valid = active  # a real token was emitted this step for the lane
+            # per-slot stop separators: like EOS, nxt is never emitted
+            hit_halt = jnp.any(nxt[:, None] == state["halt"], axis=1)
             active = (
                 active
                 & (nxt != scfg.eos_token_id)
+                & ~hit_halt
                 & ~hit_stop
                 & (emitted < budget)
                 & (cache["index"] < S)
             )
-            return (cache, nxt, active, emitted, budget, rng), (emit, valid)
+            nc = (cache, nxt, active, emitted, budget, rng)
+            if hist is not None:
+                nc = nc + (hist,)
+            return nc, (emit, valid)
 
         carry = (state["cache"], state["cur_tok"], state["active"],
                  state["emitted"], state["budget"], state["rng"])
+        if ecfg.speculative_k:
+            carry = carry + (state["history"],)
         carry, (toks, valid) = jax.lax.scan(step, carry, None, length=K)
-        cache, cur, active, emitted, budget, rng = carry
-        new_state = {"cache": cache, "cur_tok": cur, "active": active,
+        cache, cur, active, emitted, budget, rng = carry[:6]
+        extra_hist = {"history": carry[6]} if ecfg.speculative_k else {}
+        new_state = {**extra_hist,
+                     "cache": cache, "cur_tok": cur, "active": active,
                      "emitted": emitted, "budget": budget, "rng": rng,
+                     "halt": state["halt"],
                      "greedy": state["greedy"],
                      "temperature": state["temperature"],
                      "top_k": state["top_k"], "top_p": state["top_p"],
@@ -399,6 +446,7 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
                     hit_stop = hit_stop | (cj == t)
                 cont = (
                     (nxt_j != scfg.eos_token_id)
+                    & ~jnp.any(nxt_j[:, None] == state["halt"], axis=1)
                     & ~hit_stop
                     & (emit_cnt < budget)
                     & (idx0 + j + 1 < S)
@@ -433,6 +481,7 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
         new_state = {"cache": cache, "cur_tok": cur, "active": active,
                      "emitted": emitted, "budget": budget, "rng": rng,
                      "history": hist,
+                     "halt": state["halt"],
                      "greedy": state["greedy"],
                      "temperature": state["temperature"],
                      "top_k": state["top_k"], "top_p": state["top_p"],
@@ -445,6 +494,10 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
     prefill_chunk_fn.empty_cache = empty_prefill_cache
     prefill_chunk_fn.embeds = prefill_embeds_chunk_fn
     if ecfg.speculative_k:
+        if ecfg.speculative_adaptive:
+            # both programs share the state pytree (incl. history) so the
+            # scheduler can switch per chunk
+            decode_spec_chunk_fn.plain = decode_chunk_fn
         return prefill_chunk_fn, insert_fn, decode_spec_chunk_fn
     return prefill_chunk_fn, insert_fn, decode_chunk_fn
 
@@ -457,12 +510,17 @@ def make_engine_fns(llm_cfg: LlamaConfig, scfg: SamplingConfig, ecfg: EngineConf
 class _Request:
     __slots__ = ("ids", "embeds", "max_new_tokens", "tokens", "done", "slot",
                  "stream", "error", "chunk_joined", "chunk_last", "samp",
-                 "abandoned")
+                 "abandoned", "stop_ids", "stop_fn")
 
-    def __init__(self, ids, max_new_tokens, stream=None, samp=None, embeds=None):
+    def __init__(self, ids, max_new_tokens, stream=None, samp=None, embeds=None,
+                 stop_ids=(), stop_fn=None):
         self.ids = ids
         self.embeds = embeds  # [S, H] prompt embeddings (multimodal prompts)
         self.abandoned = False  # submitter timed out; skip at admission
+        self.stop_ids = tuple(stop_ids)  # single-token stops (device-side)
+        # host-side stop predicate over accumulated ids (multi-token stop
+        # strings); checked at chunk boundaries — see generation/stopping.py
+        self.stop_fn = stop_fn
         self.max_new_tokens = max_new_tokens
         self.samp = samp  # per-request sampling params (host floats/ints)
         self.tokens: list[int] = []
@@ -502,6 +560,14 @@ class ContinuousBatchingEngine:
         self.prefill_fn, self.insert_fn, self.decode_chunk_fn = make_engine_fns(
             llm_cfg, scfg, self.ecfg
         )
+        # adaptive speculation: the alternate (non-drafting) program + the
+        # per-(mode, active-lanes) tokens/sec EMAs the bandit picks from
+        self.decode_plain_fn = getattr(self.decode_chunk_fn, "plain", None)
+        self._mode_ema: dict[tuple[str, int], float] = {}
+        self._mode_seen: dict[tuple[str, int], int] = {}
+        self._last_fetch_t: float | None = None
+        self.spec_chunks = 0
+        self.plain_chunks = 0
         self.state = init_engine_state(llm_cfg, self.ecfg)
         self._queue: queue.Queue[_Request | None] = queue.Queue()
         self._by_slot: dict[int, _Request] = {}
@@ -535,6 +601,13 @@ class ContinuousBatchingEngine:
         )
         self.prefix_hits = 0
         self.prefix_misses = 0
+        # host-initiated lane stop (stop_fn hits): one tiny donating update
+        # dispatched between chunks
+        self._deactivate = jax.jit(
+            lambda st, m: {**st, "active": st["active"] & ~m,
+                           "budget": jnp.where(m, 0, st["budget"])},
+            donate_argnums=(0,),
+        )
 
     # -- public API --------------------------------------------------------
 
@@ -594,6 +667,9 @@ class ContinuousBatchingEngine:
         )
         out = self.decode_chunk_fn(self.params, self.state)
         self.state = out[0]
+        if self.decode_plain_fn is not None:
+            out = self.decode_plain_fn(self.params, self.state)
+            self.state = out[0]
         # force completion with a real fetch (block_until_ready can ack
         # early through the axon tunnel — CLAUDE.md)
         np.asarray(out[3])
@@ -648,6 +724,8 @@ class ContinuousBatchingEngine:
         top_p: float | None = None,
         prompt_embeds=None,
         seed: int | None = None,
+        stop_token_ids=(),
+        stop_fn=None,
     ) -> list[int]:
         """Block until the request finishes; returns generated token ids
         (EOS excluded). Prompts prefill in chunks; longer than the lane
@@ -665,7 +743,15 @@ class ContinuousBatchingEngine:
         settings decode together in the same compiled chunk (per-row
         sampling; ``sample_token_per_row``). Passing any of
         temperature/top_k/top_p implies ``greedy=False`` unless ``greedy``
-        is given explicitly."""
+        is given explicitly.
+
+        ``stop_token_ids`` (up to ``EngineConfig.max_stop_tokens``) halt the
+        lane device-side WITHOUT emitting the token (EOS semantics — the
+        reference's separator stop + strip). ``stop_fn`` is a host predicate
+        over the accumulated generated ids, checked at chunk boundaries for
+        multi-token stop strings (``generation.stopping.make_stop_fn``); the
+        lane retires within a chunk of it returning True. Either way the
+        caller truncates the decoded text with ``truncate_at_stop``."""
         s = self.scfg
         if greedy is None:
             greedy = (s.greedy if temperature is None and top_k is None
@@ -720,11 +806,18 @@ class ContinuousBatchingEngine:
                     f"lane capacity {self.ecfg.max_len - 1}; shorten the "
                     "prompt (embeds prompts are not auto-truncated)"
                 )
-            req = _Request([], max_new_tokens, stream, samp, embeds=embeds)
+            req = _Request([], max_new_tokens, stream, samp, embeds=embeds,
+                           stop_ids=stop_token_ids, stop_fn=stop_fn)
         else:
-            req = _Request(list(prompt_ids or []), max_new_tokens, stream, samp)
+            req = _Request(list(prompt_ids or []), max_new_tokens, stream, samp,
+                           stop_ids=stop_token_ids, stop_fn=stop_fn)
             if not req.ids:
                 raise ClientError("empty prompt (prepend a BOS token)")
+        if len(req.stop_ids) > self.ecfg.max_stop_tokens:
+            raise ClientError(
+                f"{len(req.stop_ids)} stop_token_ids exceed the engine's "
+                f"max_stop_tokens={self.ecfg.max_stop_tokens}"
+            )
         with self._submit_lock:
             if self._stopped:
                 raise RuntimeError("engine stopped")
@@ -857,6 +950,10 @@ class ContinuousBatchingEngine:
         try:
             budget = min(req.max_new_tokens, self.ecfg.max_len - plen)
             kw = {}
+            halt = np.full((self.ecfg.max_stop_tokens,), -1, np.int32)
+            if req.stop_ids:
+                halt[: len(req.stop_ids)] = req.stop_ids
+            kw["halt"] = jnp.asarray(halt)
             if self.ecfg.speculative_k:
                 lane = np.zeros((self.ecfg.max_len,), np.int32)
                 if ids:  # embeds prompts draft from generated tokens only
@@ -951,6 +1048,38 @@ class ContinuousBatchingEngine:
             logger.exception("engine state re-init failed; engine is down")
             self._stopped = True
 
+    def _pick_decode_fn(self):
+        """Epsilon-greedy bandit over {spec, plain} keyed by the active-lane
+        count: each arm's reward is the measured tokens/sec of its chunks at
+        that occupancy. Sparse lanes -> verify rides the weight-read
+        bandwidth and drafting wins; dense lanes -> the (1+k)-wide verify is
+        compute-bound and plain decode wins (BENCH r3: 399 vs 428 tok/s at 8
+        lanes). Unseen arms are probed first; the losing arm is re-probed
+        every 32nd chunk at that occupancy so the estimate tracks load."""
+        mode0 = "spec" if self.ecfg.speculative_k else "plain"
+        if self.decode_plain_fn is None:
+            return self.decode_chunk_fn, mode0
+        bucket = len(self._by_slot)
+        ks, kp = ("spec", bucket), ("plain", bucket)
+        ns, npl = self._mode_seen.get(ks, 0), self._mode_seen.get(kp, 0)
+        if ns == 0:
+            return self.decode_chunk_fn, "spec"
+        if npl == 0:
+            return self.decode_plain_fn, "plain"
+        spec_better = self._mode_ema[ks] >= self._mode_ema[kp]
+        if (ns + npl) % 32 == 0:  # re-probe the losing arm
+            spec_better = not spec_better
+        if spec_better:
+            return self.decode_chunk_fn, "spec"
+        return self.decode_plain_fn, "plain"
+
+    def _note_mode_result(self, mode: str, bucket: int, toks_per_s: float) -> None:
+        k = (mode, bucket)
+        self._mode_seen[k] = self._mode_seen.get(k, 0) + 1
+        prev = self._mode_ema.get(k)
+        self._mode_ema[k] = (toks_per_s if prev is None
+                             else 0.8 * prev + 0.2 * toks_per_s)
+
     def _loop(self) -> None:
         """Pipelined scheduler: dispatch chunk N+1 BEFORE fetching chunk N's
         results. JAX dispatch is async, so the host's fetch + routing of
@@ -1005,19 +1134,26 @@ class ContinuousBatchingEngine:
             if self._by_slot:
                 try:
                     chunk_idx = self.chunks_dispatched
-                    self.state, toks, valid, active = self.decode_chunk_fn(
-                        self.params, self.state
-                    )
+                    fn, mode = self._pick_decode_fn()
+                    if mode == "spec":
+                        self.spec_chunks += 1
+                    else:
+                        self.plain_chunks += 1
+                    dispatch_t = time.perf_counter()
+                    self.state, toks, valid, active = fn(self.params, self.state)
                     self.chunks_dispatched += 1
                     self.active_history.append(len(self._by_slot))
-                    new_pending = (chunk_idx, toks, valid, active)
+                    new_pending = (chunk_idx, toks, valid, active, mode,
+                                   dispatch_t, len(self._by_slot))
                 except Exception as e:
                     pending = None  # failed run invalidates in-flight buffers
                     self._fail_all(e)
                     continue
+            else:
+                self._last_fetch_t = None  # pipeline drained; timing resets
             if pending is not None:
                 try:
-                    chunk_idx, toks, valid, active = pending
+                    chunk_idx, toks, valid, active, mode, dispatch_t, bucket = pending
                     toks_np = np.asarray(toks)
                     valid_np = np.asarray(valid)
                     active_np = np.asarray(active)
@@ -1025,6 +1161,18 @@ class ContinuousBatchingEngine:
                     pending = None
                     self._fail_all(e)
                     continue
+                if self.decode_plain_fn is not None:
+                    # chunk duration: since the previous fetch when the
+                    # pipeline was full (device back-to-back), since this
+                    # chunk's dispatch when it had drained
+                    now = time.perf_counter()
+                    t0 = (self._last_fetch_t
+                          if self._last_fetch_t is not None else dispatch_t)
+                    dt = max(now - max(t0, dispatch_t), 1e-6)
+                    self._note_mode_result(
+                        mode, bucket, float(valid_np.sum()) / dt
+                    )
+                    self._last_fetch_t = now
                 self._route(toks_np, valid_np, chunk_idx)
                 # drain early-retired requests: route their final rows from
                 # this chunk (their lane may already host a successor, whose
@@ -1042,5 +1190,35 @@ class ContinuousBatchingEngine:
                 for slot in list(self._by_slot):
                     r = self._by_slot[slot]
                     if r.chunk_joined <= chunk_idx and not active_np[slot]:
+                        self._finish(slot)
+                # host-side stop strings: a multi-token separator in the
+                # accumulated text retires the lane now (the in-flight chunk
+                # may still decode it; its rows are dropped at routing since
+                # the request is finished). Caller truncates the text.
+                host_stops = []
+                for slot in list(self._by_slot):
+                    r = self._by_slot[slot]
+                    if (r.stop_fn is not None and r.chunk_joined <= chunk_idx
+                            and r.tokens):
+                        try:
+                            hit = bool(r.stop_fn(r.tokens))
+                        except Exception:
+                            logger.exception("stop_fn failed; disabling")
+                            r.stop_fn = None
+                            continue
+                        if hit:
+                            host_stops.append(slot)
+                if host_stops:
+                    mask = np.zeros((self.ecfg.slots,), bool)
+                    mask[host_stops] = True
+                    try:
+                        self.state = self._deactivate(
+                            self.state, jnp.asarray(mask)
+                        )
+                    except Exception as e:
+                        pending = None
+                        self._fail_all(e)
+                        continue
+                    for slot in host_stops:
                         self._finish(slot)
             pending = new_pending

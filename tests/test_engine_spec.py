@@ -137,3 +137,67 @@ def test_lane_capacity_respected(small):
         eng0.stop()
     assert got == ref
     assert len(got) <= 128 - len(long_prompt)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive speculation (r4): the scheduler keeps BOTH compiled chunk
+# programs and a per-(mode, occupancy) tokens/sec bandit decides per chunk.
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_mode_switching_preserves_greedy_identity(small):
+    """Forced strict alternation between the spec and plain programs must
+    not change the output stream: both run over the same state pytree and
+    the plain path maintains the draft history."""
+    cfg, params = small
+    eng = _engine(cfg, params, k=4)
+    flip = {"n": 0}
+    orig_spec, orig_plain = eng.decode_chunk_fn, eng.decode_plain_fn
+    assert orig_plain is not None  # speculative_adaptive default True
+
+    def alternate():
+        flip["n"] += 1
+        return (orig_spec, "spec") if flip["n"] % 2 else (orig_plain, "plain")
+
+    eng._pick_decode_fn = alternate
+    try:
+        got = eng.submit(REPEAT_PROMPT, max_new_tokens=24, timeout=600)
+    finally:
+        eng.stop()
+    assert flip["n"] >= 2  # both programs actually ran
+    assert got == _ref_tokens(cfg, params, REPEAT_PROMPT, 24)
+
+
+def test_adaptive_disabled_keeps_single_program(small):
+    cfg, params = small
+    eng = _engine(cfg, params, k=2, speculative_adaptive=False)
+    try:
+        assert eng.decode_plain_fn is None
+        got = eng.submit(REPEAT_PROMPT, max_new_tokens=12, timeout=600)
+        assert got == _ref_tokens(cfg, params, REPEAT_PROMPT, 12)
+        assert eng.plain_chunks == 0  # every chunk drafted
+    finally:
+        eng.stop()
+
+
+def test_bandit_prefers_measured_faster_mode(small):
+    cfg, params = small
+    eng = _engine(cfg, params, k=2)
+    try:
+        # probe order: unseen arms first
+        fn, mode = eng._pick_decode_fn()
+        assert mode == "spec"
+        eng._note_mode_result("spec", 0, 100.0)
+        fn, mode = eng._pick_decode_fn()
+        assert mode == "plain"
+        eng._note_mode_result("plain", 0, 300.0)
+        # plain measured 3x faster at this occupancy -> plain wins
+        picks = [eng._pick_decode_fn()[1] for _ in range(10)]
+        assert picks.count("plain") >= 9
+        # EMA moves toward new evidence: spec suddenly much faster
+        for _ in range(20):
+            eng._note_mode_result("spec", 0, 900.0)
+        fn, mode = eng._pick_decode_fn()
+        assert mode == "spec"
+    finally:
+        eng.stop()
