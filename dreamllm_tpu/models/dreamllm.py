@@ -108,6 +108,12 @@ class DreamLLMConfig:
     # with sequence_parallel_axis; pass the mesh like for SP.
     pipeline_parallel_axis: str | None = None
     pipeline_microbatches: int | None = None  # default: one per stage
+    # NEFTune noisy-embedding tuning (reference trainer_utils.py:106-130,
+    # wired by neftune_noise_alpha): during training, add U(-mag, +mag)
+    # noise to the TOKEN embedding lookup, mag = alpha / sqrt(S·H). Spliced
+    # image/dream features are not noised (the reference hooks only the
+    # nn.Embedding; spliced spans overwrite the noise). None/0 = off.
+    neftune_noise_alpha: float | None = None
 
     def projector_cfg(self) -> ProjectorConfig:
         if self.vision_projector is not None:
@@ -181,11 +187,22 @@ def multimodal_embed(
     images: jnp.ndarray | None = None,      # [B, M_img, H, W, 3] CLIP-normalized
     image_positions: jnp.ndarray | None = None,  # [B, M_img]
     dream_positions: jnp.ndarray | None = None,  # [B, M_dream]
+    neftune_rng: jax.Array | None = None,   # training-only NEFTune noise key
 ) -> jnp.ndarray:
     """Token embeds with image features and dream queries spliced in
     (replaces reference forward :1045-1158)."""
     embeds = jnp.take(params["llm"]["embed_tokens"], input_ids, axis=0)
     b, s, h = embeds.shape
+
+    if neftune_rng is not None and cfg.neftune_noise_alpha:
+        # NEFTune (reference trainer_utils.py:106-130): uniform noise of
+        # magnitude alpha/sqrt(S·H) on the token-embedding lookup, training
+        # only. Applied BEFORE splicing, like the reference's nn.Embedding
+        # hook — spliced image/dream spans overwrite the noise.
+        mag = cfg.neftune_noise_alpha / float(np.sqrt(s * h))
+        embeds = embeds + jax.random.uniform(
+            neftune_rng, embeds.shape, embeds.dtype, minval=-mag, maxval=mag
+        )
 
     if images is not None and image_positions is not None:
         bm = images.shape[0] * images.shape[1]
@@ -337,11 +354,18 @@ def dreamllm_forward(
             "dreamllm_forward or clear the axis"
         )
     input_ids = batch["input_ids"]
+    neftune_rng = None
+    if cfg.neftune_noise_alpha and rng is not None:
+        # dreamllm_forward is the TRAINING forward (inference paths call
+        # multimodal_embed directly), so an rng here means training — the
+        # reference's module.training gate (trainer_utils.py:125)
+        rng, neftune_rng = jax.random.split(rng)
     embeds = multimodal_embed(
         params, cfg, input_ids,
         images=batch.get("images"),
         image_positions=batch.get("image_positions"),
         dream_positions=batch.get("dream_positions"),
+        neftune_rng=neftune_rng,
     )
     if cfg.sequence_parallel_axis is not None:
         # Long-context path: ring attention over the ICI, sequence sharded
