@@ -28,12 +28,34 @@ class TrainState:
     opt_state: Any
 
 
-def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
-    return TrainState(
+def init_train_state(params, tx: optax.GradientTransformation, *, mesh=None) -> TrainState:
+    """``mesh``: pass the global mesh in multi-process runs. Eager
+    ``tx.init`` derives the moment shardings from ``params``, but every
+    leaf it creates from scratch (optax step counts, the step scalar) is a
+    HOST-LOCAL single-device array — orbax refuses to serialize those in a
+    multi-host world ("Cannot serialize host local jax.Array"), so the
+    first multi-host ``save_checkpoint`` would crash. Replicating them over
+    the global mesh makes the whole state a global pytree; values are
+    identical on every host (zeros), which is exactly the case
+    ``jax.device_put`` supports cross-host."""
+    state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
     )
+    if mesh is None or jax.process_count() == 1:
+        return state
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    repl = NamedSharding(mesh, PartitionSpec())
+    global_devices = set(mesh.devices.flat)
+
+    def _globalize(x):
+        if isinstance(x, jax.Array) and set(x.sharding.device_set) != global_devices:
+            return jax.device_put(x, repl)
+        return x
+
+    return jax.tree.map(_globalize, state)
 
 
 def make_train_step(

@@ -204,7 +204,9 @@ def main(argv=None):
     ocfg = OptimizerConfig(**config["optimizer"])
     mask = param_freeze_mask(params, cfg)
     tx = make_optimizer(ocfg, trainable_mask=mask)
-    state = init_train_state(params, tx)
+    # mesh makes the optimizer scalars (step counts) GLOBAL arrays — required
+    # for multi-host orbax checkpoint saves (see init_train_state docstring)
+    state = init_train_state(params, tx, mesh=mesh)
     step = make_train_step(
         cfg, tx,
         head_loss_fn=make_loss(head_cfg),

@@ -93,7 +93,9 @@ print(f"MP-OK rank={rank} loss={loss:.6f}", flush=True)
 """
 
 
-def test_two_process_jax_distributed():
+def _run_world(child: str, extra_env: dict | None = None, timeout=600):
+    """Launch a 2-process torchrun-style world running ``child``; returns
+    [(rc, stdout, stderr)] per rank after asserting both exit 0."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -108,14 +110,15 @@ def test_two_process_jax_distributed():
             "WORLD_SIZE": "2",
             "RANK": str(rank),
         })
+        env.update(extra_env or {})
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", _CHILD], cwd=repo, env=env,
+            [sys.executable, "-c", child], cwd=repo, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         ))
     outs = []
     for rank, p in enumerate(procs):
         try:
-            out, err = p.communicate(timeout=600)
+            out, err = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -126,8 +129,167 @@ def test_two_process_jax_distributed():
             f"rank {rank} failed (rc={rc})\nstdout: {out[-2000:]}\n"
             f"stderr: {err[-2000:]}"
         )
+    return outs
+
+
+def test_two_process_jax_distributed():
+    outs = _run_world(_CHILD)
+    for rank, (rc, out, err) in enumerate(outs):
         assert f"MP-OK rank={rank}" in out
     # both ranks must report the identical replicated loss
+    l0 = outs[0][1].split("loss=")[1].strip()
+    l1 = outs[1][1].split("loss=")[1].strip()
+    assert l0 == l1, (l0, l1)
+
+
+# ---------------------------------------------------------------------------
+# Multi-process SHARDED checkpointing: fsdp-sharded params saved collectively
+# through orbax across the 2-process world, restart-simulated, stage-mixed.
+# The reference's equivalent is the FSDP FULL_STATE_DICT consolidation
+# (omni/utils/fsdp_utils.py:23-61) — tested-by-production there, tested here.
+# ---------------------------------------------------------------------------
+
+_CHILD_CKPT = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from dreamllm_tpu.utils.launch import resolve_launch_env
+from dreamllm_tpu.utils.comm import all_gather_objects, get_rank, init_distributed, synchronize
+
+init_distributed(**resolve_launch_env())
+rank = get_rank()
+assert len(jax.devices()) == 4  # 2 local x 2 procs
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+from dreamllm_tpu.models.llama import LlamaConfig, init_llama_params, llama_forward, llama_logits
+from dreamllm_tpu.parallel import MeshConfig, batch_shardings, create_mesh, param_shardings
+from dreamllm_tpu.train.checkpoints import (
+    latest_checkpoint, load_opt_state, load_params, save_checkpoint,
+)
+
+root = os.environ["CKPT_ROOT"]
+root_b = os.environ["CKPT_ROOT_B"]
+
+cfg = LlamaConfig(
+    vocab_size=512, hidden_size=128, intermediate_size=256,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    max_position_embeddings=64, dtype=jnp.float32,
+)
+# global mesh spanning BOTH processes: every fsdp shard boundary crosses a
+# process boundary somewhere (4-way fsdp over 2 hosts x 2 local devices)
+mesh = create_mesh(MeshConfig(data=1, fsdp=4, tp=1))
+
+
+def make_params(rng):
+    return {
+        "llm": init_llama_params(rng, cfg),
+        "dream_embedding": {"queries": jax.random.normal(
+            jax.random.fold_in(rng, 1), (4, cfg.hidden_size), jnp.float32)},
+    }
+
+
+shardings = param_shardings(jax.eval_shape(make_params, jax.random.PRNGKey(0)), mesh)
+params = jax.jit(make_params, out_shardings=shardings)(jax.random.PRNGKey(0))
+# sanity: at least one leaf is actually fsdp-sharded across processes
+sharded = [l for l in jax.tree.leaves(params)
+           if not l.sharding.is_fully_replicated]
+assert sharded, "test premise broken: nothing sharded"
+assert any(not l.is_fully_addressable for l in sharded), (
+    "test premise broken: shards do not cross the process boundary")
+
+tx = optax.adamw(1e-3)
+# the PRODUCT path: init_train_state(mesh=...) must globalize the optax step
+# counters — eager tx.init leaves them host-local, which orbax rejects in a
+# multi-host save ("Cannot serialize host local jax.Array")
+from dreamllm_tpu.train.step import init_train_state
+
+opt_state = init_train_state(params, tx, mesh=mesh).opt_state
+for l in jax.tree.leaves(opt_state):
+    assert set(l.sharding.device_set) == set(mesh.devices.flat), l.sharding
+
+# ---- collective sharded save ----
+save_checkpoint(root, 1, params, opt_state=opt_state,
+                host_state={"rank_saved": 0})
+synchronize("saved")
+ck = latest_checkpoint(root)
+assert ck and ck.endswith("checkpoint-000001"), ck
+
+# ---- restart-simulate: fresh differently-seeded tree, then restore ----
+params2 = jax.jit(make_params, out_shardings=shardings)(jax.random.PRNGKey(9))
+restored = load_params(ck, like=params2)
+opt2 = load_opt_state(ck, like=opt_state)
+
+
+@jax.jit
+def max_abs_diff(a, b):
+    ds = [jnp.max(jnp.abs(x - y)) for x, y in
+          zip(jax.tree.leaves(a), jax.tree.leaves(b))]
+    return jnp.max(jnp.stack(ds))
+
+
+d = float(max_abs_diff(restored, params))      # replicated scalar
+d_opt = float(max_abs_diff(opt2, opt_state))
+assert d == 0.0, d
+assert d_opt == 0.0, d_opt
+# restored leaves keep the fsdp shardings of the template
+for l, t in zip(jax.tree.leaves(restored), jax.tree.leaves(params2)):
+    assert l.sharding == t.sharding, (l.sharding, t.sharding)
+
+# ---- one more step after restore must agree across ranks ----
+ids = jnp.asarray(np.random.default_rng(3).integers(2, 500, (4, 16)), jnp.int32)
+
+
+def loss_fn(p, ids):
+    h = llama_forward(p["llm"], cfg, input_ids=ids, use_flash=False)["last_hidden_state"]
+    lp = jax.nn.log_softmax(llama_logits(p["llm"], cfg, h), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(lp, ids[..., None], axis=-1))
+
+
+@jax.jit
+def step(p, o, ids):
+    loss, g = jax.value_and_grad(loss_fn)(p, ids)
+    up, o = tx.update(g, o, p)
+    return optax.apply_updates(p, up), o, loss
+
+
+restored, opt2, loss = step(restored, opt2, ids)
+loss = float(loss)
+losses = all_gather_objects(loss)
+assert abs(losses[0] - losses[1]) < 1e-6, losses
+
+# ---- stage-mix across the process boundary: save a SECOND run dir with a
+# scaled dream_embedding, then load base params with that plugin overridden
+scaled = dict(params, dream_embedding=jax.tree.map(
+    lambda x: x * 2.0, params["dream_embedding"]))
+save_checkpoint(root_b, 1, scaled)
+synchronize("saved_b")
+ck_b = latest_checkpoint(root_b)
+mixed = load_params(ck, like=params2, overrides={"dream_embedding": ck_b})
+assert float(max_abs_diff(mixed["llm"], params["llm"])) == 0.0
+assert float(max_abs_diff(
+    mixed["dream_embedding"],
+    jax.tree.map(lambda x: x * 2.0, params["dream_embedding"]))) == 0.0
+
+synchronize("done")
+print(f"CKPT-OK rank={rank} loss={loss:.6f}", flush=True)
+"""
+
+
+def test_two_process_sharded_checkpoint(tmp_path):
+    outs = _run_world(
+        _CHILD_CKPT,
+        extra_env={
+            "CKPT_ROOT": str(tmp_path / "run_a"),
+            "CKPT_ROOT_B": str(tmp_path / "run_b"),
+        },
+    )
+    for rank, (rc, out, err) in enumerate(outs):
+        assert f"CKPT-OK rank={rank}" in out, out[-2000:]
     l0 = outs[0][1].split("loss=")[1].strip()
     l1 = outs[1][1].split("loss=")[1].strip()
     assert l0 == l1, (l0, l1)
