@@ -63,6 +63,17 @@ class LazyArguments:
 def default_setup(args: Any, config: Any) -> str:
     """run_dir timestamping, logging, seed, config snapshot
     (reference arg_parser.py:110-157). Returns the run dir."""
+    plat = os.environ.get("DREAMLLM_PLATFORM")
+    if plat:
+        # Subprocess-reachable platform override for the CLI entry points
+        # (tests/e2e chain the real `python -m projects...` commands on the
+        # CPU mesh). Env JAX_PLATFORMS alone cannot do this here: this
+        # machine's sitecustomize imports jax at interpreter start with
+        # JAX_PLATFORMS=axon; the config update below works because no
+        # backend has been initialized yet at entry-point setup time.
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
     try:
         import jax

@@ -406,6 +406,54 @@ def _synthetic_interleaved(size: int = 64, image_size: int = 16, **_):
     return Synth()
 
 
+def _synthetic_instruct(size: int = 64, image_size: int = 16, **_):
+    """Instruction-prefixed interleaved docs — the SFT-stage data format at
+    toy scale (the synthetic counterpart of mmc4_instruct; reference
+    InstructInterleavedImageTextReturnType)."""
+
+    class Synth:
+        def __len__(self):
+            return size
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng((2, i))
+            img = (rng.random((image_size, image_size, 3)) * 255).astype(np.uint8)
+            return InstructInterleavedImageText(
+                texts=[f"an answer about item {i}", "with a follow-up"],
+                images=[img],
+                matched_text_index=[0],
+                instruction=f"describe item {i % 13} with one picture",
+            )
+
+    return Synth()
+
+
+def _synthetic_conversation(size: int = 64, image_size: int = 16, **_):
+    """Vicuna-style multimodal conversations at toy scale (the synthetic
+    counterpart of llava_instruct)."""
+
+    class Synth:
+        def __len__(self):
+            return size
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng((3, i))
+            img = (rng.random((image_size, image_size, 3)) * 255).astype(np.uint8)
+            return ConversationSample(
+                messages=[
+                    Message("user", f"<image>\nwhat is in sample {i}?"),
+                    Message("assistant", f"sample {i} shows pattern {i % 7}."),
+                ],
+                images=[img],
+            )
+
+    return Synth()
+
+
 register_dataset("synthetic_pairs", _synthetic_pairs, dataset_type="pair", approx_size=64)
 register_dataset("synthetic_interleaved", _synthetic_interleaved,
                  dataset_type="interleaved", approx_size=64)
+register_dataset("synthetic_instruct", _synthetic_instruct,
+                 dataset_type="instruct_interleaved", approx_size=64)
+register_dataset("synthetic_conversation", _synthetic_conversation,
+                 dataset_type="conversation", approx_size=64)

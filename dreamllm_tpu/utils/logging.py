@@ -25,6 +25,12 @@ def _process_index() -> int:
 
 
 def get_logger(name: str = _ROOT) -> logging.Logger:
+    """Loggers outside the package namespace (the ``projects.*`` entry
+    points) are re-rooted under it so they inherit the handlers
+    ``setup_logger`` installs — otherwise their records (stage-mix info,
+    eval scores) silently go nowhere."""
+    if name != _ROOT and not name.startswith(_ROOT + "."):
+        name = f"{_ROOT}.{name}"
     return logging.getLogger(name)
 
 
