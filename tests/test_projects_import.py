@@ -50,3 +50,28 @@ def test_imports(mod):
         importlib.import_module(mod)
     except ModuleNotFoundError as e:
         pytest.skip(f"module not present: {e}")
+
+
+CONFIG_FILES = sorted(
+    p for p in (ROOT / "projects").rglob("configs/**/*.py")
+    if "__pycache__" not in p.parts and p.name != "__init__.py"
+)
+
+
+@pytest.mark.parametrize(
+    "path", CONFIG_FILES, ids=lambda p: str(p.relative_to(ROOT)),
+)
+def test_config_hydrates(path):
+    """Every shipped config must load AND hydrate into the typed model/head
+    dataclasses (schema drift in a config is otherwise only caught by a
+    full training launch). Param init is deliberately skipped."""
+    from dreamllm_tpu.config import LazyConfig
+
+    cfg = LazyConfig.load(str(path))
+    if not (isinstance(cfg, dict)
+            and {"model", "sd_head", "trainer"} <= set(cfg)):
+        return  # shared fragments (common.py) or non-train configs
+    from projects.dreamllm.train import build_model_cfg
+
+    model_cfg, head_cfg = build_model_cfg(cfg)
+    assert model_cfg.llm.hidden_size == head_cfg.llm_hidden_size
