@@ -1,0 +1,151 @@
+"""SDXL-stage-1-style MULTIMODAL joint train step on the real chip.
+
+The SDXL analogue of scripts/bench/train_step_mm.py: CLIP-ViT encode +
+token splice -> LLM decoder -> joint LM + diffusion loss through the
+SDXL-base-size UNet (dual conditioning: per-token context via the SD
+projector + pooled text_embeds via the global projector + add_time_ids
+micro-conditioning). Reference recipe being timed:
+projects/dreamllm_sdxl/configs/stage1/base.py (UNet/VAE/CLIP frozen,
+gradients flow through the UNet into the dream-query states).
+
+Shape ladder (one 16 GB v5e): tries 1024px (the SDXL training
+resolution) first, falls back to 768/512 px; batch 2, seq 512.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench/train_step_mm_sdxl.py
+"""
+import time
+
+import bench
+bench._enable_compile_cache()
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dreamllm_tpu.models.clip import CLIPVisionConfig
+from dreamllm_tpu.models.dreamllm import (
+    DreamLLMConfig, init_dreamllm_params, param_freeze_mask,
+)
+from dreamllm_tpu.models.llama import LlamaConfig
+from dreamllm_tpu.models.sd.sdxl import (
+    SDXLHeadConfig, init_sdxl_head_params, make_sdxl_head_loss_fn,
+)
+from dreamllm_tpu.models.sd.unet import sdxl_unet_config
+from dreamllm_tpu.models.sd.vae import VAEConfig
+from dreamllm_tpu.train import (
+    OptimizerConfig, init_train_state, make_optimizer, make_train_step,
+)
+
+B, S = 2, 512
+IMG = 224
+
+
+def build(img_dm: int):
+    cfg = DreamLLMConfig(
+        llm=LlamaConfig(
+            vocab_size=32064, hidden_size=2048, intermediate_size=5504,
+            num_hidden_layers=16, num_attention_heads=16, num_key_value_heads=16,
+            max_position_embeddings=S, dtype=jnp.bfloat16,
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
+            num_attention_heads=16, image_size=IMG, patch_size=14,
+            dtype=jnp.bfloat16,
+        ),
+        image_embed_len=256,
+        n_dream_queries=64,
+        frozen=("clip_vision_embedding/clip",),
+    )
+    head_cfg = SDXLHeadConfig(
+        unet=sdxl_unet_config(sample_size=img_dm // 8, dtype=jnp.bfloat16),
+        vae=VAEConfig(scaling_factor=0.13025),
+        llm_hidden_size=cfg.llm.hidden_size,
+        dtype=jnp.bfloat16,
+    )
+
+    def make_params(rng):
+        k1, k2 = jax.random.split(rng)
+        p = init_dreamllm_params(k1, cfg)
+        p["sd_head"] = init_sdxl_head_params(k2, head_cfg)
+        return p
+
+    params = jax.jit(make_params)(jax.random.PRNGKey(0))
+    n_total = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    mask = param_freeze_mask(params, cfg)
+    # SDXL stage-1 freezes UNet + VAE (vm loss backprops through them)
+    mask["sd_head"]["unet"] = jax.tree.map(lambda _: False, mask["sd_head"]["unet"])
+    mask["sd_head"]["vae"] = jax.tree.map(lambda _: False, mask["sd_head"]["vae"])
+    n_train = sum(int(np.prod(x.shape)) for x, m in zip(
+        jax.tree.leaves(params), jax.tree.leaves(mask)) if m)
+    print(f"dm={img_dm}px  params: {n_total/1e9:.2f}B total, "
+          f"{n_train/1e9:.2f}B trainable", flush=True)
+
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=2e-3, schedule="constant", warmup_steps=0,
+                        total_steps=1000, max_grad_norm=1.0, optimizer_8bit=True),
+        trainable_mask=mask,
+    )
+    state = init_train_state(params, tx)
+    step = make_train_step(cfg, tx, head_loss_fn=make_sdxl_head_loss_fn(head_cfg),
+                           remat=True, use_flash=True, trainable_mask=mask)
+    return cfg, state, step
+
+
+def make_batch(cfg, img_dm, seed):
+    st = cfg.special_tokens
+    r = np.random.default_rng(seed)
+    ids = r.integers(10, 31000, (B, S), dtype=np.int32)
+    labels = ids.copy()
+    img_pos, dream_pos = 1, 300
+    for b in range(B):
+        ids[b, img_pos] = st.im_start
+        ids[b, img_pos + 1: img_pos + 257] = st.im_patch
+        ids[b, img_pos + 257] = st.im_end
+        labels[b, img_pos: img_pos + 258] = -100
+        ids[b, dream_pos] = st.dream_start
+        ids[b, dream_pos + 1: dream_pos + 65] = st.im_patch
+        ids[b, dream_pos + 65] = st.dream_end
+        labels[b, dream_pos + 1: dream_pos + 66] = -100
+    return {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "images": jnp.asarray(
+            r.standard_normal((B, 1, IMG, IMG, 3), np.float32) * 0.5),
+        "image_positions": jnp.full((B, 1), img_pos + 1, jnp.int32),
+        "dream_positions": jnp.full((B, 1), dream_pos + 1, jnp.int32),
+        "images_dm": jnp.asarray(
+            r.standard_normal((B, 1, img_dm, img_dm, 3), np.float32).clip(-1, 1)),
+        # SDXL micro-conditioning: (orig_h, orig_w, crop_t, crop_l, tgt_h, tgt_w)
+        "add_time_ids": jnp.tile(
+            jnp.asarray([[[img_dm, img_dm, 0, 0, img_dm, img_dm]]], jnp.float32),
+            (B, 1, 1)),
+    }
+
+
+for img_dm in (1024, 768, 512):
+    try:
+        cfg, state, step = build(img_dm)
+
+        def run(seed):
+            global state
+            state, aux = step(state, make_batch(cfg, img_dm, seed),
+                              jax.random.PRNGKey(seed))
+            return float(aux["loss"])
+
+        t0 = time.perf_counter()
+        loss0 = run(0)
+        print(f"compile+step0 {time.perf_counter()-t0:.1f}s  loss={loss0:.3f}",
+              flush=True)
+        ts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            run(i + 1)
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        dt = ts[len(ts) // 2]
+        print(f"sdxl mm train step @{img_dm}px: {dt*1e3:.0f} ms -> "
+              f"{B*S/dt:.0f} text tok/s (+ {B} images {B} sdxl diffusion "
+              f"targets per step; all {[round(t,3) for t in ts]})", flush=True)
+        break
+    except Exception as e:
+        print(f"dm={img_dm}px failed: {str(e)[:300]}", flush=True)
+        continue
