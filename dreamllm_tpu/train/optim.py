@@ -36,6 +36,13 @@ class OptimizerConfig:
     # int8 blockwise-quantized Adam moments (bitsandbytes Adam8bit
     # equivalent, train/optim8bit.py): ~4x optimizer-state memory reduction
     optimizer_8bit: bool = False
+    # bnb parity knobs (only with optimizer_8bit): leaves smaller than
+    # min_8bit_size keep fp32 moments (bnb min_8bit_size default), and any
+    # param whose path contains one of fp32_moment_paths keeps fp32 moments
+    # regardless of size — the reference registers exactly this override for
+    # every nn.Embedding under bnb Adam8bit (trainer.py:451-463)
+    min_8bit_size: int = 4096
+    fp32_moment_paths: tuple = ("embed_tokens",)
 
 
 def make_lr_schedule(cfg: OptimizerConfig):
@@ -113,6 +120,15 @@ def make_optimizer(
     if cfg.optimizer_8bit:
         from dreamllm_tpu.train.optim8bit import adamw_8bit
 
+        def _fp32_moments(params):
+            paths = tuple(cfg.fp32_moment_paths or ())
+
+            def flag(kp, _):
+                key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+                return any(p in key for p in paths)
+
+            return jax.tree_util.tree_map_with_path(flag, params)
+
         chain.append(
             adamw_8bit(
                 learning_rate=schedule,
@@ -121,6 +137,8 @@ def make_optimizer(
                 eps=cfg.eps,
                 weight_decay=cfg.weight_decay,
                 mask=_decay_mask if cfg.weight_decay > 0 else None,
+                min_8bit_size=cfg.min_8bit_size,
+                fp32_moments_mask=_fp32_moments if cfg.fp32_moment_paths else None,
             )
         )
     else:

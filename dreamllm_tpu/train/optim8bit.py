@@ -179,11 +179,28 @@ def adamw_8bit(
     weight_decay: float = 0.0,
     mask: Any | None = None,
     fused_update: bool = False,
+    min_8bit_size: int = 0,
+    fp32_moments_mask: Any | None = None,
 ) -> optax.GradientTransformation:
     """Drop-in for ``optax.adamw`` with int8 blockwise-quantized moments.
 
     ``mask``: same convention as optax.adamw's weight-decay mask (callable or
     pytree of bools; True = decay applies).
+
+    ``min_8bit_size``: leaves with fewer elements keep fp32 moments —
+    bitsandbytes' ``min_8bit_size`` semantics (norm scales and biases gain
+    nothing from quantization and lose precision). bnb's default of 4096 is
+    applied at the ``OptimizerConfig`` level; the raw transform defaults to
+    0 (quantize everything) for direct callers.
+
+    ``fp32_moments_mask``: callable or pytree of bools; True = keep fp32
+    moments for that leaf regardless of size. The reference registers this
+    override for every ``nn.Embedding`` when using bnb Adam8bit
+    (trainer.py:451-463, ``optim_bits: 32``) — sparse-updated embedding rows
+    see mostly-zero gradients and blockwise-int8 moments decay them badly.
+    The per-leaf choice is made at ``init`` and recorded by the stored
+    moment type (``_Moment`` vs raw fp32 array), so ``update`` dispatches
+    without re-deriving the mask.
 
     ``fused_update``: route eligible leaves through the fused Pallas kernel
     (``_fused_adam_kernel``). OFF by default: measured on v5e at 0.94B
@@ -223,11 +240,26 @@ def adamw_8bit(
             jnp.sqrt(jnp.maximum(_to_blocks(x), 0.0)), floor_positive=True)
 
     def init(params):
-        zeros = jax.tree.map(lambda p: _quant(jnp.zeros(p.shape, jnp.float32)), params)
+        fp32_tree = (fp32_moments_mask(params) if callable(fp32_moments_mask)
+                     else fp32_moments_mask)
+        leaves_p, treedef = jax.tree.flatten(params)
+        leaves_f = (treedef.flatten_up_to(fp32_tree) if fp32_tree is not None
+                    else [False] * len(leaves_p))
+
+        def _m(p, f):
+            if bool(f) or p.size < min_8bit_size:
+                return jnp.zeros(p.shape, jnp.float32)
+            return _quant(jnp.zeros(p.shape, jnp.float32))
+
+        def _v(p, f):
+            if bool(f) or p.size < min_8bit_size:
+                return jnp.zeros(p.shape, jnp.float32)
+            return _quant_v(jnp.zeros(p.shape, jnp.float32))
+
         return Adam8bitState(
             count=jnp.zeros((), jnp.int32),
-            m=zeros,
-            v=jax.tree.map(lambda p: _quant_v(jnp.zeros(p.shape, jnp.float32)), params),
+            m=treedef.unflatten([_m(p, f) for p, f in zip(leaves_p, leaves_f)]),
+            v=treedef.unflatten([_v(p, f) for p, f in zip(leaves_p, leaves_f)]),
         )
 
     def update(updates, state, params=None):
@@ -244,6 +276,15 @@ def adamw_8bit(
             decay_tree = mask(params) if callable(mask) else mask
 
         def step(g, mq, vq, p, do_decay):
+            if not isinstance(mq, _Moment):
+                # fp32-moment leaf (min_8bit_size / fp32_moments_mask):
+                # plain AdamW math, moments stored uncompressed
+                m = b1 * mq + (1.0 - b1) * g.astype(jnp.float32)
+                v = b2 * vq + (1.0 - b2) * jnp.square(g.astype(jnp.float32))
+                upd = (m / bc1) / (jnp.sqrt(v / bc2) + eps)
+                if do_decay and p is not None:
+                    upd = upd + weight_decay * p.astype(jnp.float32)
+                return (-lr * upd).astype(g.dtype), m, v
             # Fused Pallas path (opt-in): dequant->adam->requant in one
             # VMEM pass. See the ``fused_update`` docstring for why this is
             # OFF by default (measured slower than XLA at 0.94B on v5e).

@@ -186,3 +186,66 @@ class TestFusedPallasUpdate:
         # 2048 elems -> 8 blocks: not lane-aligned, must use the XLA path
         # (and still agree with itself trivially); mixed with a kernel leaf.
         self._run([2048, 32768])
+
+
+def test_min_8bit_size_keeps_small_leaves_fp32():
+    """bnb min_8bit_size semantics: small leaves (norm scales, biases) keep
+    fp32 moments and follow optax.adamw EXACTLY (not just within quant
+    error)."""
+    tx = adamw_8bit(0.05, min_8bit_size=100)
+    p = {"w": jnp.zeros((300,)), "b": jnp.zeros((7,))}
+    s = tx.init(p)
+    assert s.m["w"].codes.dtype == jnp.int8   # 300 >= 100 -> quantized
+    assert isinstance(s.m["b"], jnp.ndarray) and s.m["b"].dtype == jnp.float32
+
+    txf = optax.adamw(0.05)
+    sf = txf.init({"b": jnp.zeros((7,))})
+    g = {"w": jnp.ones((300,)), "b": jnp.full((7,), 0.3)}
+    pp, ss = dict(p), s
+    for i in range(10):
+        u, ss = tx.update({k: g[k] * (1 + 0.1 * i) for k in g}, ss, pp)
+        pp = optax.apply_updates(pp, u)
+        uf, sf = txf.update({"b": g["b"] * (1 + 0.1 * i)}, sf, {"b": pp["b"] - u["b"]})
+    # the fp32 leaf's FIRST update already matches adamw exactly; spot-check
+    # by replaying one step from scratch
+    s1 = tx.init(p)
+    u1, _ = tx.update(g, s1, p)
+    sf1 = txf.init(p)
+    uf1, _ = txf.update(g, sf1, p)
+    np.testing.assert_allclose(np.asarray(u1["b"]), np.asarray(uf1["b"]), rtol=1e-6)
+
+
+def test_fp32_moments_mask_override():
+    """The reference's nn.Embedding fp32-moment override under bnb Adam8bit
+    (trainer.py:451-463): masked leaves keep fp32 moments regardless of
+    size."""
+    tx = adamw_8bit(0.05, fp32_moments_mask={"embed": True, "w": False})
+    p = {"embed": jnp.zeros((4000,)), "w": jnp.zeros((4000,))}
+    s = tx.init(p)
+    assert isinstance(s.m["embed"], jnp.ndarray)
+    assert s.m["w"].codes.dtype == jnp.int8
+    # one jitted step runs both leaf kinds in the same update
+    @jax.jit
+    def step(p, s):
+        u, s = tx.update({"embed": jnp.ones((4000,)), "w": jnp.ones((4000,))}, s, p)
+        return optax.apply_updates(p, u), s
+    p2, s2 = step(p, s)
+    assert np.isfinite(np.asarray(p2["embed"])).all()
+    assert isinstance(s2.m["embed"], jnp.ndarray) and s2.m["w"].codes.dtype == jnp.int8
+
+
+def test_make_optimizer_embed_paths_get_fp32_moments():
+    cfg = OptimizerConfig(learning_rate=1e-2, warmup_steps=0, total_steps=10,
+                          optimizer_8bit=True, max_grad_norm=0.0)
+    params = {"llm": {"embed_tokens": jnp.ones((5000,)), "proj": {"w": jnp.ones((5000,))}},
+              "norm": jnp.ones((8,))}
+    tx = make_optimizer(cfg)
+    s = tx.init(params)
+    inner = s[0] if isinstance(s, tuple) else s  # chain state
+    # find the Adam8bitState in the chain
+    from dreamllm_tpu.train.optim8bit import Adam8bitState
+    adam = next(x for x in jax.tree.leaves(s, is_leaf=lambda x: isinstance(x, Adam8bitState))
+                if isinstance(x, Adam8bitState))
+    assert isinstance(adam.m["llm"]["embed_tokens"], jnp.ndarray)       # path override
+    assert adam.m["llm"]["proj"]["w"].codes.dtype == jnp.int8           # big, quantized
+    assert isinstance(adam.m["norm"], jnp.ndarray)                      # < min_8bit_size
