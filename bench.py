@@ -577,6 +577,36 @@ def main():
 
     import gc
 
+    # SDXL multimodal joint train step FIRST, in its own subprocess: it
+    # needs the whole chip's HBM (3.9B params + SDXL activations), so it
+    # must run before this process allocates anything, and a child process
+    # guarantees every byte is returned afterwards. 768px/b1 is the largest
+    # rung this environment's remote compiler accepts (1024px crashes it);
+    # the child shares the persistent compile cache so warm runs take
+    # seconds per step.
+    if backend == "tpu" and os.environ.get("BENCH_SDXL_TRAIN", "1") == "1":
+        try:
+            import re
+            import subprocess
+            import sys
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            env = {**os.environ,
+                   "SDXL_MM_LADDER": "768:1",
+                   "PYTHONPATH": here + ":" + os.environ.get("PYTHONPATH", "")}
+            r = subprocess.run(
+                [sys.executable, os.path.join(here, "scripts/bench/train_step_mm_sdxl.py")],
+                capture_output=True, text=True, timeout=2400, env=env,
+            )
+            m = re.search(r"sdxl mm train step @(\d+)px b(\d+): (\d+) ms", r.stdout)
+            if m:
+                extra["sdxl_mm_train_step_ms"] = int(m.group(3))
+                extra["sdxl_mm_train_px"] = int(m.group(1))
+            else:
+                extra["sdxl_train_error"] = (r.stdout + r.stderr)[-200:]
+        except Exception as e:
+            extra["sdxl_train_error"] = str(e)[:200]
+
     # UNet first — the 7B decode bench fills most of HBM and its params must
     # be gone before the UNet allocates.
     try:

@@ -35,11 +35,11 @@ from dreamllm_tpu.train import (
     OptimizerConfig, init_train_state, make_optimizer, make_train_step,
 )
 
-B, S = 2, 512
+S = 512
 IMG = 224
 
 
-def build(img_dm: int):
+def build(img_dm: int, B: int):
     cfg = DreamLLMConfig(
         llm=LlamaConfig(
             vocab_size=32064, hidden_size=2048, intermediate_size=5504,
@@ -90,7 +90,7 @@ def build(img_dm: int):
     return cfg, state, step
 
 
-def make_batch(cfg, img_dm, seed):
+def make_batch(cfg, img_dm, B, seed):
     st = cfg.special_tokens
     r = np.random.default_rng(seed)
     ids = r.integers(10, 31000, (B, S), dtype=np.int32)
@@ -121,13 +121,32 @@ def make_batch(cfg, img_dm, seed):
     }
 
 
-for img_dm in (1024, 768, 512):
+import gc
+import os
+
+# Ladder override, e.g. SDXL_MM_LADDER="768:1" (bench.py passes this so the
+# artifact run skips the 1024px attempt, which reliably crashes this
+# environment's remote compiler after ~6 minutes — the full SDXL joint
+# graph is too big for the tunnel compile service, same class as the
+# monolithic-UNet limitation in bench_unet's docstring).
+_ladder = ((1024, 1), (768, 1), (512, 2), (512, 1))
+if os.environ.get("SDXL_MM_LADDER"):
+    _ladder = tuple(
+        (int(p.split(":")[0]), int(p.split(":")[1]))
+        for p in os.environ["SDXL_MM_LADDER"].split(","))
+
+state = None
+for img_dm, B in _ladder:
+    # free the previous rung COMPLETELY before allocating the next: a failed
+    # 768px attempt otherwise pins ~8 GB of params and OOMs every rung after
+    state = None
+    gc.collect()
     try:
-        cfg, state, step = build(img_dm)
+        cfg, state, step = build(img_dm, B)
 
         def run(seed):
             global state
-            state, aux = step(state, make_batch(cfg, img_dm, seed),
+            state, aux = step(state, make_batch(cfg, img_dm, B, seed),
                               jax.random.PRNGKey(seed))
             return float(aux["loss"])
 
@@ -142,10 +161,10 @@ for img_dm in (1024, 768, 512):
             ts.append(time.perf_counter() - t0)
         ts.sort()
         dt = ts[len(ts) // 2]
-        print(f"sdxl mm train step @{img_dm}px: {dt*1e3:.0f} ms -> "
+        print(f"sdxl mm train step @{img_dm}px b{B}: {dt*1e3:.0f} ms -> "
               f"{B*S/dt:.0f} text tok/s (+ {B} images {B} sdxl diffusion "
               f"targets per step; all {[round(t,3) for t in ts]})", flush=True)
         break
     except Exception as e:
-        print(f"dm={img_dm}px failed: {str(e)[:300]}", flush=True)
+        print(f"dm={img_dm}px b{B} failed: {str(e)[:300]}", flush=True)
         continue
