@@ -115,6 +115,21 @@ def default_setup(args: Any, config: Any) -> str:
     except Exception as e:
         logger.warning("config snapshot failed: %s", e)
 
+    # log the resolved config with CLI-overridden keys called out — the
+    # reference prints the full YAML with changed keys colorized
+    # (arg_parser.py:143-146 compare_dicts + add_color); here the override
+    # list is exact (recorded at parse time) instead of re-diffed
+    overrides = getattr(args, "cli_overrides", None)
+    try:
+        import json
+
+        logger.info("command line arguments: %s", args)
+        if overrides:
+            logger.info("CLI-overridden keys: %s", ", ".join(overrides))
+        logger.info("full config:\n%s", json.dumps(config, indent=2, default=repr))
+    except Exception as e:  # config logging must never kill a run
+        logger.warning("config logging failed: %s", e)
+
     if getattr(args, "use_profiler", False):
         # whole-run sampling profile artifact (the reference wraps every
         # entry point in pyinstrument and dumps per-run HTML — LazyLaunch,
@@ -170,4 +185,9 @@ class LazyArgumentParser:
         args_data.update(arg_overrides)
         args_data.setdefault("config_file", ns.config_file)
         args = from_dict(self.args_cls, args_data)
+        # exact override provenance for default_setup's config logging
+        try:
+            args.cli_overrides = [ov.split("=", 1)[0].lstrip("+") for ov in ns.overrides]
+        except Exception:
+            pass  # frozen args dataclasses just skip the extra attribute
         return args, config

@@ -19,6 +19,7 @@ DeepSpeed engine, grad-scaler). What remains — and is ported:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Callable, Iterable
 
@@ -48,6 +49,10 @@ class TrainerConfig:
     output_dir: str = "./runs/train"
     resume: bool = True
     tokens_per_batch: int | None = None  # for tokens/sec reporting
+    # keep at most N checkpoints, oldest deleted after each save — HF
+    # TrainingArguments save_total_limit, which the reference's recipes set
+    # (e.g. dreamllm_sdxl stage1/base.py:81 save_total_limit=3). None = all.
+    save_total_limit: int | None = None
 
 
 class Trainer:
@@ -139,7 +144,29 @@ class Trainer:
         )
         self._last_saved = step
         logger.info("saved %s", path)
+        self._prune_checkpoints()
         self._fire("on_save", step=step, path=path)
+
+    def _prune_checkpoints(self):
+        """Delete oldest checkpoint-* dirs past save_total_limit (HF
+        semantics: applied after each save, newest kept). Process 0 only —
+        a shared filesystem must see exactly one rmtree."""
+        limit = self.cfg.save_total_limit
+        if not limit or jax.process_index() != 0:
+            return
+        import re
+        import shutil
+
+        root = self.cfg.output_dir
+        steps = sorted(
+            int(m.group(1))
+            for name in os.listdir(root)
+            if (m := re.fullmatch(r"checkpoint-(\d+)", name))
+        )
+        for s in steps[:-limit]:
+            victim = os.path.join(root, f"checkpoint-{s:06d}")
+            shutil.rmtree(victim, ignore_errors=True)
+            logger.info("pruned %s (save_total_limit=%d)", victim, limit)
 
     def train(self):
         self.maybe_resume()

@@ -172,6 +172,38 @@ class TestTrainerLoop:
         final2 = tr2.train()
         assert int(final2.step) == 10
 
+    def test_save_total_limit_prunes_oldest(self, tmp_path):
+        """HF save_total_limit semantics (the reference's recipes set 3,
+        dreamllm_sdxl stage1/base.py:81): after each save only the newest N
+        checkpoint dirs survive, and the latest is always loadable."""
+        import os
+
+        from dreamllm_tpu.train.step import TrainState
+        from dreamllm_tpu.train.trainer import Trainer, TrainerConfig
+
+        import optax
+
+        params = {"llm": {"w": jnp.ones((4,))}}
+        tx = optax.sgd(0.1)
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                           opt_state=tx.init(params))
+
+        @jax.jit
+        def step_fn(state, batch, rng):
+            return TrainState(state.step + 1, state.params, state.opt_state), {"loss": jnp.float32(0)}
+
+        def data():
+            while True:
+                yield {}
+
+        out_dir = str(tmp_path / "run")
+        cfg = TrainerConfig(max_steps=10, log_steps=10, save_steps=2,
+                            output_dir=out_dir, save_total_limit=2)
+        Trainer(cfg, step_fn, data(), state).train()
+        kept = sorted(n for n in os.listdir(out_dir) if n.startswith("checkpoint-"))
+        assert kept == ["checkpoint-000008", "checkpoint-000010"], kept
+        assert latest_checkpoint(out_dir).endswith("checkpoint-000010")
+
     def test_resume_continues_data_and_rng(self, tmp_path):
         """Train 5 steps, 'kill', resume: the sample sequence CONTINUES
         (batches 5..9) instead of repeating from the stream start, and the
