@@ -67,10 +67,15 @@ def test_config_hydrates(path):
     full training launch). Param init is deliberately skipped."""
     from dreamllm_tpu.config import LazyConfig
 
-    cfg = LazyConfig.load(str(path))
+    try:
+        cfg = LazyConfig.load(str(path))
+    except ValueError as e:
+        if "must define a `config` object" in str(e):
+            return  # shared fragment (common.py) — imported by real configs
+        raise
     if not (isinstance(cfg, dict)
             and {"model", "sd_head", "trainer"} <= set(cfg)):
-        return  # shared fragments (common.py) or non-train configs
+        return  # non-train configs
     from projects.dreamllm.train import build_model_cfg
 
     model_cfg, head_cfg = build_model_cfg(cfg)
