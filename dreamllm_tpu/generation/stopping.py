@@ -33,7 +33,7 @@ def stop_str_for(template) -> str:
     conv.sep2`` (vqa_inference.py:96-99). Our ``add_colon_two`` (vicuna
     v1.1) and ``llama2`` styles stop on seps[1]; the ``single`` (###) style
     stops on its one separator (seps[0])."""
-    if template.sep_style == "single":
+    if template.sep_style in ("single", "mpt"):
         return template.seps[0]
     return template.seps[1].strip() or template.seps[0]
 

@@ -207,3 +207,62 @@ class TestEngineStops:
             assert text == tok.decode(ref[: ref.index(sep)]).strip()
         finally:
             eng.stop()
+
+
+# ---------------------------------------------------------------------------
+# r4 template-registry additions: MPT/ChatML style, seeded demo turns
+# ---------------------------------------------------------------------------
+
+
+def test_mpt_template_renders_chatml_and_stops_on_im_end():
+    from dreamllm_tpu.data.conversation import TEMPLATES, render_conversation, render_prompt
+    from dreamllm_tpu.data.dataset_types import Message
+    from dreamllm_tpu.generation.stopping import stop_str_for
+
+    t = TEMPLATES["mpt"]
+    msgs = [Message("user", "hello"), Message("assistant", "hi")]
+    # reference SeparatorStyle.MPT (conversation.py:71-80):
+    # system + sep, then role + message + sep (role tags carry the header)
+    text = "".join(s.text for s in render_conversation(t, msgs))
+    assert text == (t.system + "<|im_end|>"
+                    + "<|im_start|>user\nhello<|im_end|>"
+                    + "<|im_start|>assistant\nhi<|im_end|>")
+    # only the assistant reply (+ its sep) is learnable
+    learn = [s.text for s in render_conversation(t, msgs) if s.learnable]
+    assert learn == ["hi<|im_end|>"]
+    # generation prompt ends with the bare assistant header (:77-79)
+    assert render_prompt(t, [Message("user", "q")]).endswith("<|im_start|>assistant\n")
+    assert stop_str_for(t) == "<|im_end|>"
+
+
+def test_seed_messages_render_first_and_are_never_learnable():
+    from dreamllm_tpu.data.conversation import TEMPLATES, render_conversation
+    from dreamllm_tpu.data.dataset_types import Message
+
+    t = TEMPLATES["multimodal"]  # seeds the Hi!/Hi there! exchange (offset=2)
+    segs = render_conversation(t, [Message("user", "real question"),
+                                   Message("assistant", "real answer")])
+    text = "".join(s.text for s in segs)
+    assert "Hi there!" in text and text.index("Hi there!") < text.index("real question")
+    learn = [s.text for s in segs if s.learnable]
+    assert learn == ["real answer###"]  # the SEEDED reply is masked
+
+    # dream_conv: the one-shot interleaved example precedes the dialog and
+    # carries <dream_start> spans, but only the real reply is learnable
+    d = TEMPLATES["dream_conv"]
+    segs = render_conversation(d, [Message("user", "write about cats"),
+                                   Message("assistant", "cats! <dream_start> <dream_end>")])
+    text = "".join(s.text for s in segs)
+    assert text.index("<dream_start>") < text.index("write about cats")
+    learn = [s.text for s in segs if s.learnable]
+    assert learn == ["cats! <dream_start> <dream_end></s>"]
+
+
+def test_llava_v1_matches_vicuna_mechanics():
+    from dreamllm_tpu.data.conversation import TEMPLATES, render_prompt
+    from dreamllm_tpu.data.dataset_types import Message
+
+    t = TEMPLATES["llava_v1"]
+    p = render_prompt(t, [Message("user", "what is this?")])
+    assert p.startswith("You are LLaVA")
+    assert p.endswith("ASSISTANT:")
