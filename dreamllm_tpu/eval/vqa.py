@@ -134,12 +134,12 @@ def run_vqa(
     # Single-token separators halt device-side; everything is truncated from
     # the decoded text either way.
     from dreamllm_tpu.generation.stopping import (
-        single_token_stop_ids, stop_str_for, truncate_at_stop,
+        stops_for_template, truncate_at_stop,
     )
 
-    stop_str = stop_str_for(TEMPLATES[template])
-    stop_strings = [stop_str] if stop_str and stop_str != "</s>" else []
-    halt_ids = single_token_stop_ids(tokenizer, stop_strings)
+    stop_strings, halt_ids = stops_for_template(
+        TEMPLATES[template], tokenizer, eos_id=cfg.special_tokens.eos
+    )
 
     scfg = SamplingConfig(
         greedy=True, max_new_tokens=max_new_tokens,

@@ -21,8 +21,7 @@ from dreamllm_tpu.generation.interleaved import InterleavedConfig, generate_inte
 from dreamllm_tpu.generation.sampler import SamplingConfig, generate_text
 from dreamllm_tpu.generation.stopping import (
     make_stop_fn,
-    single_token_stop_ids,
-    stop_str_for,
+    stops_for_template,
     truncate_at_stop,
 )
 from dreamllm_tpu.models.clip import clip_preprocess
@@ -209,9 +208,9 @@ def make_chat_fn(
         # single token, host-side at chunk boundaries otherwise; the decoded
         # reply is truncated at the separator either way
         # (reference: KeywordsStoppingCriteria + strip, vqa_inference.py)
-        stop_str = stop_str_for(TEMPLATES[tmpl])
-        stop_strings = [stop_str] if stop_str and stop_str != "</s>" else []
-        halt_ids = single_token_stop_ids(tokenizer, stop_strings)
+        stop_strings, halt_ids = stops_for_template(
+            TEMPLATES[tmpl], tokenizer, eos_id=cfg.special_tokens.eos
+        )
         if engine is not None:
             ids, pix, pos = encode_chat_prompt(tokenizer, cfg, msgs, images, tmpl)
             kw = dict(max_new_tokens=mnt, greedy=greedy,

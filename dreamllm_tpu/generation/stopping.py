@@ -76,10 +76,18 @@ def make_stop_fn(
     exclude_ids: Sequence[int] = (),
 ) -> Callable[[list[int]], bool] | None:
     """Host-side stop predicate over the generated id list, called by the
-    engine at chunk boundaries. Decodes the accumulated continuation and
+    engine at chunk boundaries. Decodes the continuation's NEW tail and
     reports whether any stop string appears (the reference decodes the full
-    continuation each step, conversation.py:27-30 — at chunk granularity the
-    cost is one short decode per lane per chunk).
+    continuation each step, conversation.py:27-30; a full re-decode here
+    would be O(n^2) host work per lane on the single-core scheduler thread,
+    delaying chunk dispatch — so the predicate tracks a high-water mark and
+    decodes only tokens added since the last call, plus an overlap window
+    wide enough for a stop string completing across the boundary).
+
+    The returned predicate is stateful and single-consumer: one instance per
+    request, fed a monotonically growing id list (the engine's contract). A
+    shrinking list resets the mark, so accidental reuse degrades to a full
+    decode rather than a miss.
 
     ``exclude_ids`` lists stops already handled device-side (their token
     never reaches the output), so a stop set that is FULLY single-token
@@ -95,13 +103,48 @@ def make_stop_fn(
     if not strings:
         return None
 
+    # a stop of C characters spans at most C rendered tokens, plus slack for
+    # tokens decode() renders as empty (skipped specials)
+    overlap = max(len(s) for s in strings) + 8
+    checked = 0
+
     def stop_fn(ids: list[int]) -> bool:
+        nonlocal checked
         if not ids:
             return False
-        text = tokenizer.decode(list(ids))
+        if len(ids) < checked:
+            checked = 0  # list shrank: not our producer — recheck everything
+        new = len(ids) - checked
+        checked = len(ids)
+        text = tokenizer.decode(list(ids[-(new + overlap):]))
         return any(s in text for s in strings)
 
     return stop_fn
+
+
+def stops_for_template(
+    template, tokenizer, eos_id: int | None = None
+) -> tuple[list[str], tuple[int, ...]]:
+    """(stop_strings, device-side halt ids) for a conversation template —
+    the one place the 'is the separator already the EOS token' decision
+    lives (callers: generation/chat.py, eval/vqa.py).
+
+    The separator is dropped when it IS the model's EOS token — device EOS
+    stopping already covers it, and a redundant host stop_fn would burn
+    scheduler-thread decodes for nothing. Identified by encoding (the stop
+    round-trips to exactly ``[eos_id]``, which also catches templates whose
+    EOS renders differently, e.g. ChatML's <|im_end|>); the ``"</s>"``
+    literal is kept as a fallback for test tokenizers whose encode() has no
+    special-token awareness."""
+    stop_str = stop_str_for(template)
+    strings = [stop_str] if stop_str else []
+    if strings and eos_id is not None:
+        enc = _try_encode(tokenizer, stop_str)
+        if enc is not None and len(enc) == 1 and int(enc[0]) == int(eos_id):
+            strings = []
+    if strings and stop_str == "</s>":
+        strings = []
+    return strings, single_token_stop_ids(tokenizer, strings)
 
 
 def _try_encode(tokenizer, s: str):

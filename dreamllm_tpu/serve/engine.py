@@ -662,14 +662,28 @@ class ContinuousBatchingEngine:
             self.prefill_fn.embeds(
                 self.params, pre_e, emb, clen, jnp.int32(0), rng, samp_dev,
             )
+        # the insert call must present the SAME argument pytree structure
+        # _admit uses (halt always, lane_ids when speculative): jit keys on
+        # arg structure, so a halt=None warmup compiles a program the first
+        # real admission never hits — recompiling on the scheduler thread
+        # while live lanes wait, the exact stall warmup exists to prevent
+        kw = {"halt": jnp.full((self.ecfg.max_stop_tokens,), -1, jnp.int32)}
+        if self.ecfg.speculative_k:
+            kw["lane_ids"] = jnp.zeros((self.ecfg.max_len,), jnp.int32)
         self.state = self.insert_fn(
             self.state, pre, jnp.int32(1), 0, first, jnp.int32(0), samp_dev,
+            **kw,
         )
         out = self.decode_chunk_fn(self.params, self.state)
         self.state = out[0]
         if self.decode_plain_fn is not None:
             out = self.decode_plain_fn(self.params, self.state)
             self.state = out[0]
+        # _deactivate fires mid-serving on the first host-side stop-string
+        # hit; compile it now (all-False mask is a no-op on the state)
+        self.state = self._deactivate(
+            self.state, jnp.zeros_like(self.state["active"])
+        )
         # force completion with a real fetch (block_until_ready can ack
         # early through the axon tunnel — CLAUDE.md)
         np.asarray(out[3])
@@ -1112,6 +1126,7 @@ class ContinuousBatchingEngine:
             # only when fully idle (no lanes busy AND no results in flight)
             block = not self._by_slot and pending is None
             req = None
+            admits = 0  # admissions this iteration (pollute chunk timing)
             while self._free:
                 try:
                     req = self._queue.get(block=block, timeout=None if not block else 0.1)
@@ -1125,6 +1140,7 @@ class ContinuousBatchingEngine:
                     continue
                 try:
                     self._admit(req)
+                    admits += 1
                 except Exception as e:
                     req.error = e
                     req.done.set()
@@ -1144,7 +1160,7 @@ class ContinuousBatchingEngine:
                     self.chunks_dispatched += 1
                     self.active_history.append(len(self._by_slot))
                     new_pending = (chunk_idx, toks, valid, active, mode,
-                                   dispatch_t, len(self._by_slot))
+                                   dispatch_t, len(self._by_slot), admits)
                 except Exception as e:
                     pending = None  # failed run invalidates in-flight buffers
                     self._fail_all(e)
@@ -1153,7 +1169,8 @@ class ContinuousBatchingEngine:
                 self._last_fetch_t = None  # pipeline drained; timing resets
             if pending is not None:
                 try:
-                    chunk_idx, toks, valid, active, mode, dispatch_t, bucket = pending
+                    (chunk_idx, toks, valid, active, mode, dispatch_t, bucket,
+                     disp_admits) = pending
                     toks_np = np.asarray(toks)
                     valid_np = np.asarray(valid)
                     active_np = np.asarray(active)
@@ -1169,9 +1186,16 @@ class ContinuousBatchingEngine:
                     t0 = (self._last_fetch_t
                           if self._last_fetch_t is not None else dispatch_t)
                     dt = max(now - max(t0, dispatch_t), 1e-6)
-                    self._note_mode_result(
-                        mode, bucket, float(valid_np.sum()) / dt
-                    )
+                    # a window that contained admissions measures prefill
+                    # device work (admits dispatched before this chunk) or
+                    # _admit host time (admits this iteration) on top of the
+                    # chunk — feeding that into the bandit systematically
+                    # deflates whichever arm runs next to admissions, so the
+                    # reward is dropped for polluted windows
+                    if not disp_admits and not admits:
+                        self._note_mode_result(
+                            mode, bucket, float(valid_np.sum()) / dt
+                        )
                     self._last_fetch_t = now
                 self._route(toks_np, valid_np, chunk_idx)
                 # drain early-retired requests: route their final rows from

@@ -201,23 +201,25 @@ def load_opt_state(path: str, like: Any = None) -> Any:
 
 
 def _migrate_opt_state(raw: Any, like: Any) -> Any:
-    """Fit a restored opt-state onto ``like``'s tree, reshaping leaves whose
-    element count matches but whose layout changed (flat→block int8 codes).
+    """Fit a restored opt-state onto ``like``'s tree across layout changes.
 
-    Leaf ORDER must correspond between the two trees: orbax restores
-    NamedTuples as dicts, but both flatten fields in the same order here
-    (optax state fields are alphabetical-stable for these states), and every
-    pairing is verified by element count + dtype before use."""
-    like_leaves, treedef = jax.tree.flatten(like)
-    raw_leaves = jax.tree.leaves(raw)
-    if len(raw_leaves) != len(like_leaves):
-        raise ValueError(
-            f"cannot migrate opt state: {len(raw_leaves)} leaves saved vs "
-            f"{len(like_leaves)} expected"
-        )
-    out = []
-    for l, r in zip(like_leaves, raw_leaves):
-        a = jnp.asarray(r)
+    Handled migrations (structural walk of ``like`` with ``raw`` in step;
+    orbax's bare restore renders NamedTuples as dicts keyed by field name):
+
+      * element-count-preserving reshape (flat→block int8 moment codes);
+      * 8-bit ``_Moment(codes, scale)`` → fp32 moment array (dequantize) —
+        an opt-state saved before a leaf moved under ``min_8bit_size`` /
+        ``fp32_moment_paths`` resumes against the new fp32 layout;
+      * fp32 moment array → ``_Moment`` (re-quantize) — the reverse config
+        change. v moments live in sqrt code space; the walk tracks which
+        Adam8bitState field it is under so both directions use the right
+        transform (train/optim8bit.py quant/dequant_moment_{m,v}).
+
+    Every leaf pairing is verified by element count + dtype before use."""
+    from dreamllm_tpu.train import optim8bit as o8
+
+    def fit(a, l):
+        a = jnp.asarray(a)
         if a.shape != l.shape:
             if a.size != l.size:
                 raise ValueError(
@@ -230,8 +232,59 @@ def _migrate_opt_state(raw: Any, like: Any) -> Any:
                 f"cannot migrate opt-state leaf: dtype {a.dtype} != {l.dtype}"
             )
         sharding = getattr(l, "sharding", None)
-        out.append(jax.device_put(a, sharding) if sharding is not None else a)
-    return jax.tree.unflatten(treedef, out)
+        return jax.device_put(a, sharding) if sharding is not None else a
+
+    def as_moment(r):
+        if isinstance(r, o8._Moment):
+            return r
+        if isinstance(r, dict) and set(r) == {"codes", "scale"}:
+            codes = jnp.asarray(r["codes"])
+            return o8._Moment(codes.reshape(-1, o8.BLOCK),
+                              jnp.asarray(r["scale"]).reshape(-1))
+        return None
+
+    def raw_child(r, name, idx):
+        if isinstance(r, dict):
+            if name in r:
+                return r[name]
+            if str(idx) in r:  # orbax renders plain tuples as '0','1',... keys
+                return r[str(idx)]
+            raise ValueError(f"opt-state migration: no saved entry for {name!r}")
+        return r[idx]
+
+    def walk(l, r, vspace):
+        mom = as_moment(r)
+        if isinstance(l, o8._Moment):
+            if mom is not None:
+                return o8._Moment(fit(mom.codes, l.codes), fit(mom.scale, l.scale))
+            # fp32 moment saved, 8-bit expected now: re-quantize
+            a = jnp.asarray(r).astype(jnp.float32)
+            q = o8.quant_moment_v(a) if vspace else o8.quant_moment_m(a)
+            return o8._Moment(fit(q.codes, l.codes), fit(q.scale, l.scale))
+        if hasattr(l, "_fields"):  # NamedTuple (optax states, Adam8bitState)
+            is_adam8 = isinstance(l, o8.Adam8bitState)
+            vals = [
+                walk(getattr(l, name),
+                     raw_child(r, name, i),
+                     (name == "v") if is_adam8 else vspace)
+                for i, name in enumerate(l._fields)
+            ]
+            return type(l)(*vals)
+        if isinstance(l, dict):
+            return {k: walk(v, raw_child(r, k, i), vspace)
+                    for i, (k, v) in enumerate(l.items())}
+        if isinstance(l, (list, tuple)):
+            return type(l)(walk(v, raw_child(r, None, i), vspace)
+                           for i, v in enumerate(l))
+        # leaf expected
+        if mom is not None:
+            # 8-bit moment saved, fp32 expected now: dequantize
+            deq = (o8.dequant_moment_v if vspace else o8.dequant_moment_m)(
+                mom, l.shape)
+            return fit(deq.astype(l.dtype), l)
+        return fit(r, l)
+
+    return walk(like, raw, False)
 
 
 def checkpoint_step(path: str) -> int:

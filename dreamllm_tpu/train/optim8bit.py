@@ -171,6 +171,58 @@ class Adam8bitState(NamedTuple):
     v: Any
 
 
+def _to_blocks(x):
+    flat = x.reshape(-1).astype(jnp.float32)
+    pad = (-flat.size) % BLOCK
+    if pad:
+        flat = jnp.pad(flat, (0, pad))
+    return flat.reshape(-1, BLOCK)
+
+
+def _quant_blocks(xb, floor_positive=False) -> _Moment:
+    scale = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
+    safe = jnp.where(scale == 0.0, 1.0, scale)
+    codes = jnp.round(xb / safe * 127.0).astype(jnp.int8)
+    if floor_positive:
+        codes = jnp.where((xb > 0.0) & (codes == 0), jnp.int8(1), codes)
+    return _Moment(codes, scale[:, 0])
+
+
+def quant_moment_m(x) -> _Moment:
+    """fp32 first moment → stored _Moment (linear code space)."""
+    return _quant_blocks(_to_blocks(x))
+
+
+def quant_moment_v(x) -> _Moment:
+    """fp32 second moment → stored _Moment. v is quantized in SQRT space:
+    grad^2 routinely spans >2.4 orders of magnitude within one 256-block and
+    a linear code zeroes everything below blockmax/254 (bnb uses a
+    dynamic-tree codebook for the same reason); sqrt halves the dynamic
+    range and floor_positive keeps small-but-nonzero entries from
+    dequantizing to exactly 0."""
+    return _quant_blocks(jnp.sqrt(jnp.maximum(_to_blocks(x), 0.0)),
+                         floor_positive=True)
+
+
+def dequant_moment_m(mq: _Moment, shape) -> jnp.ndarray:
+    """Stored first moment → fp32 array of ``shape``."""
+    m = mq.codes.astype(jnp.float32) * (mq.scale[:, None] / 127.0)
+    n = 1
+    for s in shape:
+        n *= s
+    return m.reshape(-1)[:n].reshape(shape)
+
+
+def dequant_moment_v(mq: _Moment, shape) -> jnp.ndarray:
+    """Stored second moment (sqrt-space codes) → fp32 v of ``shape``."""
+    vsq = mq.codes.astype(jnp.float32) * (mq.scale[:, None] / 127.0)
+    v = vsq * vsq
+    n = 1
+    for s in shape:
+        n *= s
+    return v.reshape(-1)[:n].reshape(shape)
+
+
 def adamw_8bit(
     learning_rate,
     b1: float = 0.9,
@@ -211,33 +263,8 @@ def adamw_8bit(
     until a coarser-tiled revision beats the measurement.
     """
 
-    def _to_blocks(x):
-        flat = x.reshape(-1).astype(jnp.float32)
-        pad = (-flat.size) % BLOCK
-        if pad:
-            flat = jnp.pad(flat, (0, pad))
-        return flat.reshape(-1, BLOCK)
-
-    def _quant_blocks(xb, floor_positive=False):
-        scale = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
-        safe = jnp.where(scale == 0.0, 1.0, scale)
-        codes = jnp.round(xb / safe * 127.0).astype(jnp.int8)
-        if floor_positive:
-            codes = jnp.where((xb > 0.0) & (codes == 0), jnp.int8(1), codes)
-        return _Moment(codes, scale[:, 0])
-
-    def _quant(x):
-        return _quant_blocks(_to_blocks(x))
-
-    def _quant_v(x):
-        # v is quantized in SQRT space: grad^2 routinely spans >2.4 orders of
-        # magnitude within one 256-block, and a linear code zeroes everything
-        # below blockmax/254 (bnb uses a dynamic-tree codebook for the same
-        # reason). sqrt halves the dynamic range (zero threshold drops to
-        # blockmax/64516) and floor_positive keeps small-but-nonzero entries
-        # from dequantizing to exactly 0.
-        return _quant_blocks(
-            jnp.sqrt(jnp.maximum(_to_blocks(x), 0.0)), floor_positive=True)
+    _quant = quant_moment_m
+    _quant_v = quant_moment_v
 
     def init(params):
         fp32_tree = (fp32_moments_mask(params) if callable(fp32_moments_mask)

@@ -724,6 +724,13 @@ def test_engine_warmup_executes_and_guards(small):
     assert eng.decode_chunk_fn._cache_size() >= 1
     assert eng.prefill_fn._cache_size() >= 1
     assert eng.prefill_fn.embeds._cache_size() >= 1
+    # warmup covers the argument structures serving actually uses: _admit
+    # always passes a halt array (and the host stop path dispatches
+    # _deactivate), so neither may recompile on the scheduler thread once
+    # requests are live
+    insert_compiles = eng.insert_fn._cache_size()
+    deact_compiles = eng._deactivate._cache_size()
+    assert deact_compiles >= 1
     eng.start()
     try:
         with pytest.raises(RuntimeError, match="before start"):
@@ -733,5 +740,7 @@ def test_engine_warmup_executes_and_guards(small):
         prompt = [1, 17, 23, 42]
         assert eng.submit(prompt, max_new_tokens=8) == _ref_tokens(cfg, params, prompt, 8)
         assert eng.submit(prompt, max_new_tokens=8) == _ref_tokens(cfg, params, prompt, 8)
+        assert eng.insert_fn._cache_size() == insert_compiles
+        assert eng._deactivate._cache_size() == deact_compiles
     finally:
         eng.stop()

@@ -128,6 +128,99 @@ def test_flat_code_checkpoint_migrates_to_block_layout(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def _opt_cfg(**kw):
+    return OptimizerConfig(learning_rate=1e-2, warmup_steps=0, total_steps=10,
+                           optimizer_8bit=True, max_grad_norm=0.0, **kw)
+
+
+def test_quantized_checkpoint_migrates_to_fp32_moment_layout(tmp_path):
+    """An 8-bit opt-state saved before min_8bit_size/fp32_moment_paths
+    existed stored EVERY moment as _Moment(codes, scale); resuming under the
+    bnb-parity defaults (embed paths + small leaves keep fp32 moments) must
+    dequantize those leaves onto the new layout, not crash the resume."""
+    import orbax.checkpoint as ocp
+
+    from dreamllm_tpu.train.checkpoints import load_opt_state
+    from dreamllm_tpu.train.optim8bit import dequant_moment_m
+
+    rng = np.random.default_rng(3)
+    params = {"llm": {"embed_tokens": jnp.asarray(
+                          rng.standard_normal(5000).astype(np.float32)),
+                      "proj": {"w": jnp.ones((5000,), jnp.float32)}},
+              "norm": jnp.ones((8,), jnp.float32)}
+    g = jax.tree.map(lambda p: 0.1 * jnp.ones_like(p), params)
+
+    old_tx = make_optimizer(_opt_cfg(min_8bit_size=0, fp32_moment_paths=()))
+    old_state = old_tx.init(params)
+    _, old_state = jax.jit(lambda s: old_tx.update(g, s, params))(old_state)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(str(tmp_path / "old" / "opt_state"), old_state)
+
+    new_tx = make_optimizer(_opt_cfg())  # bnb-parity defaults
+    new_state = new_tx.init(params)
+    restored = load_opt_state(str(tmp_path / "old"), like=new_state)
+
+    from dreamllm_tpu.train.optim8bit import Adam8bitState
+    adam_old = next(x for x in jax.tree.leaves(
+        old_state, is_leaf=lambda x: isinstance(x, Adam8bitState))
+        if isinstance(x, Adam8bitState))
+    adam_new = next(x for x in jax.tree.leaves(
+        restored, is_leaf=lambda x: isinstance(x, Adam8bitState))
+        if isinstance(x, Adam8bitState))
+    emb = adam_new.m["llm"]["embed_tokens"]
+    assert isinstance(emb, jnp.ndarray) and emb.dtype == jnp.float32
+    # dequantized first moment matches the old one within the code's 1/254
+    # per-block resolution (saved codes dequant exactly)
+    want = dequant_moment_m(adam_old.m["llm"]["embed_tokens"], emb.shape)
+    np.testing.assert_allclose(np.asarray(emb), np.asarray(want), atol=1e-7)
+    assert adam_new.m["llm"]["proj"]["w"].codes.dtype == jnp.int8
+    # v moments came through sqrt code space: must be non-negative and close
+    vemb = adam_new.v["llm"]["embed_tokens"]
+    assert float(jnp.min(vemb)) >= 0.0
+    # the restored state drives a further step without error
+    u, _ = jax.jit(lambda s: new_tx.update(g, s, params))(restored)
+    assert np.isfinite(np.asarray(u["llm"]["embed_tokens"])).all()
+
+
+def test_fp32_moment_checkpoint_requantizes_to_8bit(tmp_path):
+    """Reverse direction: a state saved under the bnb-parity defaults loads
+    into a config that quantizes everything (fp32 arrays re-quantized into
+    _Moment, v through sqrt code space)."""
+    import orbax.checkpoint as ocp
+
+    from dreamllm_tpu.train.checkpoints import load_opt_state
+    from dreamllm_tpu.train.optim8bit import Adam8bitState, dequant_moment_v
+
+    rng = np.random.default_rng(4)
+    params = {"llm": {"embed_tokens": jnp.asarray(
+        rng.standard_normal(5000).astype(np.float32))}}
+    g = jax.tree.map(lambda p: 0.1 * p + 0.05, params)
+
+    new_tx = make_optimizer(_opt_cfg())
+    st = new_tx.init(params)
+    _, st = jax.jit(lambda s: new_tx.update(g, s, params))(st)
+    ocp.PyTreeCheckpointer().save(str(tmp_path / "new" / "opt_state"), st)
+
+    old_tx = make_optimizer(_opt_cfg(min_8bit_size=0, fp32_moment_paths=()))
+    like = old_tx.init(params)
+    restored = load_opt_state(str(tmp_path / "new"), like=like)
+    adam_src = next(x for x in jax.tree.leaves(
+        st, is_leaf=lambda x: isinstance(x, Adam8bitState))
+        if isinstance(x, Adam8bitState))
+    adam = next(x for x in jax.tree.leaves(
+        restored, is_leaf=lambda x: isinstance(x, Adam8bitState))
+        if isinstance(x, Adam8bitState))
+    mom = adam.v["llm"]["embed_tokens"]
+    assert mom.codes.dtype == jnp.int8
+    v = dequant_moment_v(mom, (5000,))
+    src_v = np.asarray(adam_src.v["llm"]["embed_tokens"])
+    # requantized v within blockwise sqrt-code resolution of the saved fp32 v
+    bound = np.sqrt(src_v.max()) / 127 * 2 * np.sqrt(src_v.max()) + 1e-8
+    np.testing.assert_allclose(np.asarray(v), src_v, atol=bound)
+    u, _ = jax.jit(lambda s: old_tx.update(g, s, params))(restored)
+    assert np.isfinite(np.asarray(u["llm"]["embed_tokens"])).all()
+
+
 class TestFusedPallasUpdate:
     """The fused TPU kernel (interpret mode here) must match the XLA
     formulation bit-for-bit: same updates, same new moment codes/scales."""

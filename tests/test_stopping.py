@@ -57,6 +57,59 @@ class TestHelpers:
         # a fully single-token stop set is covered device-side -> None
         assert make_stop_fn(tok, ["#"], exclude_ids=(35,)) is None
 
+    def test_make_stop_fn_tail_window_is_incremental(self):
+        """The predicate decodes only the new tail (plus overlap), not the
+        whole history — O(n) total host work instead of O(n^2) on the
+        single-core scheduler thread."""
+        tok = FakeTok()
+        calls = []
+        orig = tok.decode
+        tok.decode = lambda ids: (calls.append(len(ids)), orig(ids))[1]
+        fn = make_stop_fn(tok, ["###"])
+        ids: list[int] = []
+        for _ in range(50):
+            ids.extend([ord("a")] * 8)  # one 8-token chunk
+            assert not fn(list(ids))
+        # each check decodes ~(chunk + overlap), never the full 400-token list
+        assert max(calls) <= 8 + len("###") + 8
+        # a stop spanning the chunk boundary is still caught
+        ids.extend([35, 35])
+        assert not fn(list(ids))
+        ids.extend([35, ord("b")])
+        assert fn(list(ids))
+
+    def test_make_stop_fn_resets_on_shrinking_list(self):
+        tok = FakeTok()
+        fn = make_stop_fn(tok, ["###"])
+        assert not fn([ord("a")] * 20)
+        # a shorter list (fn reused by mistake) still sees its whole content
+        assert fn([35, 35, 35])
+
+    def test_stops_for_template_drops_eos_separator(self):
+        from dreamllm_tpu.generation.stopping import stops_for_template
+
+        tok = FakeTok()
+        # llama2-style: separator "</s>" — dropped via the literal fallback
+        # (FakeTok has no special-token awareness)
+        strings, halt = stops_for_template(TEMPLATES["llama2"], tok, eos_id=2)
+        assert strings == [] and halt == ()
+        # vicuna_v0: "###" is a real stop (multi-token for this tok)
+        strings, halt = stops_for_template(TEMPLATES["vicuna_v0"], tok, eos_id=2)
+        assert strings == ["###"] and halt == ()
+
+        class EosAwareTok(FakeTok):
+            # ChatML-style: the separator string IS the eos token
+            def encode(self, s):
+                return [7] if s == "<|im_end|>" else super().encode(s)
+
+        strings, halt = stops_for_template(
+            TEMPLATES["mpt"], EosAwareTok(), eos_id=7)
+        assert strings == [] and halt == ()
+        # same template, model whose EOS differs: stays a device-side halt
+        strings, halt = stops_for_template(
+            TEMPLATES["mpt"], EosAwareTok(), eos_id=2)
+        assert strings == ["<|im_end|>"] and halt == (7,)
+
     def test_vicuna_v0_renders_single_style(self):
         from dreamllm_tpu.data.conversation import render_prompt
         from dreamllm_tpu.data.dataset_types import Message
