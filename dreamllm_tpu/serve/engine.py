@@ -1190,9 +1190,14 @@ class ContinuousBatchingEngine:
                     # device work (admits dispatched before this chunk) or
                     # _admit host time (admits this iteration) on top of the
                     # chunk — feeding that into the bandit systematically
-                    # deflates whichever arm runs next to admissions, so the
-                    # reward is dropped for polluted windows
-                    if not disp_admits and not admits:
+                    # deflates whichever arm runs next to admissions (mostly
+                    # the current winner), so polluted rewards are dropped.
+                    # EXCEPT as the arm's first sample at this occupancy:
+                    # under sustained churn every window has admissions, and
+                    # an unseen arm must still get bootstrapped or the bandit
+                    # would probe one mode forever without ever comparing
+                    polluted = bool(disp_admits or admits)
+                    if not polluted or (mode, bucket) not in self._mode_seen:
                         self._note_mode_result(
                             mode, bucket, float(valid_np.sum()) / dt
                         )

@@ -275,6 +275,79 @@ class TestFlashVJP:
         b = dot_product_attention(q, k, v, causal=True)
         np.testing.assert_allclose(_np(a), _np(b), rtol=1e-4, atol=1e-5)
 
+    def test_grads_match_xla_gqa(self):
+        """groups>1 exercises the backward's per-Q-head dK/dV group
+        reduction (_flash_attention_bwd_tpu groups>1 branch)."""
+        rng = np.random.default_rng(13)
+        b, s, hq, hkv, d = 1, 256, 4, 2, 128
+        q = jnp.asarray(rng.standard_normal((b, s, hq, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, causal=True, block_q=128,
+                                           block_k=128, interpret=True) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(dot_product_attention(q, k, v, causal=True) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gx):
+            np.testing.assert_allclose(_np(a), _np(b_), rtol=1e-3, atol=1e-4)
+
+    def test_grads_match_xla_segment_ids(self):
+        """Packed-sequence training backward: the kernel's masked
+        exp(S - LSE) reconstruction, incl. fully-masked padding rows
+        (lse ≈ -inf) which must contribute ZERO gradient."""
+        rng = np.random.default_rng(14)
+        b, s, h, d = 1, 256, 2, 128
+        q = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.float32)
+        seg = np.zeros((b, s), np.int32)
+        seg[0, :100] = 1
+        seg[0, 100:200] = 2  # tail 56 rows are padding (id 0)
+        seg = jnp.asarray(seg)
+        w = jnp.asarray((np.asarray(seg) != 0).astype(np.float32))[..., None, None]
+
+        def loss_flash(q, k, v):
+            o = flash_attention(q, k, v, causal=True, segment_ids=seg,
+                                block_q=128, block_k=128, interpret=True)
+            return jnp.sum((o * w) ** 2)  # loss masks padding rows, as training does
+
+        def loss_xla(q, k, v):
+            o = dot_product_attention(q, k, v, causal=True, segment_ids=seg)
+            return jnp.sum((o * w) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gx):
+            np.testing.assert_allclose(_np(a), _np(b_), rtol=1e-3, atol=1e-4)
+        # padding-row q grads are exactly zero through the masked loss
+        np.testing.assert_array_equal(_np(gf[0])[0, 200:], 0.0)
+
+    def test_grads_match_xla_cross_lengths(self):
+        """Non-causal sq != skv (cross-attention shapes) runs the Pallas
+        backward with nq != nk block grids."""
+        rng = np.random.default_rng(15)
+        b, sq, skv, h, d = 1, 128, 384, 2, 128
+        q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+
+        def loss_flash(q, k, v):
+            return jnp.sum(flash_attention(q, k, v, block_q=128, block_k=128,
+                                           interpret=True) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(dot_product_attention(q, k, v) ** 2)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gx):
+            np.testing.assert_allclose(_np(a), _np(b_), rtol=1e-3, atol=1e-4)
+
 
 class TestReviewedSamplerInit:
     def test_top_p_filters_tail(self):
