@@ -269,8 +269,9 @@ class TestFusedPallasUpdate:
             jax.tree.map(_close, sr, sf)
 
     def test_matches_xla_path_kernel_sizes(self):
-        # 512-blocks (131072 = 512 rows) and 128-blocks (32768 = 128 rows)
-        self._run([131072, 32768])
+        # 2048-row (524288), 512-row (131072) and 128-row (32768) tiles —
+        # covers the coarse default and both fallback rungs of _fused_rows
+        self._run([524288, 131072, 32768])
 
     def test_matches_with_weight_decay(self):
         self._run([32768], weight_decay=0.1)
