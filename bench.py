@@ -566,6 +566,23 @@ def main():
     backend = jax.default_backend()
     extra = {"backend": backend, "device": str(jax.devices()[0])}
 
+    # tunnel health stamp: the remote chip's dispatch round-trip is normally
+    # ~24 ms; the tunnel intermittently degrades (or dies for hours), which
+    # contaminates every number below — record the evidence in the artifact
+    # so a degraded run is interpretable (e.g. SD2.1 UNet measured 30.7
+    # img/min during one such episode vs 47 healthy)
+    if backend == "tpu":
+        import numpy as _np
+        import jax.numpy as _jnp
+        _f = jax.jit(lambda a: _jnp.sum(a * a))
+        _np.asarray(_f(_jnp.ones((8, 128))))  # compile
+        _ts = []
+        for _i in range(5):
+            _t0 = time.perf_counter()
+            _np.asarray(_f(_jnp.full((8, 128), float(_i))))
+            _ts.append(time.perf_counter() - _t0)
+        extra["tunnel_rt_ms"] = round(1000 * float(_np.median(_ts)), 1)
+
     # 7B first; fall back to smaller configs if this chip can't hold it.
     ladder = [
         ("7b", dict(hidden=4096, inter=11008, layers=32, heads=32, kv_heads=32)),
