@@ -61,6 +61,8 @@ def dot_product_attention(
     segment_ids when Sq == Skv). Tokens attend only within equal, nonzero
     segment ids; id 0 marks padding and attends to nothing but itself (the
     output there is garbage and must be masked by the caller's loss/labels).
+    ``kv_segment_ids`` ALONE (segment_ids=None) masks padded KV for
+    unpadded queries: 0 = padding, 1 = valid (queries act as one segment).
     """
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
@@ -71,7 +73,7 @@ def dot_product_attention(
 
     # bf16 inputs feed the MXU directly with fp32 accumulation
     # (preferred_element_type); materializing fp32 copies of K/V would add
-    # HBM round-trips on the decode hot path. fp32 inputs are unchanged.
+    # HBM round-trips on the decode hot path.
     vf = v
 
     # [B, Hkv, G, Sq, Skv]
@@ -86,9 +88,13 @@ def dot_product_attention(
         ki = jnp.arange(skv)[None, :]
         mask = ki <= qi  # [Sq, Skv]
         mask = mask[None, None, None]
-    if segment_ids is not None:
+    if segment_ids is not None or kv_segment_ids is not None:
+        # a KV-only mask (kv_segment_ids without segment_ids) marks padded
+        # KV with 0 and valid KV with 1: queries are treated as one segment
+        qseg = (segment_ids if segment_ids is not None
+                else jnp.ones((b, sq), jnp.int32))
         kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
-        seg = (segment_ids[:, :, None] == kv_seg[:, None, :]) & (segment_ids[:, :, None] != 0)
+        seg = (qseg[:, :, None] == kv_seg[:, None, :]) & (qseg[:, :, None] != 0)
         seg = seg[:, None, None]  # [B,1,1,Sq,Skv]
         mask = seg if mask is None else (mask & seg)
     if mask is not None:
@@ -124,94 +130,6 @@ def dot_product_attention(
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(
-    q_ref,
-    k_ref,
-    v_ref,
-    qseg_ref,
-    kseg_ref,
-    o_ref,
-    *rest,
-    causal: bool,
-    sm_scale: float,
-    block_q: int,
-    block_k: int,
-    use_segments: bool,
-    with_lse: bool = False,
-):
-    if with_lse:
-        lse_ref, acc_ref, m_ref, l_ref = rest
-    else:
-        acc_ref, m_ref, l_ref = rest
-        lse_ref = None
-    iq = pl.program_id(2)
-    ik = pl.program_id(3)
-    nk = pl.num_programs(3)
-
-    @pl.when(ik == 0)
-    def _init():
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
-
-    # With causal masking, blocks strictly above the diagonal contribute
-    # nothing: skip their compute entirely (DMA still overlaps).
-    should_compute = True
-    if causal:
-        should_compute = ik * block_k <= iq * block_q + (block_q - 1)
-
-    @pl.when(should_compute)
-    def _compute():
-        # keep q/k in their input dtype for the MXU dot (bf16 in = full-rate
-        # MXU; upcasting first would force 8x-slower fp32 matmuls) and
-        # accumulate in fp32; the scale applies to fp32 scores afterwards
-        q = q_ref[0, 0]  # [bq, d]
-        k = k_ref[0, 0]  # [bk, d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * sm_scale  # [bq, bk] fp32
-
-        mask = None
-        if causal:
-            rows = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            cols = ik * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            mask = cols <= rows
-        if use_segments:
-            qs = qseg_ref[0, 0, :]  # [bq]
-            ks = kseg_ref[0, 0, :]  # [bk]
-            seg = (qs[:, None] == ks[None, :]) & (qs[:, None] != 0)
-            mask = seg if mask is None else (mask & seg)
-        if mask is not None:
-            s = jnp.where(mask, s, NEG_INF)
-
-        m_prev = m_ref[:, 0]  # [bq]
-        m_cur = jnp.max(s, axis=-1)  # [bq]
-        m_new = jnp.maximum(m_prev, m_cur)
-        # fp32 softmax stats: a bf16-exp variant measured SLOWER on-chip
-        # (1.47 vs 1.30 ms/layer — Mosaic upcasts for exp, so the casts are
-        # pure overhead) and costs ~2.5e-3 forward accuracy; keep fp32
-        p = jnp.exp(s - m_new[:, None])  # [bq, bk]
-        alpha = jnp.exp(m_prev - m_new)  # [bq]
-
-        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=-1)
-        v = v_ref[0, 0]  # [bk, d] input dtype
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[...] = acc_ref[...] * alpha[:, None] + pv
-        m_ref[:, 0] = m_new
-
-    @pl.when(ik == nk - 1)
-    def _finalize():
-        # Fully-masked rows (padding) have l == 0; emit zeros there.
-        l = l_ref[:, 0]
-        denom = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_ref[...] / denom[:, None]).astype(o_ref.dtype)
-        if with_lse:
-            lse_ref[0, 0, 0] = m_ref[:, 0] + jnp.log(jnp.maximum(l, 1e-30))
-
-
 def _flash_kernel_t(
     q_ref,
     k_ref,
@@ -227,15 +145,17 @@ def _flash_kernel_t(
     use_segments: bool,
     with_lse: bool = False,
 ):
-    """Transposed-scores variant of :func:`_flash_kernel`.
+    """Transposed-scores online-softmax flash forward.
 
     Scores live as ``[block_k, block_q]`` (q along LANES) so every softmax
     reduction is a sublane reduce and every running-stat broadcast is a
-    sublane broadcast — the straight layout's lane-direction max/sum need
-    ~7 cross-lane shuffle steps per (8,128) tile, and the VPU half of the
-    kernel was measured at parity with its MXU half (23.6 us/block vs a
-    ~10 us matmul bound at b4/s2048/h16/d128). The accumulator stays
-    ``[d, block_q]`` and is transposed once per q-block at finalize.
+    sublane broadcast — the straight-layout variant (kept in git history,
+    removed as dead code after 4.10 vs 4.39 ms/layer measured in its favor)
+    needed ~7 cross-lane shuffle steps per (8,128) tile for its
+    lane-direction max/sum, and the VPU half of the kernel was measured at
+    parity with its MXU half (23.6 us/block vs a ~10 us matmul bound at
+    b4/s2048/h16/d128). The accumulator stays ``[d, block_q]`` and is
+    transposed once per q-block at finalize.
     """
     if with_lse:
         lse_ref, acc_ref, m_ref, l_ref = rest
@@ -293,6 +213,11 @@ def _flash_kernel_t(
 
     @pl.when(ik == nk - 1)
     def _finalize():
+        # Fully-masked rows (padding) are NOT zeroed: every score is
+        # NEG_INF, so p = exp(s - m) = 1 elementwise and the row emits
+        # mean(V) — the same garbage-by-contract as the XLA path's uniform
+        # softmax (callers mask padding rows via labels/lengths). The
+        # where() only guards a division for rows no block ever computed.
         l = l_ref[0, :]
         denom = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_ref[...] / denom[None, :]).T.astype(o_ref.dtype)
@@ -312,11 +237,14 @@ def _flash_attention_tpu(
     block_q,
     block_k,
     interpret=False,
-    transposed=True,
     return_lse=False,
 ):
     b, sq, hq, d = q.shape
     _, skv, hkv, _ = k.shape
+    # the h // groups KV index map below silently clamps out-of-range block
+    # indices on TPU — a non-divisible head ratio would read the wrong KV
+    # head with no error (the XLA path asserts the same invariant)
+    assert hq % hkv == 0, (hq, hkv)
     groups = hq // hkv
     block_q = min(block_q, sq)
     block_k = min(block_k, skv)
@@ -337,7 +265,7 @@ def _flash_attention_tpu(
     grid = (b, hq, nq, nk)
 
     kernel = functools.partial(
-        _flash_kernel_t if transposed else _flash_kernel,
+        _flash_kernel_t,
         causal=causal,
         sm_scale=sm_scale,
         block_q=block_q,
@@ -382,9 +310,9 @@ def _flash_attention_tpu(
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((d, block_q) if transposed else (block_q, d), jnp.float32),
-            pltpu.VMEM((1, block_q) if transposed else (block_q, 1), jnp.float32),
-            pltpu.VMEM((1, block_q) if transposed else (block_q, 1), jnp.float32),
+            pltpu.VMEM((d, block_q), jnp.float32),
+            pltpu.VMEM((1, block_q), jnp.float32),
+            pltpu.VMEM((1, block_q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
@@ -392,7 +320,7 @@ def _flash_attention_tpu(
         cost_estimate=pl.CostEstimate(
             flops=int(4 * b * hq * sq * skv * d * (0.5 if causal else 1.0)),
             bytes_accessed=(q.size + k.size + v.size * 2) * q.dtype.itemsize,
-            transcendentals=b * hq * sq * skv,
+            transcendentals=int(b * hq * sq * skv * (0.5 if causal else 1.0)),
         ),
         interpret=interpret,
     )(qT, kT, vT, qseg, kseg)
@@ -645,6 +573,11 @@ def _bwd_block_default(seq: int, want: int) -> int:
     blk = min(want, seq)
     while blk > 128 and seq % blk != 0:
         blk //= 2
+    if seq % blk != 0:
+        # non-power-of-two override (e.g. DREAMLLM_FBWD_BQ=768 at seq 2048)
+        # can halve past every divisor; fall back to a guaranteed one rather
+        # than trip the divisibility assert mid-training
+        blk = 128 if seq % 128 == 0 else seq
     return blk
 
 
@@ -698,8 +631,11 @@ def flash_attention(
     """Flash attention, BSHD layout. Pallas on TPU, XLA elsewhere.
 
     Functional drop-in for ``dot_product_attention``; see its docstring for
-    the segment-id contract. Differentiable: backward recomputes through the
-    XLA formulation (see _flash_core).
+    the segment-id contract (``kv_segment_ids`` alone masks padded KV: 0 =
+    padding, 1 = valid). Differentiable: the backward is the fused Pallas
+    kernel (_flash_bwd_kernel, 6.50 ms/layer fwd+bwd vs 12.6 for XLA
+    recompute at b4/s2048/h16/d128); set ``DREAMLLM_FLASH_BWD=xla`` to fall
+    back to recomputing through the XLA formulation (see _flash_core).
 
     Default blocks are shape-tuned on-chip: d=128 decoders run 1024x1024
     (1.30 ms/layer at 7B/2048 vs 1.43 at 256x1024 — the kernel is
@@ -753,13 +689,17 @@ def flash_attention(
             sm_scale=sm_scale,
         )
     b = q.shape[0]
-    if segment_ids is not None:
+    if segment_ids is not None or kv_segment_ids is not None:
+        # a KV-only mask treats queries as one segment (all-ones)
+        qseg = (segment_ids if segment_ids is not None
+                else jnp.ones((b, sq))).astype(jnp.int32)
         kv_seg = kv_segment_ids if kv_segment_ids is not None else segment_ids
-        qseg = segment_ids.astype(jnp.int32)
         kseg = kv_seg.astype(jnp.int32)
     else:
-        qseg = jnp.ones((b, sq), jnp.int32)
-        kseg = jnp.ones((b, skv), jnp.int32)
+        # None, not dummy all-ones arrays: materialized ones would force
+        # use_segments=True and pay the per-block compare/select VPU work on
+        # every non-packed call (the kernel is softmax/VPU-bound)
+        qseg = kseg = None
     # d=64 runs NATIVELY: Mosaic accepts a block whose last dim equals the
     # array's (64), and the unpadded kernel measures ~20% faster than
     # lane-padding to 128 (same results bit-for-bit)

@@ -224,6 +224,56 @@ class TestAttention:
         )
         np.testing.assert_allclose(_np(got), golden, rtol=1e-4, atol=1e-5)
 
+    def test_kv_only_segment_mask(self):
+        """kv_segment_ids WITHOUT segment_ids must mask padded KV (it was
+        silently ignored): unpadded queries over a KV whose tail is padding
+        must match attention over the truncated KV, in both paths."""
+        rng = np.random.default_rng(21)
+        b, sq, skv, h, d = 1, 128, 256, 2, 128
+        q = jnp.asarray(rng.standard_normal((b, sq, h, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((b, skv, h, d)), jnp.float32)
+        valid = 140
+        kv_seg = jnp.asarray(
+            (np.arange(skv) < valid).astype(np.int32)[None], jnp.int32)
+        want = dot_product_attention(q, k[:, :valid], v[:, :valid])
+        got_xla = dot_product_attention(q, k, v, kv_segment_ids=kv_seg)
+        np.testing.assert_allclose(_np(got_xla), _np(want), rtol=1e-4, atol=1e-5)
+        got_flash = flash_attention(q, k, v, kv_segment_ids=kv_seg,
+                                    block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(_np(got_flash), _np(want), rtol=1e-4, atol=1e-5)
+
+    def test_no_segments_passes_none_to_kernel(self):
+        """Without masks the dispatcher must NOT materialize all-ones
+        segment arrays (they force the kernel's per-block compare/select on
+        its VPU-bound critical path) — and the None path must stay
+        differentiable."""
+        from unittest import mock
+
+        from dreamllm_tpu.ops import attention as A
+
+        rng = np.random.default_rng(22)
+        q = jnp.asarray(rng.standard_normal((1, 256, 2, 128)), jnp.float32)
+        seen = {}
+        real = A._flash_attention_tpu
+
+        def spy(q_, k_, v_, qseg, kseg, **kw):
+            seen["qseg"] = qseg
+            return real(q_, k_, v_, qseg, kseg, **kw)
+
+        with mock.patch.object(A, "_flash_attention_tpu", side_effect=spy):
+            out = A.flash_attention(q, q, q, causal=True, block_q=128,
+                                    block_k=128, interpret=True)
+        assert seen["qseg"] is None
+        ref = dot_product_attention(q, q, q, causal=True)
+        np.testing.assert_allclose(_np(out), _np(ref), rtol=1e-4, atol=1e-5)
+        g = jax.grad(lambda q_: jnp.sum(A.flash_attention(
+            q_, q_, q_, causal=True, block_q=128, block_k=128,
+            interpret=True) ** 2))(q)
+        gx = jax.grad(lambda q_: jnp.sum(
+            dot_product_attention(q_, q_, q_, causal=True) ** 2))(q)
+        np.testing.assert_allclose(_np(g), _np(gx), rtol=1e-3, atol=1e-4)
+
     def test_pallas_interpret_segment_ids(self):
         rng = np.random.default_rng(9)
         b, s, h, d = 1, 256, 2, 128
