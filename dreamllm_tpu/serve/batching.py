@@ -146,6 +146,19 @@ class DynamicBatcher:
                     p.event.set()
 
 
+def left_truncate_keep_bos(ids: list[int], cap: int,
+                           bos_token_id: int | None) -> list[int]:
+    """Left-truncate an overlong prompt to ``cap`` tokens, keeping BOS at
+    position 0 when it is actually present — LLaMA-family models are
+    calibrated with it (the one truncation rule for the whole serving
+    stack: the engine's _admit and the fixed-shape batcher both use it)."""
+    if len(ids) <= cap:
+        return list(ids)
+    head = ([ids[0]] if bos_token_id is not None and ids
+            and ids[0] == bos_token_id else [])
+    return head + list(ids[-(cap - len(head)):])
+
+
 def make_batched_generate_fn(
     params,
     llm_cfg,
@@ -208,11 +221,7 @@ def make_batched_generate_fn(
             t = tokenizer.encode(prompt)
             if bos_token_id is not None and (not t or t[0] != bos_token_id):
                 t = [bos_token_id] + list(t)
-            if len(t) > max_prompt_len:
-                # keep BOS when left-truncating — LLaMA-family models are
-                # calibrated with it present
-                head = [t[0]] if bos_token_id is not None else []
-                t = head + t[-(max_prompt_len - len(head)):]
+            t = left_truncate_keep_bos(t, max_prompt_len, bos_token_id)
             ids[i, : len(t)] = t
             lens[i] = len(t)
         counter[0] += 1

@@ -65,7 +65,9 @@ def _stream_key(seed, idx):
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     slots: int = 8              # concurrent cache lanes
-    prefill_len: int = 512     # prompts pad/truncate-left to this length
+    prefill_len: int = 512     # tokens per compiled PREFILL CHUNK: prompts
+    # prefill in P-token chunks up to max_len-1 (chunked prefill); only
+    # max_len governs truncation
     max_len: int = 1024        # per-lane KV capacity (prompt + generated)
     chunk_steps: int = 8       # decode steps per compiled dispatch
     cache_dtype: str = "bfloat16"   # or "int8" (halved KV HBM)
@@ -565,6 +567,7 @@ class ContinuousBatchingEngine:
         self.decode_plain_fn = getattr(self.decode_chunk_fn, "plain", None)
         self._mode_ema: dict[tuple[str, int], float] = {}
         self._mode_seen: dict[tuple[str, int], int] = {}
+        self._mode_picks: dict[int, int] = {}  # per-occupancy pick counter
         self._last_fetch_t: float | None = None
         self.spec_chunks = 0
         self.plain_chunks = 0
@@ -653,6 +656,10 @@ class ContinuousBatchingEngine:
             self.params, pre, jnp.zeros((1, P), jnp.int32), clen,
             jnp.int32(0), rng, samp_dev,
         )
+        if self.ecfg.prefix_cache_entries:
+            # the first prefix-cache store/hit calls _copy_cache in _admit;
+            # compile it now, not on the scheduler thread mid-serving
+            self._copy_cache(pre)
         if embeds:
             # prompt embeddings arrive in the model's param dtype (submit
             # coerces); a mismatched warmup dtype would compile a program
@@ -707,12 +714,22 @@ class ContinuousBatchingEngine:
         # in a multi-minute remote compile), and an unsynchronized register
         # racing this sweep would strand its request un-failed until the
         # submitter's own timeout
+        swept_any = False
         with self._submit_lock:
             for slot in list(self._by_slot):
-                req = self._by_slot.pop(slot)
-                self._free.append(slot)
+                # default=None: a still-live scheduler's _finish/retirement
+                # can pop the slot between our snapshot and here
+                req = self._by_slot.pop(slot, None)
+                if req is None:
+                    continue
+                swept_any = True
                 req.error = exc
                 req.done.set()
+            # rebuild rather than append per slot: a racing _finish may have
+            # freed a slot already, and a duplicate entry would admit two
+            # requests into the same lane after a restart
+            self._free = [s for s in range(self.ecfg.slots)
+                          if s not in self._by_slot]
             for req in self._retired:
                 req.error = exc
                 req.done.set()
@@ -725,6 +742,19 @@ class ContinuousBatchingEngine:
                 if req is not None:
                     req.error = exc
                     req.done.set()
+        # swept lanes still have active=True in the device state: after a
+        # stop()+start() they would decode as zombies, burning up to
+        # slots-1 lanes of forward passes per chunk on garbage nobody
+        # routes. Deactivate them — but only if the scheduler thread really
+        # exited (a live thread may be mid-dispatch on self.state, and
+        # _deactivate donates its input).
+        if swept_any and self._thread is None:
+            try:
+                self.state = self._deactivate(
+                    self.state, jnp.ones_like(self.state["active"])
+                )
+            except Exception:
+                logger.exception("post-stop lane deactivation failed")
 
     def submit(
         self,
@@ -860,10 +890,9 @@ class ContinuousBatchingEngine:
         if emb is not None:
             plen = emb.shape[0]  # overlong embeds were rejected at submit
         else:
-            if len(ids) > cap:
-                bos = self.ecfg.bos_token_id
-                head = [ids[0]] if bos is not None and ids[0] == bos else []
-                ids = head + ids[-(cap - len(head)):]
+            from dreamllm_tpu.serve.batching import left_truncate_keep_bos
+
+            ids = left_truncate_keep_bos(ids, cap, self.ecfg.bos_token_id)
             plen = len(ids)
         self._admit_count += 1
         rng = jax.random.fold_in(self._rng0, self._admit_count)
@@ -1081,7 +1110,14 @@ class ContinuousBatchingEngine:
         if npl == 0:
             return self.decode_plain_fn, "plain"
         spec_better = self._mode_ema[ks] >= self._mode_ema[kp]
-        if (ns + npl) % 32 == 0:  # re-probe the losing arm
+        # re-probe the losing arm every 32nd PICK at this occupancy. The
+        # pick counter (not ns+npl) advances even when rewards are dropped
+        # as admission-polluted — keyed on sample counts, a frozen count
+        # that happened to land on a multiple of 32 would invert the choice
+        # for EVERY chunk of a sustained-churn burst
+        picks = self._mode_picks.get(bucket, 0) + 1
+        self._mode_picks[bucket] = picks
+        if picks % 32 == 0:
             spec_better = not spec_better
         if spec_better:
             return self.decode_chunk_fn, "spec"
@@ -1171,9 +1207,14 @@ class ContinuousBatchingEngine:
                 try:
                     (chunk_idx, toks, valid, active, mode, dispatch_t, bucket,
                      disp_admits) = pending
-                    toks_np = np.asarray(toks)
-                    valid_np = np.asarray(valid)
-                    active_np = np.asarray(active)
+                    # ONE batched fetch: device_get pre-issues the async
+                    # copies for all three arrays before blocking, vs three
+                    # sequential ~24 ms tunnel round-trips
+                    toks_np, valid_np, active_np = jax.device_get(
+                        (toks, valid, active))
+                    toks_np = np.asarray(toks_np)
+                    valid_np = np.asarray(valid_np)
+                    active_np = np.asarray(active_np)
                 except Exception as e:
                     pending = None
                     self._fail_all(e)

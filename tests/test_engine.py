@@ -713,6 +713,43 @@ def test_engine_seeded_sampling_reproducible(small):
         eng.stop()
 
 
+def test_stop_with_inflight_deactivates_lanes_for_restart(small):
+    """stop() fails in-flight requests AND clears their lanes' device
+    active flags: a stop()+start() must not resume zombie lanes that burn
+    decode work on garbage nobody routes."""
+    import threading
+
+    cfg, params = small
+    eng = _engine(cfg, params).start()
+    try:
+        errs = {}
+
+        def long_req():
+            try:
+                eng.submit([1, 5, 9], max_new_tokens=48, timeout=60)
+            except Exception as e:
+                errs["e"] = e
+
+        t = threading.Thread(target=long_req)
+        t.start()
+        # wait until the request is actually admitted to a lane
+        for _ in range(200):
+            if eng._by_slot:
+                break
+            time.sleep(0.01)
+        eng.stop()
+        t.join(timeout=30)
+        assert "e" in errs and "stopped" in str(errs["e"])
+        assert not bool(np.asarray(eng.state["active"]).any())
+        # a restart serves correctly with no zombie lanes
+        eng.start()
+        prompt = [1, 17, 23]
+        assert eng.submit(prompt, max_new_tokens=6) == _ref_tokens(
+            cfg, params, prompt, 6)
+    finally:
+        eng.stop()
+
+
 def test_engine_warmup_executes_and_guards(small):
     """warmup() executes each program (jit.lower().compile() alone does not
     seed the dispatch cache), leaves the idle state harmless, and refuses
