@@ -582,6 +582,12 @@ class ContinuousBatchingEngine:
         self._thread: threading.Thread | None = None
         self._stopped = False
         self._submit_lock = threading.Lock()  # serializes submit vs stop drain
+        # deterministic admission observability: `admissions` counts lane
+        # REGISTRATIONS (request visible in _by_slot, insert dispatched).
+        # Tests and load tools wait on it instead of polling _by_slot — a
+        # poll window that expires under host load races stop()'s contract.
+        self._adm_cond = threading.Condition()
+        self.admissions = 0
         # observability (bounded — a long-running server must not grow one
         # entry per chunk forever)
         from collections import deque
@@ -696,10 +702,26 @@ class ContinuousBatchingEngine:
         np.asarray(out[3])
         return self
 
+    def wait_for_admissions(self, n: int, timeout: float | None = None) -> bool:
+        """Block until ``n`` total lane registrations have happened since
+        construction (deterministic alternative to polling ``_by_slot``).
+        Returns False on timeout."""
+        with self._adm_cond:
+            return self._adm_cond.wait_for(
+                lambda: self.admissions >= n, timeout)
+
     def stop(self) -> None:
         """Stop the loop and fail anything not finished — stranding queued
         or in-flight requests would block each submitter for its full
-        timeout."""
+        timeout.
+
+        Contract (tested in tests/test_engine.py):
+        - queued-but-not-admitted requests fail with "engine stopped";
+        - in-flight (admitted) requests fail with "engine stopped" and
+          their device lanes are deactivated once the scheduler exits;
+        - a request whose admission raced stop() (popped from the queue,
+          not yet registered) is failed by ``_admit``'s registration check,
+          which also deactivates the lane its insert just activated."""
         with self._submit_lock:
             self._stopped = True
         self._queue.put(None)
@@ -731,6 +753,10 @@ class ContinuousBatchingEngine:
             self._free = [s for s in range(self.ecfg.slots)
                           if s not in self._by_slot]
             for req in self._retired:
+                # a retired lane was freed host-side but its device active
+                # flag clears only when a later chunk processes — none will
+                # after stop, so it needs the deactivation sweep too
+                swept_any = True
                 req.error = exc
                 req.done.set()
             self._retired = []
@@ -1025,10 +1051,28 @@ class ContinuousBatchingEngine:
         with self._submit_lock:
             if self._stopped:
                 self._free.append(slot)
+                # the insert above already flipped this lane active on
+                # device, and stop()'s sweep (which ran before or runs
+                # concurrently with this block) saw an empty _by_slot — its
+                # post-stop deactivation won't cover us. Without this, a
+                # stop()+start() resumes the lane as a zombie burning decode
+                # work on garbage nobody routes (the exact bug
+                # test_stop_with_inflight_deactivates_lanes_for_restart
+                # exists to catch; it fired whenever stop() landed inside
+                # this admission window).
+                try:
+                    mask = np.zeros((self.ecfg.slots,), bool)
+                    mask[slot] = True
+                    self.state = self._deactivate(self.state, jnp.asarray(mask))
+                except Exception:
+                    logger.exception("stop-race lane deactivation failed")
                 req.error = RuntimeError("engine stopped")
                 req.done.set()
                 return
             self._by_slot[slot] = req
+        with self._adm_cond:
+            self.admissions += 1
+            self._adm_cond.notify_all()
 
     def _finish(self, slot: int) -> None:
         req = self._by_slot.pop(slot)

@@ -732,11 +732,10 @@ def test_stop_with_inflight_deactivates_lanes_for_restart(small):
 
         t = threading.Thread(target=long_req)
         t.start()
-        # wait until the request is actually admitted to a lane
-        for _ in range(200):
-            if eng._by_slot:
-                break
-            time.sleep(0.01)
+        # deterministic: block until the lane is REGISTERED (a fixed-window
+        # poll of _by_slot expired under full-suite load, racing stop()'s
+        # contract — the r4 flake)
+        assert eng.wait_for_admissions(1, timeout=60)
         eng.stop()
         t.join(timeout=30)
         assert "e" in errs and "stopped" in str(errs["e"])
@@ -748,6 +747,88 @@ def test_stop_with_inflight_deactivates_lanes_for_restart(small):
             cfg, params, prompt, 6)
     finally:
         eng.stop()
+
+
+def test_stop_fails_queued_never_admitted_requests(small):
+    """stop() contract, queued-but-not-admitted: a request sitting in the
+    queue (scheduler never started) is failed with "engine stopped" instead
+    of stranding its submitter until the request timeout."""
+    cfg, params = small
+    eng = _engine(cfg, params)  # NOT started: the request stays queued
+    errs = {}
+
+    def queued_req():
+        try:
+            eng.submit([1, 5, 9], max_new_tokens=8, timeout=60)
+        except Exception as e:
+            errs["e"] = e
+
+    t = threading.Thread(target=queued_req)
+    t.start()
+    # wait until the request is actually enqueued (submit runs host-side
+    # validation first); queue size is host state, no device involved
+    for _ in range(500):
+        if not eng._queue.empty():
+            break
+        time.sleep(0.01)
+    eng.stop()
+    t.join(timeout=30)
+    assert "e" in errs and "stopped" in str(errs["e"])
+    assert not bool(np.asarray(eng.state["active"]).any())
+    # post-stop submits are rejected immediately
+    with pytest.raises(RuntimeError, match="stopped"):
+        eng.submit([1, 2], max_new_tokens=2)
+
+
+def test_stop_racing_admission_deactivates_inserted_lane(small):
+    """stop() contract, mid-admission race: stop() lands AFTER the scheduler
+    popped the request from the queue and dispatched its insert (lane
+    active=True on device) but BEFORE registration in _by_slot. The
+    registration check must fail the request AND deactivate the lane its
+    insert just activated — stop()'s own sweep saw an empty _by_slot and
+    cannot cover it. This is the deterministic reproduction of the r4 flake.
+    """
+    cfg, params = small
+    eng = _engine(cfg, params)
+    entered, release = threading.Event(), threading.Event()
+    orig_insert = eng.insert_fn
+
+    def gated_insert(*a, **kw):
+        entered.set()
+        assert release.wait(60)
+        return orig_insert(*a, **kw)
+
+    eng.insert_fn = gated_insert
+    eng.start()
+    errs = {}
+
+    def racing_req():
+        try:
+            eng.submit([1, 7, 11], max_new_tokens=8, timeout=60)
+        except Exception as e:
+            errs["e"] = e
+
+    t = threading.Thread(target=racing_req)
+    t.start()
+    assert entered.wait(30)  # scheduler is inside _admit, pre-registration
+    stopper = threading.Thread(target=eng.stop)
+    stopper.start()
+    # stop() sets _stopped under the submit lock first thing; once visible,
+    # releasing the insert lets _admit reach the registration check with
+    # _stopped already True — the exact interleaving of the flake
+    for _ in range(3000):
+        if eng._stopped:
+            break
+        time.sleep(0.001)
+    assert eng._stopped
+    release.set()
+    stopper.join(timeout=60)
+    t.join(timeout=30)
+    assert "e" in errs and "stopped" in str(errs["e"])
+    assert not bool(np.asarray(eng.state["active"]).any())
+    # the lane leaked into neither registry nor the free-list's complement
+    assert not eng._by_slot
+    assert sorted(eng._free) == list(range(eng.ecfg.slots))
 
 
 def test_engine_warmup_executes_and_guards(small):
