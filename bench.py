@@ -343,23 +343,115 @@ def bench_train(hidden=2048, inter=5504, layers=16, heads=16, kv_heads=16,
     return tok_s, mfu
 
 
-def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True, sdxl=False):
-    """SD-2.1 (512px) or SDXL (1024px) UNet denoise step time.
+def make_piecewise_unet(cfg, added=None):
+    """Per-block jitted UNet step for this environment: the monolithic UNet
+    graph overloads the remote-compile service (40+ min, then broken pipe),
+    while ~10 block-sized graphs compile in minutes and execute back-to-back
+    with negligible dispatch overhead.
 
-    ``piecewise=True`` jits each down/mid/up block separately: the monolithic
-    UNet graph overloads this environment's remote-compile service (40+ min,
-    then broken pipe), while ~10 block-sized graphs compile in minutes and
-    execute back-to-back with negligible dispatch overhead.
+    Returns a dict with ``step(params, lat, t, ctx)`` plus the individual
+    jitted pieces (for the opt-in fused-halves experiment in bench_unet).
+    Params MUST be explicit jit arguments: closed-over arrays are inlined
+    as constants into the serialized HLO, and this environment's remote
+    compile service rejects the resulting ~GB request (HTTP 413).
     """
     import jax
     import jax.numpy as jnp
 
-    from dreamllm_tpu.models.sd import UNetConfig, init_unet_params, unet_forward
     from dreamllm_tpu.models.sd.blocks import (
-        conv2d, dense, downsample, resnet_block, timestep_embedding, upsample,
+        conv2d, downsample, resnet_block, upsample,
     )
-    from dreamllm_tpu.models.sd.unet import _transformer2d, sdxl_unet_config
+    from dreamllm_tpu.models.sd.unet import _transformer2d, _unet_time_embedding
     from dreamllm_tpu.ops.norms import group_norm
+
+    g = cfg.norm_num_groups
+    heads = cfg.num_attention_heads
+
+    @jax.jit
+    def stage_in(p, sample, t):
+        # the SAME time-embedding helper as unet_forward (incl. SDXL
+        # text_time micro-conditioning) — a reimplementation drifted from it
+        # numerically, caught by tests/test_bench_pieces.py
+        temb = _unet_time_embedding(p, cfg, t, added, sample)
+        h = conv2d(sample, p["conv_in"])
+        return h, temb
+
+    def make_down(i):
+        @partial(jax.jit, static_argnames=())
+        def f(blk, h, temb, ctx):
+            outs = []
+            for j, r in enumerate(blk["resnets"]):
+                h = resnet_block(r, h, temb, groups=g, eps=1e-5)
+                if "attentions" in blk:
+                    h = _transformer2d(blk["attentions"][j], h, ctx, heads[i], g)
+                outs.append(h)
+            if "downsample" in blk:
+                # symmetric=True matches unet_forward (torch-parity-tested)
+                h = downsample(blk["downsample"], h, symmetric=True)
+                outs.append(h)
+            return h, outs
+
+        return f
+
+    @jax.jit
+    def stage_mid(m, h, temb, ctx):
+        h = resnet_block(m["resnet1"], h, temb, groups=g, eps=1e-5)
+        h = _transformer2d(m["attention"], h, ctx, heads[-1], g)
+        return resnet_block(m["resnet2"], h, temb, groups=g, eps=1e-5)
+
+    def make_up(i):
+        rev_heads = list(reversed(heads))
+
+        @partial(jax.jit, static_argnames=())
+        def f(blk, h, skips, temb, ctx):
+            for j, r in enumerate(blk["resnets"]):
+                h = jnp.concatenate([h, skips[-(j + 1)]], axis=-1)
+                h = resnet_block(r, h, temb, groups=g, eps=1e-5)
+                if "attentions" in blk:
+                    h = _transformer2d(blk["attentions"][j], h, ctx, rev_heads[i], g)
+            if "upsample" in blk:
+                h = upsample(blk["upsample"], h)
+            return h
+
+        return f
+
+    @jax.jit
+    def stage_out(p, h):
+        h = group_norm(h, p["norm_out"]["w"], p["norm_out"]["b"], num_groups=g, eps=1e-5)
+        return conv2d(jax.nn.silu(h), p["conv_out"])
+
+    n_down = len(cfg.block_out_channels)
+    downs = [make_down(i) for i in range(n_down)]
+    ups = [make_up(i) for i in range(n_down)]
+    n_res = cfg.layers_per_block + 1
+
+    def step(params, lat, t, ctx):
+        h, temb = stage_in(params, lat, t)
+        skips = [h]
+        for i, f in enumerate(downs):
+            h, outs = f(params["down"][i], h, temb, ctx)
+            skips += outs
+        h = stage_mid(params["mid"], h, temb, ctx)
+        for i, f in enumerate(ups):
+            take, skips = skips[-n_res:], skips[:-n_res]
+            h = f(params["up"][i], h, take, temb, ctx)
+        return stage_out(params, h)
+
+    return {
+        "step": step, "stage_in": stage_in, "downs": downs,
+        "stage_mid": stage_mid, "ups": ups, "stage_out": stage_out,
+        "n_res": n_res,
+    }
+
+
+def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True, sdxl=False):
+    """SD-2.1 (512px) or SDXL (1024px) UNet denoise step time (see
+    make_piecewise_unet for why piecewise)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dreamllm_tpu.models.sd import UNetConfig, init_unet_params, unet_forward
+    from dreamllm_tpu.models.sd.unet import sdxl_unet_config
 
     if sdxl:
         cfg = sdxl_unet_config(dtype=jnp.bfloat16)  # SDXL-base at 1024px
@@ -378,12 +470,7 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True, sdxl=False):
                                              jnp.bfloat16), (2, 1)),
             "text_embeds": jnp.zeros((2, 1280), jnp.bfloat16),
         }
-    g = cfg.norm_num_groups
-    heads = cfg.num_attention_heads
 
-    # Params MUST be explicit jit arguments: closed-over arrays are inlined
-    # as constants into the serialized HLO, and this environment's remote
-    # compile service rejects the resulting ~GB request (HTTP 413).
     if not piecewise:
         @jax.jit
         def step_full(params, lat, t, ctx):
@@ -392,87 +479,27 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True, sdxl=False):
         def step(lat, t):
             return step_full(params, lat, t, ctx)
     else:
-        @jax.jit
-        def stage_in(p, sample, t):
-            temb = timestep_embedding(t, cfg.block_out_channels[0])
-            te = p["time_embedding"]
-            temb = dense(jax.nn.silu(dense(temb.astype(sample.dtype), te["linear_1"])), te["linear_2"])
-            if cfg.addition_embed_type == "text_time":  # SDXL micro-conditioning
-                tids = added["time_ids"]
-                tid_emb = timestep_embedding(tids.reshape(-1), cfg.addition_time_embed_dim)
-                tid_emb = tid_emb.reshape(tids.shape[0], -1)
-                add = jnp.concatenate(
-                    [added["text_embeds"], tid_emb.astype(sample.dtype)], axis=-1)
-                ae = p["add_embedding"]
-                temb = temb + dense(jax.nn.silu(dense(add, ae["linear_1"])), ae["linear_2"])
-            h = conv2d(sample, p["conv_in"])
-            return h, temb
-
-        def make_down(i):
-            @partial(jax.jit, static_argnames=())
-            def f(blk, h, temb, ctx):
-                outs = []
-                for j, r in enumerate(blk["resnets"]):
-                    h = resnet_block(r, h, temb, groups=g, eps=1e-5)
-                    if "attentions" in blk:
-                        h = _transformer2d(blk["attentions"][j], h, ctx, heads[i], g)
-                    outs.append(h)
-                if "downsample" in blk:
-                    h = downsample(blk["downsample"], h)
-                    outs.append(h)
-                return h, outs
-
-            return f
-
-        @jax.jit
-        def stage_mid(m, h, temb, ctx):
-            h = resnet_block(m["resnet1"], h, temb, groups=g, eps=1e-5)
-            h = _transformer2d(m["attention"], h, ctx, heads[-1], g)
-            return resnet_block(m["resnet2"], h, temb, groups=g, eps=1e-5)
-
-        def make_up(i):
-            rev_heads = list(reversed(heads))
-
-            @partial(jax.jit, static_argnames=())
-            def f(blk, h, skips, temb, ctx):
-                for j, r in enumerate(blk["resnets"]):
-                    h = jnp.concatenate([h, skips[-(j + 1)]], axis=-1)
-                    h = resnet_block(r, h, temb, groups=g, eps=1e-5)
-                    if "attentions" in blk:
-                        h = _transformer2d(blk["attentions"][j], h, ctx, rev_heads[i], g)
-                if "upsample" in blk:
-                    h = upsample(blk["upsample"], h)
-                return h
-
-            return f
-
-        @jax.jit
-        def stage_out(p, h):
-            h = group_norm(h, p["norm_out"]["w"], p["norm_out"]["b"], num_groups=g, eps=1e-5)
-            return conv2d(jax.nn.silu(h), p["conv_out"])
-
-        downs = [make_down(i) for i in range(len(params["down"]))]
-        ups = [make_up(i) for i in range(len(params["up"]))]
-        n_res = cfg.layers_per_block + 1
+        pieces = make_piecewise_unet(cfg, added=added)
+        n_res = pieces["n_res"]
 
         # fuse halves into 2 graphs to cut per-step tunnel dispatches 9→2
         # (falls back to per-block if the halves exceed the compile service)
         @jax.jit
         def first_half(p, lat, t, ctx):
-            h, temb = stage_in.__wrapped__(p, lat, t)
+            h, temb = pieces["stage_in"].__wrapped__(p, lat, t)
             skips = [h]
             for i in range(len(p["down"])):
-                h, outs = make_down(i).__wrapped__(p["down"][i], h, temb, ctx)
+                h, outs = pieces["downs"][i].__wrapped__(p["down"][i], h, temb, ctx)
                 skips += outs
-            h = stage_mid.__wrapped__(p["mid"], h, temb, ctx)
+            h = pieces["stage_mid"].__wrapped__(p["mid"], h, temb, ctx)
             return h, skips, temb
 
         @jax.jit
         def second_half(p, h, skips, temb, ctx):
             for i in range(len(p["up"])):
                 take, skips = skips[-n_res:], skips[:-n_res]
-                h = make_up(i).__wrapped__(p["up"][i], h, take, temb, ctx)
-            return stage_out.__wrapped__(p, h)
+                h = pieces["ups"][i].__wrapped__(p["up"][i], h, take, temb, ctx)
+            return pieces["stage_out"].__wrapped__(p, h)
 
         # halves compile on this env but execute ~13x slower than per-block
         # graphs (likely VMEM spilling in the fused half) — keep them opt-in
@@ -483,16 +510,7 @@ def bench_unet(steps_timed=10, equivalent_steps=50, piecewise=True, sdxl=False):
             return second_half(params, h, skips, temb, ctx)
 
         def step_blocks(lat, t):
-            h, temb = stage_in(params, lat, t)
-            skips = [h]
-            for i, f in enumerate(downs):
-                h, outs = f(params["down"][i], h, temb, ctx)
-                skips += outs
-            h = stage_mid(params["mid"], h, temb, ctx)
-            for i, f in enumerate(ups):
-                take, skips = skips[-n_res:], skips[:-n_res]
-                h = f(params["up"][i], h, take, temb, ctx)
-            return stage_out(params, h)
+            return pieces["step"](params, lat, t, ctx)
 
         if use_halves:
             try:
@@ -746,6 +764,40 @@ def main():
             extra["engine_nonspec_same_prompts_tok_s"] = round(etok_r, 1)
         except Exception as e:
             extra["engine_spec_error"] = str(e)[:200]
+
+    # North-star BASELINE config #4: interleaved text+image document
+    # generation as ONE measured generate_interleaved() run (7B int8 decoder
+    # + CLIP re-encode + SD-2.1 @512px, 2 images, 50 DDIM steps). Own
+    # subprocess: its ~10 GB working set (7B int8 + UNet + VAE + CLIP + KV)
+    # must not share HBM with this process's leftover decode params.
+    if tok_s is not None and backend == "tpu" and os.environ.get("BENCH_INTERLEAVED", "1") == "1":
+        gc.collect()
+        try:
+            import re
+            import subprocess
+            import sys
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            env = {**os.environ,
+                   "PYTHONPATH": here + ":" + os.environ.get("PYTHONPATH", "")}
+            r = subprocess.run(
+                [sys.executable, os.path.join(here, "scripts/bench/interleaved.py")],
+                capture_output=True, text=True, timeout=3600, env=env,
+            )
+            m = re.search(
+                r"interleaved doc: ([\d.]+) s \| images: ([\d.]+) s "
+                r"\((\d+)x(\d+)px, (\d+) steps\) \| text: (\d+) tok @ ([\d.]+) tok/s",
+                r.stdout)
+            if m:
+                extra["interleaved_doc_s"] = float(m.group(1))
+                extra["interleaved_img_s"] = float(m.group(2))
+                extra["interleaved_n_images"] = int(m.group(3))
+                extra["interleaved_text_tok"] = int(m.group(6))
+                extra["interleaved_text_tok_s"] = float(m.group(7))
+            else:
+                extra["interleaved_error"] = (r.stdout + r.stderr)[-200:]
+        except Exception as e:
+            extra["interleaved_error"] = str(e)[:200]
 
     # train-step throughput (~1B LM, full step incl. 8-bit AdamW update).
     # Runs last: its ~10 GB working set needs the decode params freed.

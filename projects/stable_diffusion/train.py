@@ -1,5 +1,6 @@
-"""Plain Stable Diffusion fine-tuning (reference projects/stable_diffusion/
-train.py — hand-rolled accelerate loop with EMA + validation images).
+"""Plain Stable Diffusion / SDXL fine-tuning (reference
+projects/stable_diffusion/{train,train_sdxl}.py — hand-rolled accelerate
+loops with EMA + validation images).
 
 Trains the UNet on image/caption pairs with a *fixed* conditioning encoder
 (here: dream-query-free — captions are embedded by a provided text-encoder
@@ -7,7 +8,15 @@ fn; for the DreamLLM stack the conditioner is the LLM, see projects/dreamllm).
 This project exercises the diffusion stack standalone: DDPM training loss,
 EMA of UNet params, periodic sampling.
 
+``head_type: "sdxl"`` in the config (or the ``train_sdxl`` entry point)
+switches to the SDXL head: dual conditioning (per-token context + pooled
+``text_embeds`` via the global projector), ``add_time_ids``
+micro-conditioning, and the fp32-VAE policy — the reference's separate
+``train_sdxl.py`` (reference :1-80, configs/base_xl.py:1) as a config
+switch over the same loop.
+
     python -m projects.stable_diffusion.train --config_file .../smoke.py
+    python -m projects.stable_diffusion.train_sdxl --config_file .../smoke_xl.py
 """
 
 from __future__ import annotations
@@ -34,22 +43,39 @@ from dreamllm_tpu.utils.metrics_logger import MetricsLogger
 logger = get_logger("projects.stable_diffusion.train")
 
 
-def main(argv=None):
+def main(argv=None, force_head_type: str | None = None):
     args, config = LazyArgumentParser().parse(argv)
     run_dir = default_setup(args, config)
 
     h = instantiate(config["sd_head"])
-    head_cfg = SDHeadConfig(**h)
+    head_type = force_head_type or config.get("head_type", "sd")
+    if head_type == "sdxl":
+        from dreamllm_tpu.models.sd.sdxl import (
+            SDXLHeadConfig,
+            init_sdxl_head_params,
+            sdxl_head_loss,
+            sdxl_head_pipeline,
+        )
+
+        head_cfg = SDXLHeadConfig(**h)
+        loss_fn_impl, pipeline_impl = sdxl_head_loss, sdxl_head_pipeline
+
+        def make_params(rng):
+            return init_sdxl_head_params(rng, head_cfg)
+    else:
+        head_cfg = SDHeadConfig(**h)
+        loss_fn_impl, pipeline_impl = sd_head_loss, sd_head_pipeline
+
+        def make_params(rng):
+            k = jax.random.split(rng, 3)
+            return {
+                "projector": init_projector_params(k[0], head_cfg.projector_cfg()),
+                "unet": init_unet_params(k[1], head_cfg.unet),
+                "vae": init_vae_params(k[2], head_cfg.vae),
+            }
+
     cond_dim = config.get("cond_dim", head_cfg.llm_hidden_size)
     cond_len = config.get("cond_len", 16)
-
-    def make_params(rng):
-        k = jax.random.split(rng, 3)
-        return {
-            "projector": init_projector_params(k[0], head_cfg.projector_cfg()),
-            "unet": init_unet_params(k[1], head_cfg.unet),
-            "vae": init_vae_params(k[2], head_cfg.vae),
-        }
 
     params = jax.jit(make_params)(jax.random.PRNGKey(config.get("seed", 0)))
     use_ema = config.get("use_ema", True)
@@ -64,10 +90,13 @@ def main(argv=None):
     @jax.jit
     def step_fn(state, batch, rng):
         def loss_fn(p):
-            loss, aux = sd_head_loss(
+            kw = {}
+            if head_type == "sdxl" and "add_time_ids" in batch:
+                kw["add_time_ids"] = batch["add_time_ids"]
+            loss, aux = loss_fn_impl(
                 p, head_cfg,
                 batch["images_dm"], batch["cond"], batch["uncond"],
-                batch["valid"], rng,
+                batch["valid"], rng, **kw,
             )
             return loss, aux
 
@@ -134,7 +163,7 @@ def main(argv=None):
     val_params = dict(final.params)
     if use_ema:
         val_params["unet"] = ema_state["ema"]
-    img = sd_head_pipeline(
+    img = pipeline_impl(
         val_params, head_cfg,
         jnp.asarray(embed_caption("validation sample"))[None],
         jnp.zeros((1, cond_len, cond_dim)),
