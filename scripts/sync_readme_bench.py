@@ -1,0 +1,164 @@
+"""Regenerate README.md's measured-performance table from a BENCH artifact.
+
+The r3/r4 standard is "README == BENCH artifact"; transcribing numbers by
+hand drifted twice. This script owns everything between the
+``<!-- BENCH:begin -->`` / ``<!-- BENCH:end -->`` markers: each row's
+measured cell is formatted from the artifact's keys, so the README cannot
+disagree with the artifact it cites.
+
+    python scripts/sync_readme_bench.py [BENCH_rNN.json]   # default: latest
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN, END = "<!-- BENCH:begin -->", "<!-- BENCH:end -->"
+
+
+def load_artifact(path: str | None) -> tuple[dict, str]:
+    if path is None:
+        cands = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+        if not cands:
+            raise SystemExit("no BENCH_r*.json artifact found")
+        path = cands[-1]
+    with open(path) as f:
+        art = json.load(f)
+    parsed = art.get("parsed", art)
+    flat = dict(parsed.get("extra", {}))
+    flat["value"] = parsed["value"]
+    flat["vs_baseline"] = parsed.get("vs_baseline")
+    return flat, os.path.basename(path)
+
+
+# (required keys, row template). A row is emitted only when every key it
+# references is present in the artifact — absent rungs drop out instead of
+# showing stale numbers.
+ROWS: list[tuple[list[str], str]] = [
+    (["decode_int8_fused_tok_s", "vs_baseline"],
+     "| LLaMA-7B decode, b1 greedy, **int8 weights + fused projections** "
+     "| **{decode_int8_fused_tok_s:.1f} tok/s/chip** | **{vs_baseline:.2f}×** |"),
+    (["decode_bf16_tok_s"],
+     "| LLaMA-7B decode, b1 greedy, bf16 | **{decode_bf16_tok_s:.1f} tok/s/chip** "
+     "({ms_per_tok:.1f} ms/tok on the 13.5 GB weight read) | {bf16_vs:.2f}× |"),
+    (["prefill_tok_s_2048"],
+     "| LLaMA-7B prefill @2048 (Pallas flash attention, tuned blocks) "
+     "| {prefill_tok_s_2048:,.0f} tok/s/chip | — |"),
+    (["decode_b8_int8_tok_s", "decode_b4_int8_tok_s"],
+     "| LLaMA-7B decode, batch 8, int8 (serving) "
+     "| **{decode_b8_int8_tok_s:.1f} tok/s/chip total** "
+     "({decode_b4_int8_tok_s:.0f} at b4) | — |"),
+    (["engine_int8_tok_s"],
+     "| LLaMA-7B **continuous-batching engine** (8 lanes, 32 live requests "
+     "incl. prefills) | **{engine_int8_tok_s:.1f} tok/s/chip total** "
+     "(pipelined scheduler; adaptive per-chunk speculation decides "
+     "draft-vs-plain from measured tok/s — docs/SERVING.md) | — |"),
+    (["engine_spec_sparse_tok_s", "engine_staticspec_sparse_tok_s",
+      "engine_plain_sparse_tok_s"],
+     "| engine at **sparse occupancy** (3 live lanes, mixed prompts): "
+     "adaptive speculation vs static policies "
+     "| **{engine_spec_sparse_tok_s:.1f} tok/s** (always-draft "
+     "{engine_staticspec_sparse_tok_s:.1f}, never-draft "
+     "{engine_plain_sparse_tok_s:.1f}) | — |"),
+    (["decode_int4_fused_tok_s"],
+     "| LLaMA-7B decode, **int4 g128 Pallas kernel** (capacity option: ½ the "
+     "int8 footprint) | {decode_int4_fused_tok_s:.1f} tok/s b1 "
+     "(VPU unpack-bound) | — |"),
+    (["decode_spec_lookup_tok_s", "spec_verify_steps_per_128"],
+     "| LLaMA-7B decode, b1, int8 + **prompt-lookup speculative** "
+     "(context-dependent; {spec_verify_steps_per_128} verify steps/128 on "
+     "this run's mixed context — never below plain int8) "
+     "| **{decode_spec_lookup_tok_s:.1f} tok/s/chip** | — |"),
+    (["train_1b_tok_s", "train_1b_mfu_pct"],
+     "| Train step, 0.94B LM, batch 4×2048, remat + donation + 8-bit AdamW + "
+     "**fused Pallas flash-attention backward** "
+     "| **{train_1b_tok_s:,.0f} tok/s/chip** ({train_1b_mfu_pct:.1f}% MFU — "
+     "lever study in docs/TRAINING.md) | — |"),
+    (["train_1p3b_tok_s", "train_1p3b_mfu_pct"],
+     "| Train step, **1.34B** LM on the SAME 16 GB chip (b2×2048; 8-bit "
+     "moments + bf16 weights + remat make it fit) "
+     "| **{train_1p3b_tok_s:,.0f} tok/s/chip** ({train_1p3b_mfu_pct:.1f}% "
+     "MFU) | — |"),
+    (["fed_step_ms", "synthetic_step_ms", "dataplane_img_s"],
+     "| Stage-2 mm train step **fed by the real input pipeline** (native "
+     "loader {dataplane_img_s:.0f} img/s → builder → collate → prefetch) "
+     "| **{fed_step_ms} ms/step fed vs {synthetic_step_ms} ms synthetic** "
+     "| — |"),
+    (["sdxl_mm_train_step_ms", "sdxl_mm_train_px"],
+     "| **SDXL joint train step** (dual conditioning + add_time_ids "
+     "@{sdxl_mm_train_px}px, b1×s512) | **{sdxl_mm_train_step_ms} ms/step** "
+     "| — |"),
+    (["images_per_min_sd21_unet", "unet_step_s"],
+     "| SD-2.1 UNet 512px CFG denoise (50-step image; Pallas spatial "
+     "attention) | **{images_per_min_sd21_unet:.1f} images/min/chip** "
+     "({unet_ms:.1f} ms/step) | —¹ |"),
+    (["images_per_min_sd21_deepcache2"],
+     "| + DeepCache interval 2 (`deepcache_interval=2`) "
+     "| **{images_per_min_sd21_deepcache2:.1f} images/min/chip** | —¹ |"),
+    (["images_per_min_sdxl1024", "sdxl_step_s"],
+     "| SDXL-base UNet 1024px CFG denoise (50-step image) "
+     "| **{images_per_min_sdxl1024:.1f} images/min/chip** ({sdxl_ms:.0f} "
+     "ms/step; DeepCache {sdxl_dc:.1f}) | —¹ |"),
+    (["interleaved_doc_s", "interleaved_img_s", "interleaved_text_tok",
+      "interleaved_text_tok_s", "interleaved_n_images"],
+     "| **Interleaved text+image document** — ONE measured "
+     "`generate_interleaved()` run (7B int8 + CLIP re-encode + SD-2.1 "
+     "@512px, {interleaved_n_images} images, 50 DDIM steps) "
+     "| **{interleaved_doc_s:.2f} s/doc** ({interleaved_img_s:.2f} s in "
+     "images ≈ {s_per_img:.2f} s/image; {interleaved_text_tok} text tok @ "
+     "{interleaved_text_tok_s:.1f} tok/s between images) | — |"),
+]
+
+HEADER = [
+    "**Measured on one TPU v5e chip** (`bench.py`, median-of-N, fresh",
+    "prompts; artifact: `{artifact}`, tunnel round-trip",
+    "{tunnel_rt_ms:.1f} ms):",
+    "",
+    "| benchmark | result | vs A100 bar |",
+    "|---|---|---|",
+]
+
+
+def render(flat: dict, artifact: str) -> str:
+    ctx = dict(flat)
+    ctx["artifact"] = artifact
+    ctx.setdefault("tunnel_rt_ms", float("nan"))
+    if "decode_bf16_tok_s" in ctx:
+        ctx["ms_per_tok"] = 1000.0 / ctx["decode_bf16_tok_s"]
+        ctx["bf16_vs"] = ctx["decode_bf16_tok_s"] / 50.0
+    if "unet_step_s" in ctx:
+        ctx["unet_ms"] = ctx["unet_step_s"] * 1e3
+    if "sdxl_step_s" in ctx:
+        ctx["sdxl_ms"] = ctx["sdxl_step_s"] * 1e3
+        ctx["sdxl_dc"] = ctx.get("images_per_min_sdxl1024_deepcache2", float("nan"))
+    if "interleaved_img_s" in ctx:
+        ctx["s_per_img"] = ctx["interleaved_img_s"] / max(
+            ctx.get("interleaved_n_images", 1), 1)
+    lines = [ln.format(**ctx) for ln in HEADER]
+    for keys, tmpl in ROWS:
+        if all(k in ctx and ctx[k] is not None for k in keys):
+            lines.append(tmpl.format(**ctx))
+    return "\n".join(lines)
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    flat, artifact = load_artifact(argv[0] if argv else None)
+    readme = os.path.join(REPO, "README.md")
+    text = open(readme).read()
+    if BEGIN not in text or END not in text:
+        raise SystemExit(f"README.md missing {BEGIN}/{END} markers")
+    block = f"{BEGIN}\n{render(flat, artifact)}\n{END}"
+    text = re.sub(re.escape(BEGIN) + r".*?" + re.escape(END), block,
+                  text, flags=re.S)
+    open(readme, "w").write(text)
+    print(f"README.md table regenerated from {artifact}")
+
+
+if __name__ == "__main__":
+    main()

@@ -3,6 +3,7 @@
 monolithic unet_forward, and the interleaved bench driver must run end-to-end
 in smoke mode (it is the BENCH_r05 north-star rung)."""
 
+import json
 import os
 import subprocess
 import sys
@@ -43,7 +44,7 @@ def test_piecewise_unet_matches_monolithic():
 @pytest.mark.slow
 def test_interleaved_bench_smoke_subprocess():
     """The north-star bench driver runs end-to-end (tiny shapes, CPU)."""
-    env = {**os.environ, "INTERLEAVED_SMOKE": "1",
+    env = {**os.environ, "INTERLEAVED_SMOKE": "1", "DREAMLLM_PLATFORM": "cpu",
            "PYTHONPATH": REPO + ":" + os.environ.get("PYTHONPATH", "")}
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts/bench/interleaved.py")],
@@ -51,6 +52,60 @@ def test_interleaved_bench_smoke_subprocess():
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "interleaved doc:" in r.stdout
+
+
+@pytest.mark.slow
+def test_dataplane_bench_smoke_subprocess():
+    """The input-pipeline bench driver runs end-to-end (tiny shapes, CPU):
+    real shards on disk -> native loader -> builder -> collate -> fed step."""
+    env = {**os.environ, "DATAPLANE_SMOKE": "1", "DREAMLLM_PLATFORM": "cpu",
+           "PYTHONPATH": REPO + ":" + os.environ.get("PYTHONPATH", "")}
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/bench/dataplane.py")],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "dataplane:" in r.stdout and "fed step:" in r.stdout
+
+
+def test_sync_readme_bench_roundtrip(tmp_path):
+    """README's perf table is GENERATED from the artifact (r4 weak #6: hand
+    transcription drifted twice) — the script must render every key it is
+    given and be idempotent."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "sync_readme_bench", os.path.join(REPO, "scripts/sync_readme_bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    art = {"parsed": {"value": 94.6, "vs_baseline": 1.89, "extra": {
+        "tunnel_rt_ms": 25.1, "decode_int8_fused_tok_s": 94.6,
+        "decode_bf16_tok_s": 51.7, "prefill_tok_s_2048": 10048.7,
+        "interleaved_doc_s": 8.69, "interleaved_img_s": 2.36,
+        "interleaved_text_tok": 447, "interleaved_text_tok_s": 70.7,
+        "interleaved_n_images": 2,
+    }}}
+    p = tmp_path / "BENCH_r99.json"
+    p.write_text(json.dumps(art))
+    flat, name = mod.load_artifact(str(p))
+    out = mod.render(flat, name)
+    assert "94.6 tok/s/chip" in out and "8.69 s/doc" in out
+    assert "70.7 tok/s between images" in out
+    # absent rungs drop out instead of stale numbers
+    assert "DeepCache" not in out and "engine" not in out
+    # rendering is deterministic/idempotent
+    assert out == mod.render(flat, name)
+    # and the checked-in README's block matches its artifact today
+    readme = open(os.path.join(REPO, "README.md")).read()
+    assert mod.BEGIN in readme and mod.END in readme
+    import glob as _glob
+    latest = sorted(_glob.glob(os.path.join(REPO, "BENCH_r*.json")))[-1]
+    flat2, name2 = mod.load_artifact(latest)
+    block = readme.split(mod.BEGIN)[1].split(mod.END)[0].strip()
+    assert block == mod.render(flat2, name2).strip(), (
+        "README table drifted from the artifact — run "
+        "scripts/sync_readme_bench.py")
 
 
 def test_force_image_interval_scripted_trigger():

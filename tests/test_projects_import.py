@@ -40,6 +40,7 @@ ENTRY_MODULES = [
     "projects.dreamllm_sdxl.inference",
     "projects.llava.train",
     "projects.stable_diffusion.train",
+    "projects.stable_diffusion.train_sdxl",
     "projects.stable_diffusion.sample",
 ]
 
@@ -73,10 +74,32 @@ def test_config_hydrates(path):
         if "must define a `config` object" in str(e):
             return  # shared fragment (common.py) — imported by real configs
         raise
-    if not (isinstance(cfg, dict)
-            and {"model", "sd_head", "trainer"} <= set(cfg)):
+    if not isinstance(cfg, dict) or "trainer" not in cfg:
         return  # non-train configs
-    from projects.dreamllm.train import build_model_cfg
+    if {"model", "sd_head"} <= set(cfg):  # dreamllm-family joint configs
+        from projects.dreamllm.train import build_model_cfg
 
-    model_cfg, head_cfg = build_model_cfg(cfg)
-    assert model_cfg.llm.hidden_size == head_cfg.llm_hidden_size
+        model_cfg, head_cfg = build_model_cfg(cfg)
+        assert model_cfg.llm.hidden_size == head_cfg.llm_hidden_size
+    elif "sd_head" in cfg:  # plain-SD project (head only)
+        from dreamllm_tpu.config import instantiate
+        from dreamllm_tpu.models.sd.head import SDHeadConfig
+
+        h = instantiate(cfg["sd_head"])
+        if cfg.get("head_type") == "sdxl":
+            from dreamllm_tpu.models.sd.sdxl import SDXLHeadConfig
+
+            head_cfg = SDXLHeadConfig(**h)
+            assert head_cfg.unet.addition_embed_type == "text_time"
+        else:
+            head_cfg = SDHeadConfig(**h)
+        assert head_cfg.projector_cfg().in_dim == head_cfg.llm_hidden_size
+    elif "model" in cfg:  # llava project (LLM+vision only)
+        from dreamllm_tpu.config import instantiate
+        from dreamllm_tpu.models.dreamllm import DreamLLMConfig
+
+        m = instantiate(cfg["model"])
+        frozen = tuple(m.pop("frozen", ()))
+        model_cfg = DreamLLMConfig(**m, frozen=frozen)
+        patches = model_cfg.vision.image_size // model_cfg.vision.patch_size
+        assert model_cfg.image_embed_len == patches * patches
