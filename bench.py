@@ -149,7 +149,8 @@ def bench_decode(hidden, inter, layers, heads, kv_heads, batch=1, quantize=False
 
 def bench_engine(hidden, inter, layers, heads, kv_heads, n_requests=32,
                  slots=8, new_tokens=128, speculative_k=0,
-                 repetitive_prompts=False):
+                 repetitive_prompts=False, mixed_prompts=False,
+                 concurrency=None, speculative_adaptive=True):
     """Continuous-batching engine total throughput (7B int8+fused): live
     per-request 128-token chunked prefills + slot-scheduled decode. Within
     ~5% of plain batch-8 decode (416.6 vs 436 tok/s measured) thanks to the
@@ -158,7 +159,15 @@ def bench_engine(hidden, inter, layers, heads, kv_heads, n_requests=32,
     ``speculative_k``: per-slot prompt-lookup speculation inside the decode
     chunk (exact-match verify, token-identical outputs). Measured with
     ``repetitive_prompts=True`` — the doc-QA/summarization regime where
-    lookup drafting accepts."""
+    lookup drafting accepts.
+
+    ``concurrency``: cap on simultaneously in-flight requests (None = all at
+    once, i.e. saturated slots). 2-4 models the SPARSE-occupancy serving
+    regime where speculation is supposed to pay: the verify step rides the
+    weight-read bandwidth that idles at low batch. ``mixed_prompts``
+    alternates repetitive and random prompts — the realistic mix the
+    adaptive bandit must not lose on. ``speculative_adaptive=False`` forces
+    always-draft (the static-spec arm of the comparison)."""
     import threading
 
     import jax
@@ -187,21 +196,26 @@ def bench_engine(hidden, inter, layers, heads, kv_heads, n_requests=32,
     scfg = SamplingConfig(greedy=True, max_new_tokens=0, eos_token_id=-1,
                           pad_token_id=0)
     ecfg = EngineConfig(slots=slots, prefill_len=128, max_len=512,
-                        chunk_steps=16, speculative_k=speculative_k)
+                        chunk_steps=16, speculative_k=speculative_k,
+                        speculative_adaptive=speculative_adaptive)
     eng = ContinuousBatchingEngine(params, cfg, scfg, ecfg).start()
     rng = np.random.default_rng(0)
     # a DIFFERENT prompt per request, generated up-front on ONE thread:
     # np.random.Generator is not thread-safe, and racing threads could read
     # overlapping state and emit duplicate prompts — which the tunnel's
     # execution cache would then serve without running, inflating the number
-    if repetitive_prompts:
-        # distinct 64-token chunk repeated once per prompt (prompt-lookup's
-        # home turf, same regime the standalone spec bench uses)
-        chunks = [rng.integers(10, 31000, 63).tolist()
-                  for _ in range(n_requests + 1)]
-        prompts = [[1] + c + c + c[:1] for c in chunks]
+    def make_prompt(repetitive):
+        if repetitive:
+            # distinct 64-token chunk repeated once per prompt (prompt-
+            # lookup's home turf, same regime the standalone spec bench uses)
+            c = rng.integers(10, 31000, 63).tolist()
+            return [1] + c + c + c[:1]
+        return [1] + rng.integers(10, 31000, 127).tolist()
+
+    if mixed_prompts:
+        prompts = [make_prompt(i % 2 == 0) for i in range(n_requests + 1)]
     else:
-        prompts = [[1] + rng.integers(10, 31000, 127).tolist()
+        prompts = [make_prompt(repetitive_prompts)
                    for _ in range(n_requests + 1)]
     errors: list[Exception] = []
 
@@ -212,14 +226,23 @@ def bench_engine(hidden, inter, layers, heads, kv_heads, n_requests=32,
         except Exception as e:  # threading swallows exceptions — surface them
             errors.append(e)
 
+    def lane(worker, out):
+        # sequential submits on one thread = one sustained live lane
+        for i in range(worker, n_requests, concurrency):
+            one(i, out)
+
     try:
         w = {}
         one(-1, w)  # warmup: compiles prefill/insert/decode-chunk
         if errors:
             raise errors[0]
         outs = {}
-        threads = [threading.Thread(target=one, args=(i, outs))
-                   for i in range(n_requests)]
+        if concurrency:
+            threads = [threading.Thread(target=lane, args=(k, outs))
+                       for k in range(concurrency)]
+        else:
+            threads = [threading.Thread(target=one, args=(i, outs))
+                       for i in range(n_requests)]
         t0 = time.perf_counter()
         for t in threads:
             t.start()
@@ -280,10 +303,17 @@ def bench_prefill(hidden, inter, layers, heads, kv_heads, seq=2048, batch=1):
 
 
 def bench_train(hidden=2048, inter=5504, layers=16, heads=16, kv_heads=16,
-                batch=4, seq=2048):
+                batch=4, seq=2048, accum=1):
     """One full train step (loss+grad+8-bit-AdamW update) on a ~1B LM —
     the measured configuration of docs/TRAINING.md (remat, flash attention).
-    Returns (tok_s, mfu_pct)."""
+    Returns (tok_s, mfu_pct).
+
+    ``accum``: gradient-accumulation microsteps inside the jitted step
+    (one optimizer update per step). The 1.34B rung is memory-pinned to
+    micro-batch 2, where the ~90 ms 8-bit-Adam update is 25% of the step;
+    accum=2 gives it the same 4×2048 effective batch (and optimizer
+    amortization) as the 0.94B rung — the r5 lever study's winning move
+    (docs/TRAINING.md)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -320,12 +350,29 @@ def bench_train(hidden=2048, inter=5504, layers=16, heads=16, kv_heads=16,
     # donating params+opt frees ~3.8 GB of liveness (measured -32 ms/step)
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(p, o, ids):
-        loss, g = jax.value_and_grad(loss_fn)(p, ids)
+        if accum == 1:
+            loss, g = jax.value_and_grad(loss_fn)(p, ids)
+        else:
+            # lax.scan over microbatches: ONE compiled backward reused per
+            # microstep, fp32 grad accumulator donated through the carry
+            def micro(carry, ids_i):
+                g_acc, loss_acc = carry
+                loss_i, g_i = jax.value_and_grad(loss_fn)(p, ids_i)
+                g_acc = jax.tree.map(
+                    lambda a, b: a + b.astype(jnp.float32), g_acc, g_i)
+                return (g_acc, loss_acc + loss_i), None
+
+            g0 = jax.tree.map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), p)
+            (g, loss), _ = jax.lax.scan(micro, (g0, jnp.float32(0)), ids)
+            g = jax.tree.map(lambda x: (x / accum).astype(cfg.dtype), g)
+            loss = loss / accum
         up, o = tx.update(g, o, p)
         return optax.apply_updates(p, up), o, loss
 
     def run(seed):
-        ids = jax.random.randint(jax.random.PRNGKey(seed), (batch, seq), 10, 31000)
+        shape = (batch, seq) if accum == 1 else (accum, batch, seq)
+        ids = jax.random.randint(jax.random.PRNGKey(seed), shape, 10, 31000)
         nonlocal params, opt_state
         params, opt_state, loss = step(params, opt_state, ids)
         return float(loss)  # scalar fetch = the only reliable sync on axon
@@ -338,8 +385,8 @@ def bench_train(hidden=2048, inter=5504, layers=16, heads=16, kv_heads=16,
         times.append(time.perf_counter() - t0)
     times.sort()
     dt = times[len(times) // 2]
-    tok_s = batch * seq / dt
-    mfu = 6 * n_params * batch * seq / dt / 197e12 * 100
+    tok_s = accum * batch * seq / dt
+    mfu = 6 * n_params * accum * batch * seq / dt / 197e12 * 100
     return tok_s, mfu
 
 
@@ -764,6 +811,23 @@ def main():
             extra["engine_nonspec_same_prompts_tok_s"] = round(etok_r, 1)
         except Exception as e:
             extra["engine_spec_error"] = str(e)[:200]
+        # SPARSE occupancy (3 live lanes, mixed repetitive/random prompts):
+        # where the bandit is supposed to pay — verify rides the weight-read
+        # bandwidth that idles at low batch. Report adaptive vs the two
+        # static policies on the SAME load; the bar is
+        # adaptive >= max(static-spec, plain).
+        gc.collect()
+        try:
+            sparse = dict(n_requests=12, concurrency=3, mixed_prompts=True)
+            extra["engine_spec_sparse_tok_s"] = round(
+                bench_engine(**kw, speculative_k=7, **sparse), 1)
+            extra["engine_staticspec_sparse_tok_s"] = round(
+                bench_engine(**kw, speculative_k=7, speculative_adaptive=False,
+                             **sparse), 1)
+            extra["engine_plain_sparse_tok_s"] = round(
+                bench_engine(**kw, **sparse), 1)
+        except Exception as e:
+            extra["engine_sparse_error"] = str(e)[:200]
 
     # North-star BASELINE config #4: interleaved text+image document
     # generation as ONE measured generate_interleaved() run (7B int8 decoder
@@ -798,6 +862,37 @@ def main():
                 extra["interleaved_error"] = (r.stdout + r.stderr)[-200:]
         except Exception as e:
             extra["interleaved_error"] = str(e)[:200]
+
+    # Input pipeline vs the chip's demand: native loader -> builder ->
+    # collate feed rate, plus the 0.94B mm train step FED by that pipeline
+    # vs pre-staged synthetic batches. Own subprocess (the mm step's
+    # working set wants clean HBM).
+    if tok_s is not None and backend == "tpu" and os.environ.get("BENCH_DATAPLANE", "1") == "1":
+        gc.collect()
+        try:
+            import re
+            import subprocess
+            import sys
+
+            here = os.path.dirname(os.path.abspath(__file__))
+            env = {**os.environ,
+                   "PYTHONPATH": here + ":" + os.environ.get("PYTHONPATH", "")}
+            r = subprocess.run(
+                [sys.executable, os.path.join(here, "scripts/bench/dataplane.py")],
+                capture_output=True, text=True, timeout=3600, env=env,
+            )
+            m = re.search(
+                r"dataplane: ([\d.]+) img/s loader \| ([\d.]+) img/s built \| "
+                r"fed step: (\d+) ms vs synthetic (\d+) ms", r.stdout)
+            if m:
+                extra["dataplane_img_s"] = float(m.group(1))
+                extra["dataplane_built_img_s"] = float(m.group(2))
+                extra["fed_step_ms"] = int(m.group(3))
+                extra["synthetic_step_ms"] = int(m.group(4))
+            else:
+                extra["dataplane_error"] = (r.stdout + r.stderr)[-200:]
+        except Exception as e:
+            extra["dataplane_error"] = str(e)[:200]
 
     # train-step throughput (~1B LM, full step incl. 8-bit AdamW update).
     # Runs last: its ~10 GB working set needs the decode params freed.

@@ -26,6 +26,12 @@ import bench  # noqa: E402
 bench._enable_compile_cache()
 
 import jax  # noqa: E402
+
+if os.environ.get("DREAMLLM_PLATFORM") == "cpu":
+    # same convention as the CLIs (config/arg_parser default_setup): env
+    # JAX_PLATFORMS alone is too late — sitecustomize already imported jax
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 

@@ -38,3 +38,18 @@ if __name__ == "__main__":
         run("0.94B: b8", batch=8)
     if which in ("all", "batch6"):
         run("0.94B: b6", batch=6)
+    # ---- r5: the 1.34B lever study (VERDICT r4 ask #4) ----
+    if which in ("r5", "accum2"):
+        # optimizer amortization: micro-batch 2 x accum 2 = the same 4x2048
+        # effective batch (and update frequency) as the 0.94B rung
+        run("1.34B: b2 accum2 (eff 4x2048)", layers=24, batch=2, accum=2)
+    if which in ("r5", "accum4"):
+        run("1.34B: b2 accum4 (eff 8x2048)", layers=24, batch=2, accum=4)
+    if which in ("r5", "b3"):
+        # what does the b3 compile-OOM actually cost? (documented, not used)
+        run("1.34B: b3 (expected compile-OOM)", layers=24, batch=3)
+    if which in ("r5", "b2base"):
+        run("1.34B: b2 baseline (re-measure)", layers=24, batch=2)
+    if which in ("r5accum094", "accum094"):
+        # control: does accum help where the optimizer is ALREADY amortized?
+        run("0.94B: b4 accum2 (eff 8x2048)", batch=4, accum=2)
