@@ -674,7 +674,10 @@ def main():
 
             here = os.path.dirname(os.path.abspath(__file__))
             env = {**os.environ,
-                   "SDXL_MM_LADDER": "768:1",
+                   # r5: attempt the native 1024px resolution with the
+                   # split-VAE graph (in-graph 1024 reliably crashed the
+                   # remote compiler); fall back to the proven 768 rung
+                   "SDXL_MM_LADDER": "1024:1:split,768:1",
                    "PYTHONPATH": here + ":" + os.environ.get("PYTHONPATH", "")}
             r = subprocess.run(
                 [sys.executable, os.path.join(here, "scripts/bench/train_step_mm_sdxl.py")],

@@ -439,7 +439,12 @@ def dreamllm_forward(
             hidden, batch["dream_positions"], cfg.n_dream_queries
         )
         uncond = unconditional_dream_hidden(params, cfg, remat=remat)  # [1, 64, H]
-        extras = {k: batch[k] for k in ("add_time_ids",) if batch.get(k) is not None}
+        # "latents": pre-encoded VAE latents (already sampled AND scaled) —
+        # the frozen, stop-gradient'ed VAE encoder can run as its own
+        # compiled program, shrinking the joint train graph (the lever that
+        # fits the 1024px SDXL step under this env's remote compiler)
+        extras = {k: batch[k] for k in ("add_time_ids", "latents")
+                  if batch.get(k) is not None}
         vm_loss, head_aux = head_loss_fn(
             head_params, batch["images_dm"], cond, uncond, valid, rng, **extras
         )

@@ -115,11 +115,18 @@ def sdxl_head_loss(
     valid: jnp.ndarray,         # [B, M]
     rng: jax.Array,
     add_time_ids: jnp.ndarray | None = None,  # [B, M, 6]
+    latents: jnp.ndarray | None = None,       # [B, M, h, w, 4] pre-encoded
 ):
+    """``latents``, when given, are VAE latents ALREADY sampled and scaled
+    by ``cfg.vae.scaling_factor`` (see ``encode_latents``): the frozen VAE
+    encoder then runs as a separate compiled program and this loss skips it
+    entirely — at 1024px that encoder is a large fraction of the joint
+    graph, and splitting it is what fits the step under a constrained
+    compiler. The rng split layout is unchanged so cond-dropout/noise/
+    timestep draws are identical either way (r_lat simply goes unused)."""
     sched = cfg.schedule()
     b, m = images_dm.shape[:2]
     n = b * m
-    imgs = images_dm.reshape((n,) + images_dm.shape[2:]).astype(cfg.vae_dtype)
     cond = cond.reshape(n, cond.shape[2], cond.shape[3])
     valid_f = valid.reshape(n).astype(jnp.float32)
     if add_time_ids is None:
@@ -129,9 +136,13 @@ def sdxl_head_loss(
         add_time_ids = add_time_ids.reshape(n, 6)
 
     r_lat, r_noise, r_t, r_drop, r_pert = jax.random.split(rng, 5)
-    vae_cfg = dataclasses.replace(cfg.vae, dtype=cfg.vae_dtype)
-    mean, logvar = vae_encode(params["vae"], vae_cfg, imgs)
-    latents = vae_sample(mean, logvar, r_lat) * cfg.vae.scaling_factor
+    if latents is None:
+        imgs = images_dm.reshape((n,) + images_dm.shape[2:]).astype(cfg.vae_dtype)
+        vae_cfg = dataclasses.replace(cfg.vae, dtype=cfg.vae_dtype)
+        mean, logvar = vae_encode(params["vae"], vae_cfg, imgs)
+        latents = vae_sample(mean, logvar, r_lat) * cfg.vae.scaling_factor
+    else:
+        latents = latents.reshape((n,) + latents.shape[2:])
     latents = jax.lax.stop_gradient(latents).astype(cond.dtype)
 
     noise = jax.random.normal(r_noise, latents.shape, latents.dtype)
@@ -169,13 +180,27 @@ def sdxl_head_loss(
 
 
 def make_sdxl_head_loss_fn(cfg: SDXLHeadConfig):
-    def fn(head_params, images_dm, cond, uncond, valid, rng, add_time_ids=None, **_):
+    def fn(head_params, images_dm, cond, uncond, valid, rng,
+           add_time_ids=None, latents=None, **_):
         return sdxl_head_loss(
             head_params, cfg, images_dm, cond, uncond, valid, rng,
-            add_time_ids=add_time_ids,
+            add_time_ids=add_time_ids, latents=latents,
         )
 
     return fn
+
+
+def encode_latents(params: Params, cfg: SDXLHeadConfig,
+                   images_dm: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    """[B, M, H, W, 3] -> [B, M, h, w, 4] sampled+scaled VAE latents, for
+    the ``latents=`` fast path of ``sdxl_head_loss`` (jit this separately;
+    the VAE is frozen so no gradients are lost by the split)."""
+    b, m = images_dm.shape[:2]
+    imgs = images_dm.reshape((b * m,) + images_dm.shape[2:]).astype(cfg.vae_dtype)
+    vae_cfg = dataclasses.replace(cfg.vae, dtype=cfg.vae_dtype)
+    mean, logvar = vae_encode(params["vae"], vae_cfg, imgs)
+    lat = vae_sample(mean, logvar, rng) * cfg.vae.scaling_factor
+    return lat.reshape((b, m) + lat.shape[1:])
 
 
 def sdxl_head_pipeline(

@@ -27,7 +27,7 @@ from dreamllm_tpu.models.dreamllm import (
 )
 from dreamllm_tpu.models.llama import LlamaConfig
 from dreamllm_tpu.models.sd.sdxl import (
-    SDXLHeadConfig, init_sdxl_head_params, make_sdxl_head_loss_fn,
+    SDXLHeadConfig, encode_latents, init_sdxl_head_params, make_sdxl_head_loss_fn,
 )
 from dreamllm_tpu.models.sd.unet import sdxl_unet_config
 from dreamllm_tpu.models.sd.vae import VAEConfig
@@ -87,7 +87,13 @@ def build(img_dm: int, B: int):
     state = init_train_state(params, tx)
     step = make_train_step(cfg, tx, head_loss_fn=make_sdxl_head_loss_fn(head_cfg),
                            remat=True, use_flash=True, trainable_mask=mask)
-    return cfg, state, step
+    # split-VAE program: the frozen 1024px VAE encoder is a large slice of
+    # the joint graph that this env's remote compiler chokes on; encoding
+    # latents in their own compiled program (exact same math — the loss's
+    # latents= path, parity-tested in tests/test_sdxl.py) shrinks the big
+    # graph. Timed INSIDE the step wall-clock (it is part of the train cost).
+    enc = jax.jit(lambda p, imgs, r: encode_latents(p, head_cfg, imgs, r))
+    return cfg, state, step, enc
 
 
 def make_batch(cfg, img_dm, B, seed):
@@ -136,18 +142,32 @@ if os.environ.get("SDXL_MM_LADDER"):
         for p in os.environ["SDXL_MM_LADDER"].split(","))
 
 state = None
-for img_dm, B in _ladder:
+# split_vae per rung: the 1024px joint graph crashes the remote compiler
+# in-graph; the split-VAE variant is the r5 attempt to fit it. Override via
+# e.g. SDXL_MM_LADDER="1024:1:split,768:1" — a ":split" suffix opts in.
+_default = ((1024, 1, True), (768, 1, False), (512, 2, False), (512, 1, False))
+if os.environ.get("SDXL_MM_LADDER"):
+    _default = tuple(
+        (int(p.split(":")[0]), int(p.split(":")[1]), "split" in p)
+        for p in os.environ["SDXL_MM_LADDER"].split(","))
+_ladder = _default
+
+for img_dm, B, split_vae in _ladder:
     # free the previous rung COMPLETELY before allocating the next: a failed
     # 768px attempt otherwise pins ~8 GB of params and OOMs every rung after
     state = None
     gc.collect()
     try:
-        cfg, state, step = build(img_dm, B)
+        cfg, state, step, enc = build(img_dm, B)
 
         def run(seed):
             global state
-            state, aux = step(state, make_batch(cfg, img_dm, B, seed),
-                              jax.random.PRNGKey(seed))
+            batch = make_batch(cfg, img_dm, B, seed)
+            key = jax.random.PRNGKey(seed)
+            if split_vae:
+                batch["latents"] = enc(state.params["sd_head"],
+                                       batch["images_dm"], jax.random.fold_in(key, 1))
+            state, aux = step(state, batch, key)
             return float(aux["loss"])
 
         t0 = time.perf_counter()
@@ -161,9 +181,10 @@ for img_dm, B in _ladder:
             ts.append(time.perf_counter() - t0)
         ts.sort()
         dt = ts[len(ts) // 2]
+        tag = " (split-vae)" if split_vae else ""
         print(f"sdxl mm train step @{img_dm}px b{B}: {dt*1e3:.0f} ms -> "
               f"{B*S/dt:.0f} text tok/s (+ {B} images {B} sdxl diffusion "
-              f"targets per step; all {[round(t,3) for t in ts]})", flush=True)
+              f"targets per step{tag}; all {[round(t,3) for t in ts]})", flush=True)
         break
     except Exception as e:
         print(f"dm={img_dm}px b{B} failed: {str(e)[:300]}", flush=True)

@@ -74,6 +74,84 @@ def test_loss_and_grads(head):
     assert gp > 0 and gu > 0  # dual-conditioning path exercised
 
 
+def test_precomputed_latents_path_matches_in_graph(head):
+    """latents= (VAE encoder split into its own program — the 1024px
+    graph-size lever) must reproduce the in-graph encode EXACTLY when fed
+    the same r_lat draw, including gradients w.r.t. the conditioning."""
+    from dreamllm_tpu.models.sd.sdxl import encode_latents
+
+    imgs = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (1, 2, 16, 16, 3)),
+                       jnp.float32)
+    cond = jnp.ones((1, 2, 4, 32))
+    uncond = jnp.zeros((1, 4, 32))
+    valid = jnp.ones((1, 2), bool)
+    rng = jax.random.PRNGKey(7)
+    r_lat = jax.random.split(rng, 5)[0]  # the loss's own latent draw
+
+    def f_in(c):
+        return sdxl_head_loss(head, CFG, imgs, c, uncond, valid, rng)[0]
+
+    lat = encode_latents(head, CFG, imgs, r_lat)
+    assert lat.shape == (1, 2, 8, 8, 4)
+
+    def f_pre(c):
+        return sdxl_head_loss(head, CFG, imgs, c, uncond, valid, rng,
+                              latents=lat)[0]
+
+    l_in, g_in = jax.value_and_grad(f_in)(cond)
+    l_pre, g_pre = jax.value_and_grad(f_pre)(cond)
+    np.testing.assert_allclose(float(l_in), float(l_pre), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_in), np.asarray(g_pre), rtol=1e-5)
+
+
+def test_latents_flow_through_train_step():
+    """The 'latents' batch key reaches the head loss through
+    make_train_step's extras whitelist (dreamllm_forward)."""
+    seen = {}
+
+    def spy_loss(head_params, images_dm, cond, uncond, valid, rng,
+                 add_time_ids=None, latents=None, **_):
+        seen["latents"] = latents
+        return jnp.float32(0.0), {}
+
+    from dreamllm_tpu.models.clip import CLIPVisionConfig
+    from dreamllm_tpu.models.dreamllm import (
+        DreamLLMConfig, dreamllm_forward, init_dreamllm_params,
+    )
+    from dreamllm_tpu.models.llama import LlamaConfig
+    from dreamllm_tpu.models.projector import ProjectorConfig
+
+    cfg = DreamLLMConfig(
+        llm=LlamaConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_hidden_layers=2, num_attention_heads=2,
+                        num_key_value_heads=2, max_position_embeddings=32,
+                        dtype=jnp.float32),
+        vision=CLIPVisionConfig(hidden_size=16, intermediate_size=32,
+                                num_hidden_layers=2, num_attention_heads=2,
+                                image_size=8, patch_size=4),
+        vision_projector=ProjectorConfig(projector_type="linear", in_dim=16, out_dim=32),
+        n_dream_queries=4, image_embed_len=4,
+    )
+    params = init_dreamllm_params(jax.random.PRNGKey(0), cfg)
+    params["sd_head"] = {"dummy": jnp.zeros(())}
+    st = cfg.special_tokens
+    ids = np.full((1, 16), 5, np.int32)
+    ids[0, 3] = st.dream_start
+    ids[0, 4:8] = st.im_patch
+    ids[0, 8] = st.dream_end
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(ids),
+        "images_dm": jnp.zeros((1, 1, 16, 16, 3)),
+        "dream_positions": jnp.asarray([[4]], jnp.int32),
+        "latents": jnp.ones((1, 1, 8, 8, 4)),
+    }
+    dreamllm_forward(params, cfg, batch, rng=jax.random.PRNGKey(1),
+                     head_loss_fn=spy_loss, use_flash=False)
+    assert seen["latents"] is not None
+    assert seen["latents"].shape == (1, 1, 8, 8, 4)
+
+
 @pytest.mark.parametrize("sampler", ["ddim", "dpm"])
 def test_pipeline(head, sampler):
     cond = jnp.ones((1, 4, 32))
