@@ -910,15 +910,20 @@ def main():
         # scaling rung: 1.34B (24 layers of the same width) on the SAME
         # 16 GB chip — possible only because of 8-bit Adam moments + bf16
         # weights + remat (fp32 moments alone for 1.35B are 10.8 GB).
-        # batch=2 is the measured ceiling: b3/b4 compile-OOM (so does the
-        # 0.94B config at b8) — scripts/exp_train_scale.py.
-        gc.collect()
-        try:
-            ttok, tmfu = bench_train(layers=24, batch=2)
-            extra["train_1p3b_tok_s"] = round(ttok, 0)
-            extra["train_1p3b_mfu_pct"] = round(tmfu, 1)
-        except Exception as e:
-            extra["train_1p3b_error"] = str(e)[:200]
+        # r5 lever study (scripts/exp_train_scale.py r5): b3 compiles now
+        # (48.1% MFU, confirmed twice) where r3/r4 saw compile-OOM; b4 and
+        # the grad-accum graphs still crash the remote compiler (HTTP 500).
+        # Ladder b3 -> b2 so a compiler regression degrades, not zeroes.
+        for b134 in (3, 2):
+            gc.collect()
+            try:
+                ttok, tmfu = bench_train(layers=24, batch=b134)
+                extra["train_1p3b_tok_s"] = round(ttok, 0)
+                extra["train_1p3b_mfu_pct"] = round(tmfu, 1)
+                extra["train_1p3b_batch"] = b134
+                break
+            except Exception as e:
+                extra["train_1p3b_error"] = str(e)[:200]
 
     value = round(tok_s, 2) if tok_s is not None else 0.0
     dtype_label = quant_label or "bf16"
