@@ -127,6 +127,165 @@ def make_batch(cfg, img_dm, B, seed):
     }
 
 
+def build_split2(img_dm: int, B: int):
+    """TWO-program train step for shapes whose fused graph crashes this
+    environment's remote compiler (1024px: fused crashed in r4, split-VAE
+    fused crashed in r5, but the UNet-only backward compiles fine alone —
+    measured 229.7 s compile).
+
+    Decomposition (exact same math as the fused step, one extra LLM
+    forward):
+      P_enc : images_dm -> sampled+scaled VAE latents (frozen VAE)
+      P_fwd : LLM forward -> (cond, uncond) dream-query hidden states
+      P_head: vm loss fwd+bwd w.r.t (cond, uncond, projector params) over
+              the SDXL UNet — the big graph, ALONE in its program
+      P_llm : LLM fwd+bwd of [w_lm*lm + w_vm*(<cond, d_cond> + <uncond,
+              d_uncond>)] — the dot-trick injects the head cotangent, so
+              grads equal the fused step's d_lm + w_vm * Jᵀ d_vm
+      P_opt : masked 8-bit-AdamW update over the merged grads
+    """
+    import optax
+
+    from dreamllm_tpu.models.dreamllm import (
+        extract_dream_hidden, masked_cross_entropy, multimodal_embed,
+        unconditional_dream_hidden,
+    )
+    from dreamllm_tpu.models.llama import llama_forward, llama_logits
+    from dreamllm_tpu.train.step import TrainState
+
+    cfg = DreamLLMConfig(
+        llm=LlamaConfig(
+            vocab_size=32064, hidden_size=2048, intermediate_size=5504,
+            num_hidden_layers=16, num_attention_heads=16, num_key_value_heads=16,
+            max_position_embeddings=S, dtype=jnp.bfloat16,
+        ),
+        vision=CLIPVisionConfig(
+            hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
+            num_attention_heads=16, image_size=IMG, patch_size=14,
+            dtype=jnp.bfloat16,
+        ),
+        image_embed_len=256,
+        n_dream_queries=64,
+        frozen=("clip_vision_embedding/clip",),
+    )
+    head_cfg = SDXLHeadConfig(
+        unet=sdxl_unet_config(sample_size=img_dm // 8, dtype=jnp.bfloat16),
+        vae=VAEConfig(scaling_factor=0.13025),
+        llm_hidden_size=cfg.llm.hidden_size,
+        dtype=jnp.bfloat16,
+    )
+
+    def make_params(rng):
+        k1, k2 = jax.random.split(rng)
+        p = init_dreamllm_params(k1, cfg)
+        p["sd_head"] = init_sdxl_head_params(k2, head_cfg)
+        return p
+
+    params = jax.jit(make_params)(jax.random.PRNGKey(0))
+    n_total = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    mask = param_freeze_mask(params, cfg)
+    mask["sd_head"]["unet"] = jax.tree.map(lambda _: False, mask["sd_head"]["unet"])
+    mask["sd_head"]["vae"] = jax.tree.map(lambda _: False, mask["sd_head"]["vae"])
+    n_train = sum(int(np.prod(x.shape)) for x, m in zip(
+        jax.tree.leaves(params), jax.tree.leaves(mask)) if m)
+    print(f"dm={img_dm}px  params: {n_total/1e9:.2f}B total, "
+          f"{n_train/1e9:.2f}B trainable (two-program step)", flush=True)
+
+    tx = make_optimizer(
+        OptimizerConfig(learning_rate=2e-3, schedule="constant", warmup_steps=0,
+                        total_steps=1000, max_grad_norm=1.0, optimizer_8bit=True),
+        trainable_mask=mask,
+    )
+    state = init_train_state(params, tx)
+    llm_cfg = cfg.llm
+
+    enc = jax.jit(lambda hp, imgs, r: encode_latents(hp, head_cfg, imgs, r))
+
+    @jax.jit
+    def p_fwd(params, batch):
+        embeds = multimodal_embed(
+            params, cfg, batch["input_ids"],
+            images=batch.get("images"),
+            image_positions=batch.get("image_positions"),
+            dream_positions=batch.get("dream_positions"),
+        )
+        out = llama_forward(params["llm"], llm_cfg, inputs_embeds=embeds,
+                            use_flash=True)
+        cond, valid = extract_dream_hidden(
+            out["last_hidden_state"], batch["dream_positions"], cfg.n_dream_queries)
+        uncond = unconditional_dream_hidden(params, cfg)
+        return cond, uncond, valid
+
+    @jax.jit
+    def p_head(head_params, latents, cond, uncond, valid, atids, rng, bm_dummy):
+        frozen = {k: jax.lax.stop_gradient(head_params[k]) for k in ("unet", "vae")}
+
+        def f(c, u, proj):
+            hp = {**frozen, **proj}
+            return sdxl_head_loss(
+                hp, head_cfg, bm_dummy, c, u, valid, rng,
+                add_time_ids=atids, latents=latents,
+            )[0]
+
+        proj0 = {k: head_params[k] for k in ("projector", "global_projector")}
+        vm, (d_cond, d_uncond, d_proj) = jax.value_and_grad(
+            f, argnums=(0, 1, 2))(cond, uncond, proj0)
+        return vm, d_cond, d_uncond, d_proj
+
+    @jax.jit
+    def p_llm(params, batch, d_cond, d_uncond, rng):
+        def f(p):
+            embeds = multimodal_embed(
+                p, cfg, batch["input_ids"],
+                images=batch.get("images"),
+                image_positions=batch.get("image_positions"),
+                dream_positions=batch.get("dream_positions"),
+            )
+            out = llama_forward(p["llm"], llm_cfg, inputs_embeds=embeds,
+                                use_flash=True, remat=True)
+            hidden = out["last_hidden_state"]
+            logits = llama_logits(p["llm"], llm_cfg, hidden)
+            lm = masked_cross_entropy(logits, batch["labels"])
+            cond, _ = extract_dream_hidden(
+                hidden, batch["dream_positions"], cfg.n_dream_queries)
+            uncond = unconditional_dream_hidden(p, cfg, remat=True)
+            inj = (jnp.sum(cond.astype(jnp.float32) * d_cond.astype(jnp.float32))
+                   + jnp.sum(uncond.astype(jnp.float32) * d_uncond.astype(jnp.float32)))
+            return (cfg.loss_weight_lm * lm
+                    + cfg.loss_weight_vm * inj.astype(jnp.float32)), lm
+
+        (_, lm), g = jax.value_and_grad(f, has_aux=True)(params)
+        return lm, g
+
+    @jax.jit
+    def p_opt(state, g, d_proj):
+        g = dict(g)
+        g["sd_head"] = {**g["sd_head"], **{
+            k: jax.tree.map(
+                lambda a, b: a + b, g["sd_head"][k], d_proj[k]
+            ) for k in d_proj
+        }}
+        updates, opt_state = tx.update(g, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, new_params, opt_state)
+
+    def step(state, batch, key):
+        hp = state.params["sd_head"]
+        latents = enc(hp, batch["images_dm"], jax.random.fold_in(key, 1))
+        cond, uncond, valid = p_fwd(state.params, batch)
+        bm_dummy = jnp.zeros(batch["images_dm"].shape[:2] + (1, 1, 3),
+                             jnp.bfloat16)  # loss reads only b, m from it
+        vm, d_cond, d_uncond, d_proj = p_head(
+            hp, latents, cond, uncond, valid,
+            batch["add_time_ids"], jax.random.fold_in(key, 2), bm_dummy)
+        lm, g = p_llm(state.params, batch, d_cond, d_uncond,
+                      jax.random.fold_in(key, 3))
+        new_state = p_opt(state, g, d_proj)
+        return new_state, {"loss": cfg.loss_weight_lm * lm + cfg.loss_weight_vm * vm}
+
+    return cfg, state, step, enc
+
+
 import gc
 import os
 
@@ -142,23 +301,35 @@ if os.environ.get("SDXL_MM_LADDER"):
         for p in os.environ["SDXL_MM_LADDER"].split(","))
 
 state = None
-# split_vae per rung: the 1024px joint graph crashes the remote compiler
-# in-graph; the split-VAE variant is the r5 attempt to fit it. Override via
-# e.g. SDXL_MM_LADDER="1024:1:split,768:1" — a ":split" suffix opts in.
-_default = ((1024, 1, True), (768, 1, False), (512, 2, False), (512, 1, False))
+# mode per rung: "fused" (one jitted step), "split" (fused step, VAE encode
+# in its own program), "split2" (two-program step — the 1024px path: fused
+# crashed the remote compiler in r4, split-VAE fused in r5, but the
+# UNet-backward program alone compiles). Override via e.g.
+# SDXL_MM_LADDER="1024:1:split2,768:1".
+_default = ((1024, 1, "split2"), (768, 1, "fused"), (512, 2, "fused"),
+            (512, 1, "fused"))
 if os.environ.get("SDXL_MM_LADDER"):
+    def _mode(p):
+        if "split2" in p:
+            return "split2"
+        return "split" if "split" in p else "fused"
+
     _default = tuple(
-        (int(p.split(":")[0]), int(p.split(":")[1]), "split" in p)
+        (int(p.split(":")[0]), int(p.split(":")[1]), _mode(p))
         for p in os.environ["SDXL_MM_LADDER"].split(","))
 _ladder = _default
 
-for img_dm, B, split_vae in _ladder:
+for img_dm, B, mode in _ladder:
     # free the previous rung COMPLETELY before allocating the next: a failed
     # 768px attempt otherwise pins ~8 GB of params and OOMs every rung after
     state = None
     gc.collect()
     try:
-        cfg, state, step, enc = build(img_dm, B)
+        if mode == "split2":
+            cfg, state, step, enc = build_split2(img_dm, B)
+        else:
+            cfg, state, step, enc = build(img_dm, B)
+        split_vae = mode == "split"
 
         def run(seed):
             global state
@@ -181,7 +352,7 @@ for img_dm, B, split_vae in _ladder:
             ts.append(time.perf_counter() - t0)
         ts.sort()
         dt = ts[len(ts) // 2]
-        tag = " (split-vae)" if split_vae else ""
+        tag = {"split": " (split-vae)", "split2": " (two-program)"}.get(mode, "")
         print(f"sdxl mm train step @{img_dm}px b{B}: {dt*1e3:.0f} ms -> "
               f"{B*S/dt:.0f} text tok/s (+ {B} images {B} sdxl diffusion "
               f"targets per step{tag}; all {[round(t,3) for t in ts]})", flush=True)
