@@ -116,6 +116,7 @@ def sdxl_head_loss(
     rng: jax.Array,
     add_time_ids: jnp.ndarray | None = None,  # [B, M, 6]
     latents: jnp.ndarray | None = None,       # [B, M, h, w, 4] pre-encoded
+    remat_unet: bool = False,                 # per-block UNet checkpointing
 ):
     """``latents``, when given, are VAE latents ALREADY sampled and scaled
     by ``cfg.vae.scaling_factor`` (see ``encode_latents``): the frozen VAE
@@ -167,6 +168,7 @@ def sdxl_head_loss(
     pred = unet_forward(
         params["unet"], cfg.unet, noisy, t, ctx,
         added_cond={"time_ids": add_time_ids, "text_embeds": text_embeds},
+        remat=remat_unet,
     )
 
     target = noise if cfg.prediction_type == "epsilon" else get_velocity(sched, latents, noise, t)

@@ -293,23 +293,36 @@ def unet_forward(
     return_deep: bool = False,           # also return the input to the last up block
     down_block_residuals: tuple | None = None,  # ControlNet skip residuals
     mid_block_residual: jnp.ndarray | None = None,  # ControlNet mid residual
+    remat: bool = False,                 # checkpoint per down/mid/up block:
+                                         # backward keeps only block-boundary
+                                         # activations (the 1024px SDXL
+                                         # training capacity knob)
 ) -> jnp.ndarray:
     g = cfg.norm_num_groups
     heads = cfg.num_attention_heads
     temb = _unet_time_embedding(params, cfg, timesteps, added_cond, sample)
     ctx = encoder_hidden_states.astype(sample.dtype)
 
+    def ckpt(f):
+        return jax.checkpoint(f) if remat else f
+
     h = conv2d(sample, params["conv_in"])
     skips = [h]
     for i, blk in enumerate(params["down"]):
-        for j, r in enumerate(blk["resnets"]):
-            h = resnet_block(r, h, temb, groups=g, eps=1e-5)
-            if "attentions" in blk:
-                h = _transformer2d(blk["attentions"][j], h, ctx, heads[i], g)
-            skips.append(h)
-        if "downsample" in blk:
-            h = downsample(blk["downsample"], h, symmetric=True)
-            skips.append(h)
+        def down_blk(blk, h, temb, ctx, _i=i):
+            outs = []
+            for j, r in enumerate(blk["resnets"]):
+                h = resnet_block(r, h, temb, groups=g, eps=1e-5)
+                if "attentions" in blk:
+                    h = _transformer2d(blk["attentions"][j], h, ctx, heads[_i], g)
+                outs.append(h)
+            if "downsample" in blk:
+                h = downsample(blk["downsample"], h, symmetric=True)
+                outs.append(h)
+            return h, outs
+
+        h, outs = ckpt(down_blk)(blk, h, temb, ctx)
+        skips.extend(outs)
 
     if down_block_residuals is not None:
         # ControlNet conditioning (diffusers down_block_additional_residuals
@@ -319,10 +332,12 @@ def unet_forward(
             len(down_block_residuals), len(skips))
         skips = [s + r.astype(s.dtype) for s, r in zip(skips, down_block_residuals)]
 
-    m = params["mid"]
-    h = resnet_block(m["resnet1"], h, temb, groups=g, eps=1e-5)
-    h = _transformer2d(m["attention"], h, ctx, heads[-1], g)
-    h = resnet_block(m["resnet2"], h, temb, groups=g, eps=1e-5)
+    def mid_blk(m, h, temb, ctx):
+        h = resnet_block(m["resnet1"], h, temb, groups=g, eps=1e-5)
+        h = _transformer2d(m["attention"], h, ctx, heads[-1], g)
+        return resnet_block(m["resnet2"], h, temb, groups=g, eps=1e-5)
+
+    h = ckpt(mid_blk)(params["mid"], h, temb, ctx)
     if mid_block_residual is not None:
         h = h + mid_block_residual.astype(h.dtype)
 
@@ -331,14 +346,20 @@ def unet_forward(
     for i, blk in enumerate(params["up"]):
         if i == len(params["up"]) - 1:
             deep = h  # feature entering the last (shallowest) up block
-        for j, r in enumerate(blk["resnets"]):
-            skip = skips.pop()
-            h = jnp.concatenate([h, skip], axis=-1)
-            h = resnet_block(r, h, temb, groups=g, eps=1e-5)
-            if "attentions" in blk:
-                h = _transformer2d(blk["attentions"][j], h, ctx, rev_heads[i], g)
-        if "upsample" in blk:
-            h = upsample(blk["upsample"], h)
+
+        def up_blk(blk, h, blk_skips, temb, ctx, _i=i):
+            for j, r in enumerate(blk["resnets"]):
+                h = jnp.concatenate([h, blk_skips[-(j + 1)]], axis=-1)
+                h = resnet_block(r, h, temb, groups=g, eps=1e-5)
+                if "attentions" in blk:
+                    h = _transformer2d(blk["attentions"][j], h, ctx, rev_heads[_i], g)
+            if "upsample" in blk:
+                h = upsample(blk["upsample"], h)
+            return h
+
+        n_res = len(blk["resnets"])
+        take, skips = skips[-n_res:], skips[:-n_res]
+        h = ckpt(up_blk)(blk, h, take, temb, ctx)
 
     h = group_norm(h, params["norm_out"]["w"], params["norm_out"]["b"], num_groups=g, eps=1e-5)
     h = jax.nn.silu(h)

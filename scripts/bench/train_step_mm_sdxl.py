@@ -27,7 +27,8 @@ from dreamllm_tpu.models.dreamllm import (
 )
 from dreamllm_tpu.models.llama import LlamaConfig
 from dreamllm_tpu.models.sd.sdxl import (
-    SDXLHeadConfig, encode_latents, init_sdxl_head_params, make_sdxl_head_loss_fn,
+    SDXLHeadConfig, encode_latents, init_sdxl_head_params,
+    make_sdxl_head_loss_fn, sdxl_head_loss,
 )
 from dreamllm_tpu.models.sd.unet import sdxl_unet_config
 from dreamllm_tpu.models.sd.vae import VAEConfig
@@ -225,6 +226,7 @@ def build_split2(img_dm: int, B: int):
             return sdxl_head_loss(
                 hp, head_cfg, bm_dummy, c, u, valid, rng,
                 add_time_ids=atids, latents=latents,
+                remat_unet=True,  # 128x128-latent activations don't fit saved
             )[0]
 
         proj0 = {k: head_params[k] for k in ("projector", "global_projector")}
@@ -234,7 +236,20 @@ def build_split2(img_dm: int, B: int):
 
     @jax.jit
     def p_llm(params, batch, d_cond, d_uncond, rng):
-        def f(p):
+        # differentiate ONLY the trainable LLM-side subtree: a full-tree
+        # value_and_grad would materialize ~5.3 GB of zero grads for the
+        # frozen UNet/VAE/CLIP tower (that, not compute, OOM'd the first
+        # split2 attempt)
+        def f(tp):
+            p = {
+                **params,
+                "llm": tp["llm"],
+                "dream_embedding": tp["dream_embedding"],
+                "clip_vision_embedding": {
+                    **params["clip_vision_embedding"],
+                    "projector": tp["clip_projector"],
+                },
+            }
             embeds = multimodal_embed(
                 p, cfg, batch["input_ids"],
                 images=batch.get("images"),
@@ -254,17 +269,24 @@ def build_split2(img_dm: int, B: int):
             return (cfg.loss_weight_lm * lm
                     + cfg.loss_weight_vm * inj.astype(jnp.float32)), lm
 
-        (_, lm), g = jax.value_and_grad(f, has_aux=True)(params)
+        tp0 = {"llm": params["llm"], "dream_embedding": params["dream_embedding"],
+               "clip_projector": params["clip_vision_embedding"]["projector"]}
+        (_, lm), g = jax.value_and_grad(f, has_aux=True)(tp0)
         return lm, g
 
-    @jax.jit
-    def p_opt(state, g, d_proj):
-        g = dict(g)
-        g["sd_head"] = {**g["sd_head"], **{
-            k: jax.tree.map(
-                lambda a, b: a + b, g["sd_head"][k], d_proj[k]
-            ) for k in d_proj
-        }}
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=(0,))
+    def p_opt(state, g_tp, d_proj):
+        # rebuild the full-tree grads (zeros for frozen leaves — the masked
+        # optimizer never touches them) inside the donated update program
+        g = jax.tree.map(jnp.zeros_like, state.params)
+        g["llm"] = g_tp["llm"]
+        g["dream_embedding"] = g_tp["dream_embedding"]
+        g["clip_vision_embedding"] = {
+            **g["clip_vision_embedding"], "projector": g_tp["clip_projector"],
+        }
+        g["sd_head"] = {**g["sd_head"], **d_proj}
         updates, opt_state = tx.update(g, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(state.step + 1, new_params, opt_state)

@@ -82,6 +82,34 @@ def _batch():
     }
 
 
+def test_unet_remat_parity():
+    """Per-block UNet checkpointing (unet_forward remat=True — the 1024px
+    capacity knob) must not change outputs or gradients."""
+    from dreamllm_tpu.models.sd.unet import init_unet_params, unet_forward
+
+    ucfg = HEAD_CFG.unet
+    p = init_unet_params(jax.random.PRNGKey(3), ucfg)
+    lat = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(5), (2, 6, 24), jnp.float32)
+    t = jnp.asarray([500, 17])
+    added = {"time_ids": jnp.zeros((2, 6)), "text_embeds": jnp.zeros((2, 16))}
+
+    def f(remat):
+        def loss(lat_in):
+            out = unet_forward(p, ucfg, lat_in, t, ctx, added_cond=added,
+                               remat=remat)
+            return jnp.sum(out.astype(jnp.float32) ** 2), out
+
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(lat)
+        return l, out, g
+
+    l0, o0, g0 = f(False)
+    l1, o1, g1 = f(True)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+
+
 def test_two_program_grads_match_fused():
     params = init_dreamllm_params(jax.random.PRNGKey(0), CFG)
     params["sd_head"] = init_sdxl_head_params(jax.random.PRNGKey(1), HEAD_CFG)
