@@ -674,10 +674,11 @@ def main():
 
             here = os.path.dirname(os.path.abspath(__file__))
             env = {**os.environ,
-                   # r5: attempt the native 1024px resolution with the
-                   # split-VAE graph (in-graph 1024 reliably crashed the
-                   # remote compiler); fall back to the proven 768 rung
-                   "SDXL_MM_LADDER": "1024:1:split,768:1",
+                   # r5: the native 1024px resolution via the two-program
+                   # step (head backward isolated + per-block UNet remat —
+                   # the fused graph crashes the remote compiler, measured
+                   # 1332 ms/step this way); fall back to the 768 fused rung
+                   "SDXL_MM_LADDER": "1024:1:split2,768:1",
                    "PYTHONPATH": here + ":" + os.environ.get("PYTHONPATH", "")}
             r = subprocess.run(
                 [sys.executable, os.path.join(here, "scripts/bench/train_step_mm_sdxl.py")],
@@ -687,6 +688,8 @@ def main():
             if m:
                 extra["sdxl_mm_train_step_ms"] = int(m.group(3))
                 extra["sdxl_mm_train_px"] = int(m.group(1))
+                if "two-program" in r.stdout:
+                    extra["sdxl_mm_train_mode"] = "two-program"
             else:
                 extra["sdxl_train_error"] = (r.stdout + r.stderr)[-200:]
         except Exception as e:

@@ -91,8 +91,8 @@ ROWS: list[tuple[list[str], str]] = [
      "| — |"),
     (["sdxl_mm_train_step_ms", "sdxl_mm_train_px"],
      "| **SDXL joint train step** (dual conditioning + add_time_ids "
-     "@{sdxl_mm_train_px}px, b1×s512) | **{sdxl_mm_train_step_ms} ms/step** "
-     "| — |"),
+     "@{sdxl_mm_train_px}px, b1×s512{sdxl_mode_note}) "
+     "| **{sdxl_mm_train_step_ms} ms/step** | — |"),
     (["images_per_min_sd21_unet", "unet_step_s"],
      "| SD-2.1 UNet 512px CFG denoise (50-step image; Pallas spatial "
      "attention) | **{images_per_min_sd21_unet:.1f} images/min/chip** "
@@ -136,6 +136,9 @@ def render(flat: dict, artifact: str) -> str:
     if "sdxl_step_s" in ctx:
         ctx["sdxl_ms"] = ctx["sdxl_step_s"] * 1e3
         ctx["sdxl_dc"] = ctx.get("images_per_min_sdxl1024_deepcache2", float("nan"))
+    ctx["sdxl_mode_note"] = (
+        "; two-program step — docs/TRAINING.md"
+        if ctx.get("sdxl_mm_train_mode") == "two-program" else "")
     if "interleaved_img_s" in ctx:
         ctx["s_per_img"] = ctx["interleaved_img_s"] / max(
             ctx.get("interleaved_n_images", 1), 1)
