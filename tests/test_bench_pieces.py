@@ -96,16 +96,19 @@ def test_sync_readme_bench_roundtrip(tmp_path):
     assert "DeepCache" not in out and "engine" not in out
     # rendering is deterministic/idempotent
     assert out == mod.render(flat, name)
-    # and the checked-in README's block matches its artifact today
+    # and the checked-in README's block matches the artifact it CITES (not
+    # "the latest file": the round driver drops a new BENCH_rNN.json after
+    # the last commit, which must not retroactively redden the suite)
+    import re
+
     readme = open(os.path.join(REPO, "README.md")).read()
     assert mod.BEGIN in readme and mod.END in readme
-    import glob as _glob
-    latest = sorted(_glob.glob(os.path.join(REPO, "BENCH_r*.json")))[-1]
-    flat2, name2 = mod.load_artifact(latest)
     block = readme.split(mod.BEGIN)[1].split(mod.END)[0].strip()
+    cited = re.search(r"artifact: `([^`]+)`", block).group(1)
+    flat2, name2 = mod.load_artifact(os.path.join(REPO, cited))
     assert block == mod.render(flat2, name2).strip(), (
-        "README table drifted from the artifact — run "
-        "scripts/sync_readme_bench.py")
+        "README table drifted from its cited artifact — run "
+        "scripts/sync_readme_bench.py " + cited)
 
 
 def test_force_image_interval_scripted_trigger():
