@@ -673,24 +673,29 @@ def main():
             import sys
 
             here = os.path.dirname(os.path.abspath(__file__))
-            env = {**os.environ,
-                   # r5: the native 1024px resolution via the two-program
-                   # step (head backward isolated + per-block UNet remat —
-                   # the fused graph crashes the remote compiler, measured
-                   # 1332 ms/step this way); fall back to the 768 fused rung
-                   "SDXL_MM_LADDER": "1024:1:split2,768:1",
-                   "PYTHONPATH": here + ":" + os.environ.get("PYTHONPATH", "")}
-            r = subprocess.run(
-                [sys.executable, os.path.join(here, "scripts/bench/train_step_mm_sdxl.py")],
-                capture_output=True, text=True, timeout=2400, env=env,
-            )
-            m = re.search(r"sdxl mm train step @(\d+)px b(\d+): (\d+) ms", r.stdout)
-            if m:
-                extra["sdxl_mm_train_step_ms"] = int(m.group(3))
-                extra["sdxl_mm_train_px"] = int(m.group(1))
-                if "two-program" in r.stdout:
-                    extra["sdxl_mm_train_mode"] = "two-program"
-            else:
+            # r5: the native 1024px resolution via the two-program step
+            # (head backward isolated + per-block UNet remat — the fused
+            # graph crashes the remote compiler; measured 1332-1682 ms).
+            # ONE subprocess PER rung: a ResourceExhausted at the HBM edge
+            # can poison the whole TPU client, taking the in-process
+            # fallback rung down with it (observed: a run where 1024 OOM'd
+            # and the 768 fallback then failed in the same process).
+            for rung in ("1024:1:split2", "768:1"):
+                env = {**os.environ, "SDXL_MM_LADDER": rung,
+                       "PYTHONPATH": here + ":" + os.environ.get("PYTHONPATH", "")}
+                r = subprocess.run(
+                    [sys.executable,
+                     os.path.join(here, "scripts/bench/train_step_mm_sdxl.py")],
+                    capture_output=True, text=True, timeout=2400, env=env,
+                )
+                m = re.search(r"sdxl mm train step @(\d+)px b(\d+): (\d+) ms", r.stdout)
+                if m:
+                    extra["sdxl_mm_train_step_ms"] = int(m.group(3))
+                    extra["sdxl_mm_train_px"] = int(m.group(1))
+                    if "two-program" in r.stdout:
+                        extra["sdxl_mm_train_mode"] = "two-program"
+                    extra.pop("sdxl_train_error", None)
+                    break
                 extra["sdxl_train_error"] = (r.stdout + r.stderr)[-200:]
         except Exception as e:
             extra["sdxl_train_error"] = str(e)[:200]
