@@ -79,11 +79,11 @@ ROWS: list[tuple[list[str], str]] = [
      "**fused Pallas flash-attention backward** "
      "| **{train_1b_tok_s:,.0f} tok/s/chip** ({train_1b_mfu_pct:.1f}% MFU — "
      "lever study in docs/TRAINING.md) | — |"),
-    (["train_1p3b_tok_s", "train_1p3b_mfu_pct"],
-     "| Train step, **1.34B** LM on the SAME 16 GB chip (b2×2048; 8-bit "
-     "moments + bf16 weights + remat make it fit) "
-     "| **{train_1p3b_tok_s:,.0f} tok/s/chip** ({train_1p3b_mfu_pct:.1f}% "
-     "MFU) | — |"),
+    (["train_1p3b_tok_s", "train_1p3b_mfu_pct", "train_1p3b_batch"],
+     "| Train step, **1.34B** LM on the SAME 16 GB chip "
+     "(b{train_1p3b_batch}×2048; 8-bit moments + bf16 weights + remat make "
+     "it fit) | **{train_1p3b_tok_s:,.0f} tok/s/chip** "
+     "({train_1p3b_mfu_pct:.1f}% MFU) | — |"),
     (["fed_step_ms", "synthetic_step_ms", "dataplane_img_s"],
      "| Stage-2 mm train step **fed by the real input pipeline** (native "
      "loader {dataplane_img_s:.0f} img/s → builder → collate → prefetch) "
