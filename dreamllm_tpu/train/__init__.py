@@ -4,6 +4,7 @@ from dreamllm_tpu.train.optim import (
     make_lr_schedule,
 )
 from dreamllm_tpu.train.step import TrainState, make_train_step, init_train_state
+from dreamllm_tpu.train.split_step import make_split_train_step
 from dreamllm_tpu.train.hp_search import (
     BestRun,
     HPDim,

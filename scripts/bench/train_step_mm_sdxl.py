@@ -131,28 +131,16 @@ def make_batch(cfg, img_dm, B, seed):
 def build_split2(img_dm: int, B: int):
     """TWO-program train step for shapes whose fused graph crashes this
     environment's remote compiler (1024px: fused crashed in r4, split-VAE
-    fused crashed in r5, but the UNet-only backward compiles fine alone —
-    measured 229.7 s compile).
+    fused crashed in r5, but each HALF compiles — the UNet-only backward
+    measured a clean 229.7 s compile).
 
-    Decomposition (exact same math as the fused step, one extra LLM
-    forward):
-      P_enc : images_dm -> sampled+scaled VAE latents (frozen VAE)
-      P_fwd : LLM forward -> (cond, uncond) dream-query hidden states
-      P_head: vm loss fwd+bwd w.r.t (cond, uncond, projector params) over
-              the SDXL UNet — the big graph, ALONE in its program
-      P_llm : LLM fwd+bwd of [w_lm*lm + w_vm*(<cond, d_cond> + <uncond,
-              d_uncond>)] — the dot-trick injects the head cotangent, so
-              grads equal the fused step's d_lm + w_vm * Jᵀ d_vm
-      P_opt : masked 8-bit-AdamW update over the merged grads
+    Thin wrapper over the library implementation
+    (``dreamllm_tpu.train.split_step.make_split_train_step`` — P_enc /
+    P_fwd / P_head(remat_unet) / P_llm(dot-trick cotangent injection) /
+    P_opt; gradient parity with the fused step in
+    ``tests/test_split_step.py``). Measured 1146–1682 ms/step @1024px b1.
     """
-    import optax
-
-    from dreamllm_tpu.models.dreamllm import (
-        extract_dream_hidden, masked_cross_entropy, multimodal_embed,
-        unconditional_dream_hidden,
-    )
-    from dreamllm_tpu.models.llama import llama_forward, llama_logits
-    from dreamllm_tpu.train.step import TrainState
+    from dreamllm_tpu.train import make_split_train_step
 
     cfg = DreamLLMConfig(
         llm=LlamaConfig(
@@ -198,113 +186,11 @@ def build_split2(img_dm: int, B: int):
         trainable_mask=mask,
     )
     state = init_train_state(params, tx)
-    llm_cfg = cfg.llm
-
+    step = make_split_train_step(
+        cfg, tx, head_cfg=head_cfg, trainable_mask=mask,
+        use_flash=True, remat=True, remat_unet=True,
+    )
     enc = jax.jit(lambda hp, imgs, r: encode_latents(hp, head_cfg, imgs, r))
-
-    @jax.jit
-    def p_fwd(params, batch):
-        embeds = multimodal_embed(
-            params, cfg, batch["input_ids"],
-            images=batch.get("images"),
-            image_positions=batch.get("image_positions"),
-            dream_positions=batch.get("dream_positions"),
-        )
-        out = llama_forward(params["llm"], llm_cfg, inputs_embeds=embeds,
-                            use_flash=True)
-        cond, valid = extract_dream_hidden(
-            out["last_hidden_state"], batch["dream_positions"], cfg.n_dream_queries)
-        uncond = unconditional_dream_hidden(params, cfg)
-        return cond, uncond, valid
-
-    @jax.jit
-    def p_head(head_params, latents, cond, uncond, valid, atids, rng, bm_dummy):
-        frozen = {k: jax.lax.stop_gradient(head_params[k]) for k in ("unet", "vae")}
-
-        def f(c, u, proj):
-            hp = {**frozen, **proj}
-            return sdxl_head_loss(
-                hp, head_cfg, bm_dummy, c, u, valid, rng,
-                add_time_ids=atids, latents=latents,
-                remat_unet=True,  # 128x128-latent activations don't fit saved
-            )[0]
-
-        proj0 = {k: head_params[k] for k in ("projector", "global_projector")}
-        vm, (d_cond, d_uncond, d_proj) = jax.value_and_grad(
-            f, argnums=(0, 1, 2))(cond, uncond, proj0)
-        return vm, d_cond, d_uncond, d_proj
-
-    @jax.jit
-    def p_llm(params, batch, d_cond, d_uncond, rng):
-        # differentiate ONLY the trainable LLM-side subtree: a full-tree
-        # value_and_grad would materialize ~5.3 GB of zero grads for the
-        # frozen UNet/VAE/CLIP tower (that, not compute, OOM'd the first
-        # split2 attempt)
-        def f(tp):
-            p = {
-                **params,
-                "llm": tp["llm"],
-                "dream_embedding": tp["dream_embedding"],
-                "clip_vision_embedding": {
-                    **params["clip_vision_embedding"],
-                    "projector": tp["clip_projector"],
-                },
-            }
-            embeds = multimodal_embed(
-                p, cfg, batch["input_ids"],
-                images=batch.get("images"),
-                image_positions=batch.get("image_positions"),
-                dream_positions=batch.get("dream_positions"),
-            )
-            out = llama_forward(p["llm"], llm_cfg, inputs_embeds=embeds,
-                                use_flash=True, remat=True)
-            hidden = out["last_hidden_state"]
-            logits = llama_logits(p["llm"], llm_cfg, hidden)
-            lm = masked_cross_entropy(logits, batch["labels"])
-            cond, _ = extract_dream_hidden(
-                hidden, batch["dream_positions"], cfg.n_dream_queries)
-            uncond = unconditional_dream_hidden(p, cfg, remat=True)
-            inj = (jnp.sum(cond.astype(jnp.float32) * d_cond.astype(jnp.float32))
-                   + jnp.sum(uncond.astype(jnp.float32) * d_uncond.astype(jnp.float32)))
-            return (cfg.loss_weight_lm * lm
-                    + cfg.loss_weight_vm * inj.astype(jnp.float32)), lm
-
-        tp0 = {"llm": params["llm"], "dream_embedding": params["dream_embedding"],
-               "clip_projector": params["clip_vision_embedding"]["projector"]}
-        (_, lm), g = jax.value_and_grad(f, has_aux=True)(tp0)
-        return lm, g
-
-    from functools import partial as _partial
-
-    @_partial(jax.jit, donate_argnums=(0,))
-    def p_opt(state, g_tp, d_proj):
-        # rebuild the full-tree grads (zeros for frozen leaves — the masked
-        # optimizer never touches them) inside the donated update program
-        g = jax.tree.map(jnp.zeros_like, state.params)
-        g["llm"] = g_tp["llm"]
-        g["dream_embedding"] = g_tp["dream_embedding"]
-        g["clip_vision_embedding"] = {
-            **g["clip_vision_embedding"], "projector": g_tp["clip_projector"],
-        }
-        g["sd_head"] = {**g["sd_head"], **d_proj}
-        updates, opt_state = tx.update(g, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        return TrainState(state.step + 1, new_params, opt_state)
-
-    def step(state, batch, key):
-        hp = state.params["sd_head"]
-        latents = enc(hp, batch["images_dm"], jax.random.fold_in(key, 1))
-        cond, uncond, valid = p_fwd(state.params, batch)
-        bm_dummy = jnp.zeros(batch["images_dm"].shape[:2] + (1, 1, 3),
-                             jnp.bfloat16)  # loss reads only b, m from it
-        vm, d_cond, d_uncond, d_proj = p_head(
-            hp, latents, cond, uncond, valid,
-            batch["add_time_ids"], jax.random.fold_in(key, 2), bm_dummy)
-        lm, g = p_llm(state.params, batch, d_cond, d_uncond,
-                      jax.random.fold_in(key, 3))
-        new_state = p_opt(state, g, d_proj)
-        return new_state, {"loss": cfg.loss_weight_lm * lm + cfg.loss_weight_vm * vm}
-
     return cfg, state, step, enc
 
 

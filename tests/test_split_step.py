@@ -110,6 +110,81 @@ def test_unet_remat_parity():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
 
 
+def test_library_split_step_matches_fused_update():
+    """train/split_step.make_split_train_step: one full optimizer step must
+    produce the SAME updated params as a fused-reference update built from
+    dreamllm_forward grads with identical rng discipline and frozen-leaf
+    zeroing."""
+    import optax
+
+    from dreamllm_tpu.models.dreamllm import dreamllm_forward, param_freeze_mask
+    from dreamllm_tpu.train.split_step import (
+        _expand_mask,
+        make_split_train_step,
+    )
+    from dreamllm_tpu.train.step import TrainState
+
+    cfg = dataclasses_replace_frozen(CFG, frozen=("clip_vision_embedding/clip",))
+    params = init_dreamllm_params(jax.random.PRNGKey(0), cfg)
+    params["sd_head"] = init_sdxl_head_params(jax.random.PRNGKey(1), HEAD_CFG)
+    mask = param_freeze_mask(params, cfg)
+    mask["sd_head"]["unet"] = jax.tree.map(lambda _: False, mask["sd_head"]["unet"])
+    mask["sd_head"]["vae"] = jax.tree.map(lambda _: False, mask["sd_head"]["vae"])
+
+    batch = _batch()
+    rng = jax.random.PRNGKey(9)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+
+    # ---- fused reference FIRST: the split step's optimizer program
+    # DONATES state (like make_train_step), deleting the original buffers
+    lat = encode_latents(params["sd_head"], HEAD_CFG, batch["images_dm"],
+                         jax.random.fold_in(rng, 1))
+
+    def head_loss(hp, images_dm, cond, uncond, valid, r, add_time_ids=None,
+                  latents=None, **_):
+        return sdxl_head_loss(hp, HEAD_CFG, images_dm, cond, uncond, valid,
+                              jax.random.fold_in(rng, 2),
+                              add_time_ids=add_time_ids, latents=latents)
+
+    fused_batch = dict(batch, latents=lat)
+
+    def fused(p):
+        loss, _ = dreamllm_forward(
+            p, cfg, fused_batch, rng=None,
+            head_loss_fn=head_loss, head_params=p["sd_head"], use_flash=False)
+        return loss
+
+    g = jax.grad(fused)(params)
+    fmask = _expand_mask(mask, params)
+    g = jax.tree.map(lambda m, gi: gi if m else jnp.zeros_like(gi), fmask, g)
+    updates, _ = tx.update(g, opt_state, params)
+    ref_params = optax.apply_updates(params, updates)
+    ref_params = jax.tree.map(np.asarray, ref_params)  # off-device copy
+
+    # ---- library split step ----
+    step = make_split_train_step(
+        cfg, tx, head_cfg=HEAD_CFG, trainable_mask=mask,
+        use_flash=False, remat=False, remat_unet=False,
+    )
+    new_state, aux = step(TrainState(0, params, opt_state), batch, rng)
+    assert np.isfinite(float(aux["loss"]))
+
+    for (kp, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(new_state.params)[0],
+            jax.tree.leaves(ref_params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-6, rtol=2e-4, err_msg=jax.tree_util.keystr(kp))
+    assert int(new_state.step) == 1
+
+
+def dataclasses_replace_frozen(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
 def test_two_program_grads_match_fused():
     params = init_dreamllm_params(jax.random.PRNGKey(0), CFG)
     params["sd_head"] = init_sdxl_head_params(jax.random.PRNGKey(1), HEAD_CFG)
