@@ -869,6 +869,12 @@ def main():
                 extra["interleaved_n_images"] = int(m.group(3))
                 extra["interleaved_text_tok"] = int(m.group(6))
                 extra["interleaved_text_tok_s"] = float(m.group(7))
+                m2 = re.search(
+                    r"interleaved doc deepcache2: ([\d.]+) s \| "
+                    r"images: ([\d.]+) s", r.stdout)
+                if m2:
+                    extra["interleaved_doc_dc2_s"] = float(m2.group(1))
+                    extra["interleaved_img_dc2_s"] = float(m2.group(2))
             else:
                 extra["interleaved_error"] = (r.stdout + r.stderr)[-200:]
         except Exception as e:

@@ -54,13 +54,28 @@ from dreamllm_tpu.models.sd.vae import VAEConfig, vae_decode  # noqa: E402
 from dreamllm_tpu.ops.quant import quantize_llama_params  # noqa: E402
 
 
-def make_piecewise_pipeline(head_cfg: SDHeadConfig):
+def make_piecewise_pipeline(head_cfg: SDHeadConfig, deepcache_interval: int = 1):
     """``pipeline_fn`` for generate_interleaved built from per-block jitted
     UNet programs (the monolithic sd_head_pipeline fori_loop graph overloads
     this environment's remote compiler — bench.make_piecewise_unet). Host
     loop over DDIM steps; dispatches pipeline asynchronously like bench_unet
-    (measured ~25 ms/step at 512px including dispatch overhead)."""
+    (measured ~25 ms/step at 512px including dispatch overhead).
+
+    ``deepcache_interval > 1``: DeepCache — a full UNet step (monolithic
+    jit with ``return_deep``) every k-th step, shallow cached steps between
+    (``unet_forward_shallow``); the same two programs bench_unet's
+    DeepCache rung compiles at these exact shapes, so the cache is warm."""
     pieces = bench.make_piecewise_unet(head_cfg.unet)
+    if deepcache_interval > 1:
+        from dreamllm_tpu.models.sd.unet import unet_forward, unet_forward_shallow
+
+        @jax.jit
+        def dc_full(p, lat_in, t, ctx):
+            return unet_forward(p, head_cfg.unet, lat_in, t, ctx, return_deep=True)
+
+        @jax.jit
+        def dc_shallow(p, lat_in, t, ctx, deep):
+            return unet_forward_shallow(p, head_cfg.unet, lat_in, t, ctx, deep)
     sched = head_cfg.schedule()
     pcfg = head_cfg.projector_cfg()
 
@@ -113,8 +128,18 @@ def make_piecewise_pipeline(head_cfg: SDHeadConfig):
         ctx, latents = prep(head_params, cond, uncond, rng, jnp.zeros((h, w)))
         ts = np.asarray(ddim_timesteps(sched.num_train_timesteps, num_inference_steps))
         ts_prev = np.concatenate([ts[1:], [-1]])
-        for t, tp in zip(ts, ts_prev):
-            out = pieces["step"](head_params["unet"], dup(latents), jnp.asarray([t, t]), ctx)
+        deep = None
+        for i, (t, tp) in enumerate(zip(ts, ts_prev)):
+            if deepcache_interval > 1:
+                if i % deepcache_interval == 0:
+                    out, deep = dc_full(head_params["unet"], dup(latents),
+                                        jnp.asarray([t, t]), ctx)
+                else:
+                    out = dc_shallow(head_params["unet"], dup(latents),
+                                     jnp.asarray([t, t]), ctx, deep)
+            else:
+                out = pieces["step"](head_params["unet"], dup(latents),
+                                     jnp.asarray([t, t]), ctx)
             latents = sched_step(out, jnp.asarray(t), jnp.asarray(tp), latents)
         return decode_img(head_params, latents)
 
@@ -225,7 +250,40 @@ def main():
     text_s = max(dt - img_s, 1e-9)
     print(f"interleaved doc: {dt:.2f} s | images: {img_s:.2f} s "
           f"({len(out['images'])}x{height}px, {steps} steps) | "
-          f"text: {n_text} tok @ {n_text / text_s:.1f} tok/s")
+          f"text: {n_text} tok @ {n_text / text_s:.1f} tok/s", flush=True)
+
+    # the quality/speed dial in the same north-star run: DeepCache interval 2
+    # (full UNet step every 2nd step, shallow cached between)
+    try:
+        pipeline_fn2 = make_piecewise_pipeline(head_cfg, deepcache_interval=2)
+
+        def timed_pipeline2(*a, **kw):
+            t0 = time.perf_counter()
+            img = pipeline_fn2(*a, **kw)
+            float(jnp.sum(img))
+            img_time[0] += time.perf_counter() - t0
+            return img
+
+        def run_dc(seed):
+            ids = jax.random.randint(jax.random.PRNGKey(seed), (1, 16), 10, 31000)
+            img_time[0] = 0.0
+            t0 = time.perf_counter()
+            o = generate_interleaved(
+                params, cfg, head_params, head_cfg, ids, icfg,
+                jax.random.PRNGKey(seed), pipeline_fn=timed_pipeline2,
+            )
+            for kind, seg in o["segments"]:
+                if kind == "text":
+                    np.asarray(seg)
+            return time.perf_counter() - t0, img_time[0]
+
+        run_dc(10)  # compile/warm (programs usually cached by bench_unet)
+        dts = sorted(run_dc(11 + i) for i in range(2 if not smoke else 1))
+        dt2, img_s2 = dts[0]
+        print(f"interleaved doc deepcache2: {dt2:.2f} s | images: {img_s2:.2f} s",
+              flush=True)
+    except Exception as e:
+        print(f"interleaved deepcache2 failed: {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -111,7 +111,8 @@ ROWS: list[tuple[list[str], str]] = [
      "@512px, {interleaved_n_images} images, 50 DDIM steps) "
      "| **{interleaved_doc_s:.2f} s/doc** ({interleaved_img_s:.2f} s in "
      "images ≈ {s_per_img:.2f} s/image; {interleaved_text_tok} text tok @ "
-     "{interleaved_text_tok_s:.1f} tok/s between images) | — |"),
+     "{interleaved_text_tok_s:.1f} tok/s between images{interleaved_dc_note})"
+     " | — |"),
 ]
 
 HEADER = [
@@ -142,6 +143,12 @@ def render(flat: dict, artifact: str) -> str:
     if "interleaved_img_s" in ctx:
         ctx["s_per_img"] = ctx["interleaved_img_s"] / max(
             ctx.get("interleaved_n_images", 1), 1)
+        if "interleaved_doc_dc2_s" in ctx:
+            ctx["interleaved_dc_note"] = (
+                "; DeepCache-2 images: {:.2f} s/doc".format(
+                    ctx["interleaved_doc_dc2_s"]))
+        else:
+            ctx["interleaved_dc_note"] = ""
     lines = [ln.format(**ctx) for ln in HEADER]
     for keys, tmpl in ROWS:
         if all(k in ctx and ctx[k] is not None for k in keys):
