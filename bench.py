@@ -935,6 +935,7 @@ def main():
                 extra["train_1p3b_tok_s"] = round(ttok, 0)
                 extra["train_1p3b_mfu_pct"] = round(tmfu, 1)
                 extra["train_1p3b_batch"] = b134
+                extra.pop("train_1p3b_error", None)  # fallback succeeded
                 break
             except Exception as e:
                 extra["train_1p3b_error"] = str(e)[:200]

@@ -112,20 +112,31 @@ def sd_head_loss(
     uncond: jnp.ndarray,      # [1, n_queries, llm_hidden]
     valid: jnp.ndarray,       # [B, M] bool
     rng: jax.Array,
+    latents: jnp.ndarray | None = None,   # [B, M, h, w, 4] pre-encoded
+    remat_unet: bool = False,             # per-block UNet checkpointing
 ) -> tuple[jnp.ndarray, dict]:
-    """Diffusion ("vm") loss over valid dream spans (reference :493-577)."""
+    """Diffusion ("vm") loss over valid dream spans (reference :493-577).
+
+    ``latents``, when given, are VAE latents ALREADY sampled and scaled by
+    ``cfg.vae.scaling_factor`` (``encode_sd_latents``) — the frozen VAE
+    encoder then runs in its own compiled program and this loss skips it
+    (same contract as the SDXL head's split path; the rng split layout is
+    unchanged so the noise/timestep/dropout draws are identical)."""
     sched = cfg.schedule()
     b, m = images_dm.shape[:2]
     n = b * m
-    imgs = images_dm.reshape((n,) + images_dm.shape[2:])
     cond = cond.reshape(n, cond.shape[2], cond.shape[3])
     valid_f = valid.reshape(n).astype(jnp.float32)
 
     r_lat, r_noise, r_t, r_drop, r_pert = jax.random.split(rng, 5)
 
-    # VAE encode (frozen; stop_gradient matches the reference freezing VAE)
-    mean, logvar = vae_encode(params["vae"], cfg.vae, imgs)
-    latents = vae_sample(mean, logvar, r_lat) * cfg.vae.scaling_factor
+    if latents is None:
+        imgs = images_dm.reshape((n,) + images_dm.shape[2:])
+        # VAE encode (frozen; stop_gradient matches the reference freezing VAE)
+        mean, logvar = vae_encode(params["vae"], cfg.vae, imgs)
+        latents = vae_sample(mean, logvar, r_lat) * cfg.vae.scaling_factor
+    else:
+        latents = latents.reshape((n,) + latents.shape[2:])
     latents = jax.lax.stop_gradient(latents)
 
     noise = jax.random.normal(r_noise, latents.shape, latents.dtype)
@@ -147,7 +158,8 @@ def sd_head_loss(
     states = jnp.where(drop, uncond.astype(cond.dtype), cond)
     states = projector_forward(params["projector"], cfg.projector_cfg(), states)
 
-    pred = unet_forward(params["unet"], cfg.unet, noisy, t, states)
+    pred = unet_forward(params["unet"], cfg.unet, noisy, t, states,
+                        remat=remat_unet)
 
     if cfg.prediction_type == "epsilon":
         target = noise
@@ -170,10 +182,25 @@ def make_head_loss_fn(cfg: SDHeadConfig):
     """Adapter matching dreamllm_forward's ``head_loss_fn`` signature.
     Ignores SDXL-only extras (add_time_ids)."""
 
-    def fn(head_params, images_dm, cond, uncond, valid, rng, **_extras):
-        return sd_head_loss(head_params, cfg, images_dm, cond, uncond, valid, rng)
+    def fn(head_params, images_dm, cond, uncond, valid, rng, latents=None,
+           **_extras):
+        return sd_head_loss(head_params, cfg, images_dm, cond, uncond, valid,
+                            rng, latents=latents)
 
     return fn
+
+
+def encode_sd_latents(params: Params, cfg: SDHeadConfig,
+                      images_dm: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    """[B, M, H, W, 3] -> [B, M, h, w, 4] sampled+scaled VAE latents for the
+    ``latents=`` fast path of ``sd_head_loss`` (jit separately; the VAE is
+    frozen so no gradient is lost by the split). SDXL twin:
+    ``models/sd/sdxl.encode_latents`` (fp32-VAE policy)."""
+    b, m = images_dm.shape[:2]
+    imgs = images_dm.reshape((b * m,) + images_dm.shape[2:])
+    mean, logvar = vae_encode(params["vae"], cfg.vae, imgs)
+    lat = vae_sample(mean, logvar, rng) * cfg.vae.scaling_factor
+    return lat.reshape((b, m) + lat.shape[1:])
 
 
 # ---------------------------------------------------------------------------

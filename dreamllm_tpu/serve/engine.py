@@ -1050,7 +1050,13 @@ class ContinuousBatchingEngine:
         # the request NOW is the only way its submitter ever wakes up
         with self._submit_lock:
             if self._stopped:
-                self._free.append(slot)
+                # stop()'s sweep may ALREADY have rebuilt _free with this
+                # slot (a timed-out join while we were blocked in the insert
+                # dispatch above) — an unconditional append would duplicate
+                # the slot and admit two requests into the same lane after
+                # a restart
+                if slot not in self._free:
+                    self._free.append(slot)
                 # the insert above already flipped this lane active on
                 # device, and stop()'s sweep (which ran before or runs
                 # concurrently with this block) saw an empty _by_slot — its

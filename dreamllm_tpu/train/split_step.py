@@ -74,18 +74,6 @@ def _split_trainable(params, full_mask):
     return trainable, treedef, rows
 
 
-def _merge(treedef, rows, trainable, *, stop_frozen):
-    """Rebuild the full pytree: trainable leaves from ``trainable``, frozen
-    leaves from ``rows`` (optionally stop_gradient'ed)."""
-    leaves = []
-    for k, leaf, m in rows:
-        if m:
-            leaves.append(trainable[k])
-        else:
-            leaves.append(jax.lax.stop_gradient(leaf) if stop_frozen else leaf)
-    return jax.tree_util.tree_unflatten(treedef, leaves)
-
-
 def make_split_train_step(
     cfg: DreamLLMConfig,
     tx: optax.GradientTransformation,
@@ -124,15 +112,17 @@ def make_split_train_step(
 
         def _sd_loss(hp, dm, c, u, v, r, add_time_ids=None, latents=None,
                      remat_unet=False):
-            del add_time_ids, latents, remat_unet  # plain-SD loss (no split path)
-            return _m.sd_head_loss(hp, head_cfg, dm, c, u, v, r)
+            del add_time_ids  # SDXL-only
+            # latents is ALWAYS set here (P_enc runs first): the images_dm
+            # operand this receives is a 1x1 shape dummy, so falling back to
+            # the in-loss VAE encode would train on garbage
+            assert latents is not None
+            return _m.sd_head_loss(hp, head_cfg, dm, c, u, v, r,
+                                   latents=latents, remat_unet=remat_unet)
 
         head_loss_fn = head_loss_fn or _sd_loss
-        if encode_latents_fn is None:
-            raise ValueError(
-                "plain-SD head: pass encode_latents_fn or use the fused "
-                "make_train_step (the split step's memory story is the "
-                "SDXL-1024 case)")
+        encode_latents_fn = encode_latents_fn or (
+            lambda hp, dm, r: _m.encode_sd_latents(hp, head_cfg, dm, r))
 
     llm_cfg = cfg.llm
     w_lm, w_vm = cfg.loss_weight_lm, cfg.loss_weight_vm
@@ -244,8 +234,8 @@ def make_split_train_step(
         else:
             fmask = jax.tree.map(lambda _: True, params)
         # LLM-side trainables: everything outside sd_head the mask keeps
-        llm_mask = dict(fmask)
-        if "sd_head" in llm_mask:
+        llm_mask = fmask
+        if "sd_head" in fmask:
             llm_mask = {**fmask, "sd_head": jax.tree.map(
                 lambda _: False, fmask["sd_head"])}
         llm_tp, _, _ = _split_trainable(params, llm_mask)

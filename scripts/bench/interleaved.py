@@ -94,12 +94,15 @@ def make_piecewise_pipeline(head_cfg: SDHeadConfig, deepcache_interval: int = 1)
         return ctx, latents
 
     @jax.jit
-    def sched_step(model_out, t, t_prev, latents):
+    def sched_step(model_out, t, t_prev, latents, g):
+        # guidance is a TRACED operand: a closed-over Python float would be
+        # baked into the first trace and silently reused by later calls
+        # with a different guidance_scale
         out = model_out.astype(jnp.float32)
         un, co = jnp.split(out, 2, axis=0)
         return ddim_step(
             sched,
-            classifier_free_guidance(co, un, _G[0]),
+            classifier_free_guidance(co, un, g),
             jnp.broadcast_to(t, (1,)),
             jnp.broadcast_to(t_prev, (1,)),
             latents,
@@ -117,11 +120,9 @@ def make_piecewise_pipeline(head_cfg: SDHeadConfig, deepcache_interval: int = 1)
         )
         return jnp.clip(imgs / 2.0 + 0.5, 0.0, 1.0)
 
-    _G = [7.5]
-
     def pipeline_fn(head_params, _cfg, cond, uncond, rng, *, height, width,
                     num_inference_steps, guidance_scale, sampler):
-        _G[0] = guidance_scale
+        g = jnp.asarray(guidance_scale, jnp.float32)
         vae_factor = 2 ** (len(head_cfg.vae.block_out_channels) - 1)
         h = (height or head_cfg.unet.sample_size * vae_factor) // vae_factor
         w = (width or head_cfg.unet.sample_size * vae_factor) // vae_factor
@@ -140,7 +141,7 @@ def make_piecewise_pipeline(head_cfg: SDHeadConfig, deepcache_interval: int = 1)
             else:
                 out = pieces["step"](head_params["unet"], dup(latents),
                                      jnp.asarray([t, t]), ctx)
-            latents = sched_step(out, jnp.asarray(t), jnp.asarray(tp), latents)
+            latents = sched_step(out, jnp.asarray(t), jnp.asarray(tp), latents, g)
         return decode_img(head_params, latents)
 
     return pipeline_fn

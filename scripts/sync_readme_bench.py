@@ -103,7 +103,7 @@ ROWS: list[tuple[list[str], str]] = [
     (["images_per_min_sdxl1024", "sdxl_step_s"],
      "| SDXL-base UNet 1024px CFG denoise (50-step image) "
      "| **{images_per_min_sdxl1024:.1f} images/min/chip** ({sdxl_ms:.0f} "
-     "ms/step; DeepCache {sdxl_dc:.1f}) | —¹ |"),
+     "ms/step{sdxl_dc_note}) | —¹ |"),
     (["interleaved_doc_s", "interleaved_img_s", "interleaved_text_tok",
       "interleaved_text_tok_s", "interleaved_n_images"],
      "| **Interleaved text+image document** — ONE measured "
@@ -118,7 +118,7 @@ ROWS: list[tuple[list[str], str]] = [
 HEADER = [
     "**Measured on one TPU v5e chip** (`bench.py`, median-of-N, fresh",
     "prompts; artifact: `{artifact}`, tunnel round-trip",
-    "{tunnel_rt_ms:.1f} ms):",
+    "{tunnel_rt}):",
     "",
     "| benchmark | result | vs A100 bar |",
     "|---|---|---|",
@@ -128,7 +128,10 @@ HEADER = [
 def render(flat: dict, artifact: str) -> str:
     ctx = dict(flat)
     ctx["artifact"] = artifact
-    ctx.setdefault("tunnel_rt_ms", float("nan"))
+    # optional values must render as text or not at all — a float('nan')
+    # default prints a literal "nan" into the README
+    ctx["tunnel_rt"] = ("{:.1f} ms".format(ctx["tunnel_rt_ms"])
+                        if ctx.get("tunnel_rt_ms") is not None else "n/a")
     if "decode_bf16_tok_s" in ctx:
         ctx["ms_per_tok"] = 1000.0 / ctx["decode_bf16_tok_s"]
         ctx["bf16_vs"] = ctx["decode_bf16_tok_s"] / 50.0
@@ -136,7 +139,9 @@ def render(flat: dict, artifact: str) -> str:
         ctx["unet_ms"] = ctx["unet_step_s"] * 1e3
     if "sdxl_step_s" in ctx:
         ctx["sdxl_ms"] = ctx["sdxl_step_s"] * 1e3
-        ctx["sdxl_dc"] = ctx.get("images_per_min_sdxl1024_deepcache2", float("nan"))
+        dc = ctx.get("images_per_min_sdxl1024_deepcache2")
+        ctx["sdxl_dc_note"] = ("; DeepCache {:.1f}".format(dc)
+                               if dc is not None else "")
     ctx["sdxl_mode_note"] = (
         "; two-program step — docs/TRAINING.md"
         if ctx.get("sdxl_mm_train_mode") == "two-program" else "")

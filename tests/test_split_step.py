@@ -185,6 +185,86 @@ def dataclasses_replace_frozen(cfg, **kw):
     return dataclasses.replace(cfg, **kw)
 
 
+def test_library_split_step_plain_sd_head():
+    """Plain-SD head through the split step (review finding r5: the default
+    SD loss used to discard the precomputed latents and train on the 1x1
+    dummy): the update must match a fused reference using sd_head_loss's
+    latents= path with the step's rng discipline."""
+    import optax
+
+    from dreamllm_tpu.models.dreamllm import dreamllm_forward, param_freeze_mask
+    from dreamllm_tpu.models.sd.head import (
+        SDHeadConfig,
+        encode_sd_latents,
+        init_sd_head_params,
+        sd_head_loss,
+    )
+    from dreamllm_tpu.models.projector import ProjectorConfig
+    from dreamllm_tpu.train.split_step import _expand_mask, make_split_train_step
+    from dreamllm_tpu.train.step import TrainState
+
+    sd_cfg = SDHeadConfig(
+        unet=TINY_SD_UNET,
+        vae=HEAD_CFG.vae,
+        llm_hidden_size=32,
+        projector=ProjectorConfig(projector_type="linear", in_dim=32, out_dim=24),
+    )
+    cfg = dataclasses_replace_frozen(CFG, frozen=("clip_vision_embedding/clip",))
+    params = init_dreamllm_params(jax.random.PRNGKey(0), cfg)
+    params["sd_head"] = init_sd_head_params(jax.random.PRNGKey(1), sd_cfg)
+    mask = param_freeze_mask(params, cfg)
+    mask["sd_head"]["unet"] = jax.tree.map(lambda _: False, mask["sd_head"]["unet"])
+    mask["sd_head"]["vae"] = jax.tree.map(lambda _: False, mask["sd_head"]["vae"])
+
+    batch = _batch()
+    rng = jax.random.PRNGKey(5)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+
+    lat = encode_sd_latents(params["sd_head"], sd_cfg, batch["images_dm"],
+                            jax.random.fold_in(rng, 1))
+
+    def head_loss(hp, images_dm, cond, uncond, valid, r, latents=None, **_):
+        return sd_head_loss(hp, sd_cfg, images_dm, cond, uncond, valid,
+                            jax.random.fold_in(rng, 2), latents=latents)
+
+    def fused(p):
+        loss, _ = dreamllm_forward(
+            p, cfg, dict(batch, latents=lat), rng=None,
+            head_loss_fn=head_loss, head_params=p["sd_head"], use_flash=False)
+        return loss
+
+    g = jax.grad(fused)(params)
+    fmask = _expand_mask(mask, params)
+    g = jax.tree.map(lambda m, gi: gi if m else jnp.zeros_like(gi), fmask, g)
+    updates, _ = tx.update(g, opt_state, params)
+    ref_params = jax.tree.map(np.asarray, optax.apply_updates(params, updates))
+
+    step = make_split_train_step(
+        cfg, tx, head_cfg=sd_cfg, trainable_mask=mask,
+        use_flash=False, remat=False, remat_unet=False,
+    )
+    new_state, aux = step(TrainState(0, params, opt_state), batch, rng)
+    assert np.isfinite(float(aux["loss"])) and float(aux["vm_loss"]) > 0
+
+    for (kp, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(new_state.params)[0],
+            jax.tree.leaves(ref_params)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            atol=2e-6, rtol=2e-4, err_msg=jax.tree_util.keystr(kp))
+
+
+TINY_SD_UNET = sdxl_unet_config(
+    sample_size=8, block_out_channels=(16, 32),
+    down_block_types=("CrossAttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "CrossAttnUpBlock2D"),
+    transformer_layers_per_block=(1, 1), num_attention_heads=(2, 4),
+    cross_attention_dim=24, norm_num_groups=4, layers_per_block=1,
+    addition_embed_type=None,  # plain-SD UNet (no text_time conditioning)
+)
+
+
 def test_two_program_grads_match_fused():
     params = init_dreamllm_params(jax.random.PRNGKey(0), CFG)
     params["sd_head"] = init_sdxl_head_params(jax.random.PRNGKey(1), HEAD_CFG)
